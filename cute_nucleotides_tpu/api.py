@@ -1,0 +1,161 @@
+"""User-facing codec API, mirroring the reference's function menu.
+
+The reference exposes 12 free functions (5 + 4 two-bit, 2 + 2 base-5;
+reference src/lib.rs:1-2).  This framework exposes the same four logical
+operations, each with a *tier* (``oracle`` scalar spec / ``xla`` whole-array /
+``pallas`` hand-tiled kernel) and, for the 2-bit codec, a *variant* selecting
+the packing strategy — the TPU-native analogue of the reference's
+five-encoder/four-decoder menu.
+
+These functions take host ``bytes``/NumPy arrays and return NumPy arrays with
+the reference's exact semantics (u64 packed words, explicit decode length).
+For the high-throughput device-array path use
+:class:`cute_nucleotides_tpu.models.TwoBitCodec` /
+:class:`cute_nucleotides_tpu.models.Base5Codec` directly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import oracle, spec, xla
+
+__all__ = ["n_to_bits", "bits_to_n", "n_to_bits2", "bits_to_n2"]
+
+
+def _as_u8(seq) -> np.ndarray:
+    if isinstance(seq, (bytes, bytearray, memoryview)):
+        return np.frombuffer(bytes(seq), dtype=np.uint8)
+    a = np.asarray(seq)
+    if a.dtype != np.uint8 or a.ndim != 1:
+        raise TypeError("expected bytes or 1-D uint8 array")
+    return a
+
+
+def _pad_to(a: np.ndarray, block: int, fill: int = ord("A")) -> np.ndarray:
+    rem = (-a.size) % block
+    if rem == 0:
+        return a
+    return np.concatenate([a, np.full(rem, fill, dtype=np.uint8)])
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_encode_2bit(variant: str):
+    return jax.jit(functools.partial(xla.encode_2bit_words, variant=variant))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_decode_2bit(variant: str):
+    return jax.jit(functools.partial(xla.decode_2bit_bytes, variant=variant))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_encode_b5():
+    return jax.jit(xla.encode_b5_words)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_decode_b5():
+    return jax.jit(xla.decode_b5_bytes)
+
+
+def _encode_fn_2bit(tier: str, variant: str):
+    if tier == "pallas":
+        from .ops import pallas_kernels
+
+        return pallas_kernels.jit_encode_2bit(variant)
+    return _jit_encode_2bit(variant)
+
+
+def _decode_fn_2bit(tier: str, variant: str):
+    if tier == "pallas":
+        from .ops import pallas_kernels
+
+        return pallas_kernels.jit_decode_2bit(variant)
+    return _jit_decode_2bit(variant)
+
+
+def n_to_bits(seq, *, tier: str = "xla", variant: str = "mul") -> np.ndarray:
+    """Encode {A,C,G,T/U} bytes to 2-bit packed u64 words (LSB-first).
+
+    Bit-exact to the reference's encoders (reference src/n_to_bits.rs:34-259).
+    """
+    n = _as_u8(seq)
+    if tier == "oracle":
+        return oracle.n_to_bits_lut(n)
+    x = _pad_to(n, spec.NT_PER_WORD_2BIT)
+    if x.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    w32 = np.asarray(_encode_fn_2bit(tier, variant)(jnp.asarray(x)))
+    return spec.u32_pairs_to_u64(w32)
+
+
+def bits_to_n(bits, length: int, *, tier: str = "xla", variant: str = "shuffle") -> np.ndarray:
+    """Decode 2-bit packed u64 words to ASCII; ``length`` = nucleotide count.
+
+    Raises ``ValueError`` on capacity overflow (reference panic,
+    src/n_to_bits.rs:52-54).
+    """
+    bits = np.ascontiguousarray(bits, dtype=np.uint64)
+    if length > bits.size * spec.NT_PER_WORD_2BIT:
+        raise ValueError(
+            f"length {length} exceeds capacity {bits.size * spec.NT_PER_WORD_2BIT}"
+        )
+    if tier == "oracle":
+        return oracle.bits_to_n_lut(bits, length)
+    if bits.size == 0:
+        return np.zeros(0, dtype=np.uint8)
+    w32 = jnp.asarray(spec.u64_to_u32_pairs(bits).reshape(-1))
+    out = np.asarray(_decode_fn_2bit(tier, variant)(w32))
+    return out[:length]
+
+
+def n_to_bits2(seq, *, tier: str = "xla") -> np.ndarray:
+    """Encode {A,C,G,T/U,N} bytes to base-5 packed u64 words.
+
+    Bit-exact to the reference (reference src/n_to_bits2.rs:37-189).
+    """
+    n = _as_u8(seq)
+    if tier == "oracle":
+        return oracle.n_to_bits2_lut(n)
+    x = _pad_to(n, spec.NT_PER_WORD_B5)
+    if x.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if tier == "pallas":
+        from .ops import pallas_kernels
+
+        fn = pallas_kernels.jit_encode_b5()
+    else:
+        fn = _jit_encode_b5()
+    w32 = np.asarray(fn(jnp.asarray(x)))
+    return spec.u32_pairs_to_u64(w32)
+
+
+def bits_to_n2(bits, length: int, *, tier: str = "xla") -> np.ndarray:
+    """Decode base-5 packed u64 words to ASCII; ``length`` = nucleotide count.
+
+    Raises ``ValueError`` on capacity overflow (reference panic,
+    src/n_to_bits2.rs:78-80).
+    """
+    bits = np.ascontiguousarray(bits, dtype=np.uint64)
+    if length > bits.size * spec.NT_PER_WORD_B5:
+        raise ValueError(
+            f"length {length} exceeds capacity {bits.size * spec.NT_PER_WORD_B5}"
+        )
+    if tier == "oracle":
+        return oracle.bits_to_n2_lut(bits, length)
+    if bits.size == 0:
+        return np.zeros(0, dtype=np.uint8)
+    if tier == "pallas":
+        from .ops import pallas_kernels
+
+        fn = pallas_kernels.jit_decode_b5()
+    else:
+        fn = _jit_decode_b5()
+    w32 = jnp.asarray(spec.u64_to_u32_pairs(bits).reshape(-1))
+    out = np.asarray(fn(w32))
+    return out[:length]
