@@ -1,0 +1,189 @@
+"""Batch codec "models": the device-array production API.
+
+The reference's public surface is 12 free functions over host byte slices
+(reference src/lib.rs:1-2).  The TPU-native production path instead operates
+on resident device arrays of shape ``[batch, length]`` — a batch of reads —
+because on TPU the unit of efficiency is a large batched launch, not a single
+string.  These classes bundle the jitted kernels, padding logic, variant
+registry, and sharding hooks into the two codec families:
+
+* :class:`TwoBitCodec` — {A,C,G,T/U} <-> 2 bits/nt  (reference src/n_to_bits.rs)
+* :class:`Base5Codec`  — {A,C,G,T/U,N} <-> 63 bits/27 nt (reference src/n_to_bits2.rs)
+
+Both produce packed ``uint32`` device words whose little-endian stream is
+bit-exact to the reference's ``Vec<u64>`` output.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import spec, xla
+
+__all__ = ["CodecConfig", "TwoBitCodec", "Base5Codec", "pad_batch"]
+
+
+def _default_tier() -> str:
+    try:
+        platform = jax.default_backend()
+    except Exception:  # pragma: no cover
+        platform = "cpu"
+    return "pallas" if platform not in ("cpu",) else "xla"
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    """Typed configuration (the config system the reference lacks; SURVEY §5).
+
+    Attributes:
+      tier: "xla" (whole-array fused), "pallas" (hand-tiled kernels) or
+        "auto" (pallas on accelerators, xla on CPU).
+      encode_variant: packing strategy for the 2-bit encoder — "mul"
+        (multiply-as-bit-shuffle, analogue of reference src/n_to_bits.rs:213)
+        or "shift" (log-depth shift-OR tree, analogue of src/n_to_bits.rs:121).
+      decode_variant: "shuffle" (packed-LUT variable shift, analogue of
+        reference src/n_to_bits.rs:265) or "select" (arithmetic select tree).
+      donate: donate input buffers to the compiled call (the allocation-honest
+        analogue of the reference's alloc-included benchmarks).
+    """
+
+    tier: str = "auto"
+    encode_variant: str = "mul"
+    decode_variant: str = "shuffle"
+    donate: bool = False
+
+    def resolved_tier(self) -> str:
+        return _default_tier() if self.tier == "auto" else self.tier
+
+
+def pad_batch(
+    reads: np.ndarray | list[bytes], block: int, fill: int = ord("A")
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pad a batch of byte strings to a common block-aligned length.
+
+    Returns ``(batch u8[B, Lpad], lengths i32[B])``.  Padding with 'A'
+    (code 0 / digit 0) reproduces the reference's tail semantics: unused high
+    bits zero (reference src/n_to_bits.rs:38-43), missing triplet digits zero
+    (reference src/n_to_bits2.rs:58-70).
+    """
+    if isinstance(reads, np.ndarray):
+        if reads.ndim != 2 or reads.dtype != np.uint8:
+            raise TypeError("expected u8[B, L] array or list of bytes")
+        lengths = np.full(reads.shape[0], reads.shape[1], dtype=np.int32)
+        rem = (-reads.shape[1]) % block
+        if rem:
+            pad = np.full((reads.shape[0], rem), fill, dtype=np.uint8)
+            reads = np.concatenate([reads, pad], axis=1)
+        return reads, lengths
+    lengths = np.array([len(r) for r in reads], dtype=np.int32)
+    lpad = spec.cdiv(max((int(l) for l in lengths), default=0), block) * block
+    out = np.full((len(reads), max(lpad, block)), fill, dtype=np.uint8)
+    for i, r in enumerate(reads):
+        out[i, : len(r)] = np.frombuffer(bytes(r), dtype=np.uint8)
+    return out, lengths
+
+
+class _CodecBase:
+    """Shared jit/caching scaffolding for the two codec families."""
+
+    def __init__(self, config: CodecConfig | None = None, **overrides):
+        if config is None:
+            config = CodecConfig(**overrides)
+        elif overrides:
+            config = dataclasses.replace(config, **overrides)
+        self.config = config
+        self.tier = config.resolved_tier()
+
+    def _jit(self, fn, donate_arg: bool):
+        kwargs = {}
+        if donate_arg and self.config.donate:
+            kwargs["donate_argnums"] = (0,)
+        return jax.jit(fn, **kwargs)
+
+
+class TwoBitCodec(_CodecBase):
+    """Batched 2-bit codec: u8[..., L] <-> packed u32[..., L//16].
+
+    Bit-exact to the reference's 2-bit family (encoders
+    src/n_to_bits.rs:34-259, decoders :265-404); tested against its golden
+    vectors (src/n_to_bits.rs:408-470).
+    """
+
+    #: nt per packed u32 word
+    block = spec.NT_PER_WORD_2BIT  # pad granularity: one logical u64 (32 nt)
+
+    def __init__(self, config: CodecConfig | None = None, **overrides):
+        super().__init__(config, **overrides)
+        if self.tier == "pallas":
+            from ..ops import pallas_kernels as pk
+
+            self._encode = pk.jit_encode_2bit(self.config.encode_variant)
+            self._decode = pk.jit_decode_2bit(self.config.decode_variant)
+        else:
+            self._encode = self._jit(
+                functools.partial(
+                    xla.encode_2bit_words, variant=self.config.encode_variant
+                ),
+                donate_arg=True,
+            )
+            self._decode = self._jit(
+                functools.partial(
+                    xla.decode_2bit_bytes, variant=self.config.decode_variant
+                ),
+                donate_arg=True,
+            )
+
+    def encode(self, reads: jax.Array) -> jax.Array:
+        """u8[..., L] -> u32[..., L//16]; L must be a multiple of 16."""
+        return self._encode(reads)
+
+    def decode(self, words: jax.Array) -> jax.Array:
+        """u32[..., W] -> u8[..., 16*W] (full blocks; caller truncates)."""
+        return self._decode(words)
+
+    def words_per_read(self, length: int) -> int:
+        return 2 * spec.num_words_2bit(length)  # u32 count
+
+    def pad(self, reads):
+        return pad_batch(reads, self.block)
+
+
+class Base5Codec(_CodecBase):
+    """Batched base-5 codec: u8[..., L] <-> packed u32[..., 2*(L//27)].
+
+    Bit-exact to the reference's base-5 family (src/n_to_bits2.rs:37-268);
+    tested against its golden vectors (src/n_to_bits2.rs:270-299).
+    """
+
+    #: nt per logical u64 word
+    block = spec.NT_PER_WORD_B5
+
+    def __init__(self, config: CodecConfig | None = None, **overrides):
+        super().__init__(config, **overrides)
+        if self.tier == "pallas":
+            from ..ops import pallas_kernels as pk
+
+            self._encode = pk.jit_encode_b5()
+            self._decode = pk.jit_decode_b5()
+        else:
+            self._encode = self._jit(xla.encode_b5_words, donate_arg=True)
+            self._decode = self._jit(xla.decode_b5_bytes, donate_arg=True)
+
+    def encode(self, reads: jax.Array) -> jax.Array:
+        """u8[..., L] -> u32[..., 2*(L//27)]; L must be a multiple of 27."""
+        return self._encode(reads)
+
+    def decode(self, words: jax.Array) -> jax.Array:
+        """u32[..., 2*W] -> u8[..., 27*W] (full blocks; caller truncates)."""
+        return self._decode(words)
+
+    def words_per_read(self, length: int) -> int:
+        return 2 * spec.num_words_b5(length)
+
+    def pad(self, reads):
+        return pad_batch(reads, self.block)

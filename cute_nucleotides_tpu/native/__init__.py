@@ -1,0 +1,75 @@
+"""Native (C++) host oracle build + ctypes binding.
+
+The shared library is compiled on first use with the system ``g++`` (the
+toolchain is a baked-in dependency); the build artifact is cached next to the
+source.  If compilation fails (no compiler in a restricted runtime), callers
+fall back to the NumPy oracle — see :mod:`cute_nucleotides_tpu.ops.native`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "codec.cpp")
+_LIB = os.path.join(_HERE, "libcutenuc.so")
+
+_lock = threading.Lock()
+_lib = None
+_build_error: str | None = None
+
+
+def _compile() -> None:
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-funroll-loops",
+        "-shared",
+        "-fPIC",
+        _SRC,
+        "-o",
+        _LIB,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+
+
+def load() -> ctypes.CDLL | None:
+    """Load (building if needed) the native codec library, or None."""
+    global _lib, _build_error
+    with _lock:
+        if _lib is not None or _build_error is not None:
+            return _lib
+        try:
+            if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(
+                _SRC
+            ):
+                _compile()
+            lib = ctypes.CDLL(_LIB)
+        except (OSError, subprocess.CalledProcessError) as e:  # pragma: no cover
+            _build_error = str(e)
+            return None
+
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.cutenuc_n_to_bits.argtypes = [u8p, ctypes.c_size_t, u64p]
+        lib.cutenuc_n_to_bits.restype = None
+        lib.cutenuc_bits_to_n.argtypes = [u64p, ctypes.c_size_t, u8p]
+        lib.cutenuc_bits_to_n.restype = None
+        lib.cutenuc_n_to_bits2.argtypes = [u8p, ctypes.c_size_t, u64p]
+        lib.cutenuc_n_to_bits2.restype = None
+        lib.cutenuc_bits_to_n2.argtypes = [u64p, ctypes.c_size_t, u8p]
+        lib.cutenuc_bits_to_n2.restype = None
+        lib.cutenuc_memcpy.argtypes = [u8p, ctypes.c_size_t, u8p]
+        lib.cutenuc_memcpy.restype = None
+        lib.cutenuc_find_invalid.argtypes = [u8p, ctypes.c_size_t, ctypes.c_int]
+        lib.cutenuc_find_invalid.restype = ctypes.c_longlong
+        _lib = lib
+        return _lib
+
+
+def build_error() -> str | None:
+    return _build_error

@@ -1,0 +1,153 @@
+// Native host oracle for the nucleotide codecs.
+//
+// This is the C++ stand-in for the reference's Rust scalar tier (reference
+// src/n_to_bits.rs:34-69, src/n_to_bits2.rs:37-107): a trivially-correct,
+// bit-exact implementation of the four core operations, used for
+//   * fast host-side parity checking of the device tiers,
+//   * ragged-tail handling in the streaming pipeline,
+//   * a host throughput baseline in the benchmark harness.
+//
+// Unlike the reference, out-of-alphabet behavior is *defined* (see
+// cute_nucleotides_tpu/ops/spec.py): 2-bit code = (byte >> 1) & 3 for every
+// byte; base-5 digit = DIGIT_LUT8[byte & 7].  On the alphabet these equal the
+// reference's LUTs.
+//
+// Build: g++ -O3 -march=native -shared -fPIC codec.cpp -o libcutenuc.so
+// The loops are written to autovectorize (no hand intrinsics needed for an
+// oracle); the hot TPU path lives in the Pallas kernels, not here.
+
+#include <cstddef>
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr uint8_t kDigitLut8[8] = {0, 0, 0, 1, 2, 2, 4, 3};  // keyed on c & 7
+constexpr uint8_t kBitsToChar[4] = {'A', 'C', 'T', 'G'};
+constexpr uint8_t kDigToChar[5] = {'A', 'C', 'T', 'G', 'N'};
+
+}  // namespace
+
+extern "C" {
+
+// --- 2-bit codec -----------------------------------------------------------
+
+// Encode len nucleotides into ceil(len/32) LSB-first u64 words
+// (layout contract of reference src/n_to_bits.rs:34-47).
+void cutenuc_n_to_bits(const uint8_t* n, size_t len, uint64_t* out) {
+  size_t nwords = (len + 31) / 32;
+  if (nwords) std::memset(out, 0, nwords * sizeof(uint64_t));
+  size_t full = len / 32;
+  for (size_t w = 0; w < full; ++w) {
+    uint64_t acc = 0;
+    const uint8_t* p = n + w * 32;
+    for (int i = 0; i < 32; ++i) {
+      acc |= static_cast<uint64_t>((p[i] >> 1) & 3) << (2 * i);
+    }
+    out[w] = acc;
+  }
+  uint64_t acc = 0;
+  for (size_t i = full * 32; i < len; ++i) {
+    acc |= static_cast<uint64_t>((n[i] >> 1) & 3) << (2 * (i % 32));
+  }
+  if (len % 32) out[full] = acc;
+}
+
+// Decode len nucleotides from LSB-first u64 words.  Caller guarantees
+// len <= nwords*32 (checked Python-side, mirroring the reference's panic at
+// src/n_to_bits.rs:52-54).
+void cutenuc_bits_to_n(const uint64_t* bits, size_t len, uint8_t* out) {
+  size_t full = len / 32;
+  for (size_t w = 0; w < full; ++w) {
+    uint64_t v = bits[w];
+    uint8_t* p = out + w * 32;
+    for (int i = 0; i < 32; ++i) {
+      p[i] = kBitsToChar[(v >> (2 * i)) & 3];
+    }
+  }
+  for (size_t i = full * 32; i < len; ++i) {
+    out[i] = kBitsToChar[(bits[i / 32] >> (2 * (i % 32))) & 3];
+  }
+}
+
+// --- base-5 codec ----------------------------------------------------------
+
+// Encode len nucleotides into ceil(len/27) u64 words: triplet (a,b,c) ->
+// c*25 + b*5 + a in 7 bits, 9 triplets LSB-first per word, trailing partial
+// triplet with missing digits 0 (contract of reference src/n_to_bits2.rs:37-74).
+void cutenuc_n_to_bits2(const uint8_t* n, size_t len, uint64_t* out) {
+  size_t nwords = (len + 26) / 27;
+  if (nwords) std::memset(out, 0, nwords * sizeof(uint64_t));
+  size_t full = len / 27;
+  for (size_t w = 0; w < full; ++w) {
+    uint64_t acc = 0;
+    const uint8_t* p = n + w * 27;
+    for (int t = 0; t < 9; ++t) {
+      uint32_t a = kDigitLut8[p[3 * t] & 7];
+      uint32_t b = kDigitLut8[p[3 * t + 1] & 7];
+      uint32_t c = kDigitLut8[p[3 * t + 2] & 7];
+      acc |= static_cast<uint64_t>(c * 25 + b * 5 + a) << (7 * t);
+    }
+    out[w] = acc;
+  }
+  size_t rem = len % 27;
+  if (rem) {
+    const uint8_t* p = n + full * 27;
+    uint64_t acc = 0;
+    for (size_t i = 0; i < (rem + 2) / 3; ++i) {
+      uint32_t a = kDigitLut8[p[3 * i] & 7];
+      uint32_t b = 3 * i + 1 < rem ? kDigitLut8[p[3 * i + 1] & 7] : 0;
+      uint32_t c = 3 * i + 2 < rem ? kDigitLut8[p[3 * i + 2] & 7] : 0;
+      acc |= static_cast<uint64_t>(c * 25 + b * 5 + a) << (7 * i);
+    }
+    out[full] = acc;
+  }
+}
+
+// Decode len nucleotides from base-5 packed words.  Caller guarantees
+// len <= nwords*27 (reference panic at src/n_to_bits2.rs:78-80).
+void cutenuc_bits_to_n2(const uint64_t* bits, size_t len, uint8_t* out) {
+  size_t full = len / 27;
+  for (size_t w = 0; w < full; ++w) {
+    uint64_t v = bits[w];
+    uint8_t* p = out + w * 27;
+    for (int t = 0; t < 9; ++t) {
+      uint32_t val = (v >> (7 * t)) & 0x7F;
+      p[3 * t] = kDigToChar[val % 5];
+      p[3 * t + 1] = kDigToChar[(val / 5) % 5];
+      p[3 * t + 2] = kDigToChar[val / 25];
+    }
+  }
+  for (size_t i = full * 27; i < len; ++i) {
+    uint64_t v = bits[i / 27];
+    uint32_t t = (i % 27) / 3;
+    uint32_t val = (v >> (7 * t)) & 0x7F;
+    uint32_t k = i % 3;
+    uint32_t d = k == 0 ? val % 5 : (k == 1 ? (val / 5) % 5 : val / 25);
+    out[i] = kDigToChar[d];
+  }
+}
+
+// --- utility ---------------------------------------------------------------
+
+// memcpy baseline hook for the bench harness (the reference benches memcpy
+// the same way, benches/bench_n_to_bits.rs:20).
+void cutenuc_memcpy(const uint8_t* src, size_t len, uint8_t* dst) {
+  std::memcpy(dst, src, len);
+}
+
+// Validation pass: returns the index of the first byte outside the accepted
+// alphabet, or (size_t)-1 if all bytes are valid.  alphabet_mask bit i set
+// means ASCII-ish class i is allowed; we accept {A,C,G,T,U} upper/lower and,
+// when allow_n != 0, {N,n}.
+long long cutenuc_find_invalid(const uint8_t* n, size_t len, int allow_n) {
+  for (size_t i = 0; i < len; ++i) {
+    uint8_t c = n[i] & 0xDF;  // fold case (clears bit 5 for letters)
+    bool ok = (c == 'A' || c == 'C' || c == 'G' || c == 'T' || c == 'U');
+    if (allow_n) ok = ok || (c == 'N');
+    if (!ok) return static_cast<long long>(i);
+  }
+  return -1;
+}
+
+}  // extern "C"

@@ -1,0 +1,139 @@
+"""Native-oracle tier: C++ implementations of the four scalar ops.
+
+Same signatures and bit-exact results as :mod:`cute_nucleotides_tpu.ops.oracle`
+(the NumPy spec tier), but ~100x faster — the practical host oracle for
+parity-checking device output at scale and for ragged-tail handling in the
+streaming pipeline.  Mirrors the role of the reference's Rust scalar tier
+(reference src/n_to_bits.rs:34-69, src/n_to_bits2.rs:37-107).
+
+Falls back to the NumPy oracle transparently when the C++ toolchain is
+unavailable (``available()`` reports which path is active).
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from . import oracle, spec
+from .. import native as _native_build
+
+__all__ = [
+    "available",
+    "n_to_bits",
+    "bits_to_n",
+    "n_to_bits2",
+    "bits_to_n2",
+    "find_invalid",
+    "memcpy",
+]
+
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_u64p = ctypes.POINTER(ctypes.c_uint64)
+
+
+def _lib():
+    return _native_build.load()
+
+
+def available() -> bool:
+    """True when the compiled C++ oracle is in use (else NumPy fallback)."""
+    return _lib() is not None
+
+
+def _as_u8(seq) -> np.ndarray:
+    if isinstance(seq, (bytes, bytearray, memoryview)):
+        return np.frombuffer(bytes(seq), dtype=np.uint8)
+    a = np.ascontiguousarray(seq)
+    if a.dtype != np.uint8 or a.ndim != 1:
+        raise TypeError("expected bytes or 1-D uint8 array")
+    return a
+
+
+def n_to_bits(seq) -> np.ndarray:
+    n = _as_u8(seq)
+    lib = _lib()
+    if lib is None:
+        return oracle.n_to_bits_lut(n)
+    out = np.empty(spec.num_words_2bit(n.size), dtype=np.uint64)
+    lib.cutenuc_n_to_bits(
+        n.ctypes.data_as(_u8p), n.size, out.ctypes.data_as(_u64p)
+    )
+    return out
+
+
+def bits_to_n(bits, length: int) -> np.ndarray:
+    bits = np.ascontiguousarray(bits, dtype=np.uint64)
+    if length > bits.size * spec.NT_PER_WORD_2BIT:
+        raise ValueError(
+            f"length {length} exceeds capacity {bits.size * spec.NT_PER_WORD_2BIT}"
+        )
+    lib = _lib()
+    if lib is None:
+        return oracle.bits_to_n_lut(bits, length)
+    out = np.empty(length, dtype=np.uint8)
+    lib.cutenuc_bits_to_n(
+        bits.ctypes.data_as(_u64p), length, out.ctypes.data_as(_u8p)
+    )
+    return out
+
+
+def n_to_bits2(seq) -> np.ndarray:
+    n = _as_u8(seq)
+    lib = _lib()
+    if lib is None:
+        return oracle.n_to_bits2_lut(n)
+    out = np.empty(spec.num_words_b5(n.size), dtype=np.uint64)
+    lib.cutenuc_n_to_bits2(
+        n.ctypes.data_as(_u8p), n.size, out.ctypes.data_as(_u64p)
+    )
+    return out
+
+
+def bits_to_n2(bits, length: int) -> np.ndarray:
+    bits = np.ascontiguousarray(bits, dtype=np.uint64)
+    if length > bits.size * spec.NT_PER_WORD_B5:
+        raise ValueError(
+            f"length {length} exceeds capacity {bits.size * spec.NT_PER_WORD_B5}"
+        )
+    lib = _lib()
+    if lib is None:
+        return oracle.bits_to_n2_lut(bits, length)
+    out = np.empty(length, dtype=np.uint8)
+    lib.cutenuc_bits_to_n2(
+        bits.ctypes.data_as(_u64p), length, out.ctypes.data_as(_u8p)
+    )
+    return out
+
+
+def find_invalid(seq, *, allow_n: bool = True) -> int:
+    """Index of the first byte outside {A,C,G,T,U[,N]} (case-insensitive), or -1.
+
+    The validation pass the reference lacks (its out-of-alphabet behavior is
+    UB, reference src/n_to_bits.rs:42); here it is a first-class optional
+    check (see also the device-side validator in ops/validate.py).
+    """
+    n = _as_u8(seq)
+    lib = _lib()
+    if lib is None:
+        c = n & 0xDF
+        ok = (c == ord("A")) | (c == ord("C")) | (c == ord("G"))
+        ok |= (c == ord("T")) | (c == ord("U"))
+        if allow_n:
+            ok |= c == ord("N")
+        bad = np.nonzero(~ok)[0]
+        return int(bad[0]) if bad.size else -1
+    return int(lib.cutenuc_find_invalid(n.ctypes.data_as(_u8p), n.size, int(allow_n)))
+
+
+def memcpy(seq) -> np.ndarray:
+    """Allocate-and-copy baseline (reference benches/bench_n_to_bits.rs:20)."""
+    n = _as_u8(seq)
+    out = np.empty(n.size, dtype=np.uint8)
+    lib = _lib()
+    if lib is None:
+        np.copyto(out, n)
+        return out
+    lib.cutenuc_memcpy(n.ctypes.data_as(_u8p), n.size, out.ctypes.data_as(_u8p))
+    return out

@@ -1,0 +1,165 @@
+"""Data-parallel batch codec over a device mesh.
+
+Reads are independent, so data parallelism is pure sharding: the batch axis is
+split over the ``"data"`` mesh axis, each device encodes its shard with the
+single-chip kernel, and no collective is needed unless the caller asks for a
+replicated (gathered) result.  This is the TPU promotion of the reference's
+only parallelism — SIMD lanes inside one AVX2 register (SURVEY.md §2.3) — to
+a pod-scale axis.
+
+Two entry styles:
+
+* :func:`data_parallel_encode` / :func:`data_parallel_decode` — functional,
+  explicit `shard_map` over a mesh; optionally `all_gather`s packed words so
+  every device holds the full result (the merge step of BASELINE's multi-host
+  configs).
+* :class:`ShardedCodec` — object API wrapping a codec model with a mesh and
+  input/output shardings, for streaming pipelines.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import xla
+from . import mesh as mesh_lib
+
+
+def _encode_fn(codec: str, variant: str, tier: str):
+    if tier == "pallas":
+        from ..ops import pallas_kernels as pk
+
+        if codec == "2bit":
+            return pk.encode_2bit(variant)
+        return pk.encode_b5()
+    if codec == "2bit":
+        return functools.partial(xla.encode_2bit_words, variant=variant)
+    return xla.encode_b5_words
+
+
+def _decode_fn(codec: str, variant: str, tier: str):
+    if tier == "pallas":
+        from ..ops import pallas_kernels as pk
+
+        if codec == "2bit":
+            return pk.decode_2bit(variant)
+        return pk.decode_b5()
+    if codec == "2bit":
+        return functools.partial(xla.decode_2bit_bytes, variant=variant)
+    return xla.decode_b5_bytes
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_dp(codec: str, variant: str, tier: str, mesh: Mesh, gather: bool, decode: bool):
+    axis = mesh_lib.DATA_AXIS
+    fn = (_decode_fn if decode else _encode_fn)(codec, variant, tier)
+
+    def per_shard(x):
+        out = fn(x)
+        if gather:
+            out = jax.lax.all_gather(out, axis, axis=0, tiled=True)
+        return out
+
+    out_spec = P(None if gather else axis, None)
+    mapped = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(axis, None),),
+        out_specs=out_spec,
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def data_parallel_encode(
+    reads: jax.Array,
+    *,
+    mesh: Mesh | None = None,
+    codec: str = "2bit",
+    variant: str = "mul",
+    tier: str = "xla",
+    gather: bool = False,
+) -> jax.Array:
+    """Encode u8[B, L] with B sharded over the mesh's data axis.
+
+    ``gather=True`` all-gathers packed words over ICI so the result is
+    replicated (otherwise it stays sharded, the right form for a streaming
+    sink).  B must divide by the data-axis size; L by 16 (2bit) / 27 (base5).
+    """
+    if mesh is None:
+        mesh = mesh_lib.default_mesh()
+    return _jit_dp(codec, variant, tier, mesh, gather, False)(reads)
+
+
+def data_parallel_decode(
+    words: jax.Array,
+    *,
+    mesh: Mesh | None = None,
+    codec: str = "2bit",
+    variant: str = "shuffle",
+    tier: str = "xla",
+    gather: bool = False,
+) -> jax.Array:
+    """Decode packed u32[B, W] with B sharded over the mesh's data axis."""
+    if mesh is None:
+        mesh = mesh_lib.default_mesh()
+    return _jit_dp(codec, variant, tier, mesh, gather, True)(words)
+
+
+class ShardedCodec:
+    """A codec model bound to a mesh: shard-in, shard-out batch codec.
+
+    Produces sharded device arrays (`jax.device_put` with a NamedSharding on
+    the batch axis), encodes/decodes without any collective, and exposes
+    `gathered_*` variants that merge results with `all_gather` when a
+    replicated output is required.
+    """
+
+    def __init__(
+        self,
+        codec: str = "2bit",
+        *,
+        mesh: Mesh | None = None,
+        variant: str = "mul",
+        decode_variant: str = "shuffle",
+        tier: str = "xla",
+    ):
+        self.mesh = mesh if mesh is not None else mesh_lib.default_mesh()
+        self.codec = codec
+        self.variant = variant
+        self.decode_variant = decode_variant
+        self.tier = tier
+        axis = mesh_lib.DATA_AXIS
+        self.batch_sharding = NamedSharding(self.mesh, P(axis, None))
+        self.replicated = NamedSharding(self.mesh, P(None, None))
+
+    def shard(self, host_batch) -> jax.Array:
+        """Place a host u8[B, L] batch sharded over the data axis."""
+        return jax.device_put(host_batch, self.batch_sharding)
+
+    def encode(self, reads: jax.Array, gather: bool = False) -> jax.Array:
+        return (
+            data_parallel_encode(
+                reads,
+                mesh=self.mesh,
+                codec=self.codec,
+                variant=self.variant,
+                tier=self.tier,
+                gather=gather,
+            )
+        )
+
+    def decode(self, words: jax.Array, gather: bool = False) -> jax.Array:
+        return data_parallel_decode(
+            words,
+            mesh=self.mesh,
+            codec=self.codec,
+            variant=self.decode_variant,
+            tier=self.tier,
+            gather=gather,
+        )

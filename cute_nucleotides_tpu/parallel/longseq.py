@@ -1,0 +1,192 @@
+"""Block-sharded long-sequence encoding ("context parallelism" for a codec).
+
+The reference's longest tested input is one 40,000-nt buffer in one core
+(reference benches/bench_n_to_bits.rs:10).  For chromosome-scale sequences the
+TPU-native move is to split ONE sequence across the mesh at word-aligned
+boundaries and encode shards independently — the packed words then concatenate
+bit-exactly because both codecs are stateless per word:
+
+* 2-bit: words cover disjoint 32-nt spans (reference src/n_to_bits.rs:38-43),
+  so any 32-aligned split point is safe.  Device shards use 16-nt u32 words;
+  split points must be 32-aligned so u32 pairs stay in order.
+* base-5: words cover disjoint 27-nt spans (reference src/n_to_bits2.rs:44-47)
+  and a triplet never crosses a word, so 27-aligned splits are safe.  Note
+  27 does not divide typical power-of-two shard sizes — the alignment here is
+  the nontrivial part the reference never faces (SURVEY.md §2.3).
+
+The shard axis is the mesh's ``"seq"`` axis.  Encoding is collective-free;
+``gather=True`` merges shard outputs with `all_gather` over ICI so every
+device holds the whole packed sequence.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import spec, xla
+from . import mesh as mesh_lib
+
+
+def shard_points_2bit(length: int, n_shards: int) -> list[int]:
+    """Word-aligned split offsets for a 2-bit encode over ``n_shards``.
+
+    Each interior boundary is a multiple of 32 nt so every shard owns whole
+    u64 words; shards are balanced to within one word.
+    """
+    words = spec.num_words_2bit(length)
+    return [
+        min(32 * ((words * k) // n_shards), length) for k in range(n_shards + 1)
+    ]
+
+
+def shard_points_b5(length: int, n_shards: int) -> list[int]:
+    """27-aligned split offsets for a base-5 encode over ``n_shards``."""
+    words = spec.num_words_b5(length)
+    return [
+        min(27 * ((words * k) // n_shards), length) for k in range(n_shards + 1)
+    ]
+
+
+def _pad_and_stack(seq: np.ndarray, points: list[int], block: int) -> tuple[np.ndarray, int]:
+    """Cut ``seq`` at ``points`` and stack shards into u8[S, Lmax] ('A'-padded)."""
+    n_shards = len(points) - 1
+    lmax = max(points[k + 1] - points[k] for k in range(n_shards))
+    lmax = spec.cdiv(max(lmax, 1), block) * block
+    out = np.full((n_shards, lmax), ord("A"), dtype=np.uint8)
+    for k in range(n_shards):
+        piece = seq[points[k] : points[k + 1]]
+        out[k, : piece.size] = piece
+    return out, lmax
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_shard_encode(codec: str, mesh: Mesh, gather: bool):
+    axis = mesh_lib.SEQ_AXIS
+    fn = xla.encode_2bit_words if codec == "2bit" else xla.encode_b5_words
+
+    def per_shard(x):  # x: u8[1, Lmax] on each device
+        out = fn(x)
+        if gather:
+            out = jax.lax.all_gather(out, axis, axis=0, tiled=True)
+        return out
+
+    return jax.jit(
+        shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(axis, None),),
+            out_specs=P(None if gather else axis, None),
+            check_vma=False,
+        )
+    )
+
+
+def _encode_long(seq, codec: str, mesh: Mesh | None):
+    if mesh is None:
+        mesh = mesh_lib.make_mesh(data=1, seq=len(jax.devices()))
+    n_shards = mesh.shape[mesh_lib.SEQ_AXIS]
+    seq = np.frombuffer(bytes(seq), dtype=np.uint8) if isinstance(
+        seq, (bytes, bytearray)
+    ) else np.asarray(seq, dtype=np.uint8)
+    length = seq.size
+
+    if codec == "2bit":
+        points = shard_points_2bit(length, n_shards)
+        block, words_for = spec.NT_PER_WORD_2BIT, spec.num_words_2bit
+    else:
+        points = shard_points_b5(length, n_shards)
+        block, words_for = spec.NT_PER_WORD_B5, spec.num_words_b5
+
+    batch, lmax = _pad_and_stack(seq, points, block)
+    sharding = NamedSharding(mesh, P(None, mesh_lib.SEQ_AXIS, None))
+    x = jax.device_put(
+        batch.reshape(1, n_shards, lmax), sharding
+    ).reshape(n_shards, lmax)
+    out = _jit_shard_encode(codec, mesh, True)(x)
+    out_np = np.asarray(out)  # (n_shards, 2*words(lmax)) u32
+
+    # stitch: shard k contributes words for its real span only
+    pieces = []
+    for k in range(n_shards):
+        w = words_for(points[k + 1] - points[k])
+        pieces.append(out_np[k, : 2 * w])
+    allw = np.concatenate(pieces) if pieces else np.zeros(0, np.uint32)
+    total = words_for(length)
+    return spec.u32_pairs_to_u64(allw.reshape(-1)[: 2 * total])
+
+
+def encode_long_2bit(seq, *, mesh: Mesh | None = None) -> np.ndarray:
+    """Encode one long sequence 2-bit, sharded over the mesh's seq axis.
+
+    Returns the same u64 word stream as the single-device encoder — shard
+    outputs concatenate bit-exactly thanks to 32-aligned boundaries.
+    """
+    return _encode_long(seq, "2bit", mesh)
+
+
+def encode_long_b5(seq, *, mesh: Mesh | None = None) -> np.ndarray:
+    """Encode one long sequence base-5, sharded at 27-aligned boundaries."""
+    return _encode_long(seq, "base5", mesh)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_shard_decode(codec: str, mesh: Mesh):
+    axis = mesh_lib.SEQ_AXIS
+    fn = xla.decode_2bit_bytes if codec == "2bit" else xla.decode_b5_bytes
+
+    return jax.jit(
+        shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(P(axis, None),),
+            out_specs=P(axis, None),
+            check_vma=False,
+        )
+    )
+
+
+def _decode_long(bits, length: int, codec: str, mesh: Mesh | None):
+    if mesh is None:
+        mesh = mesh_lib.make_mesh(data=1, seq=len(jax.devices()))
+    n_shards = mesh.shape[mesh_lib.SEQ_AXIS]
+    bits = np.ascontiguousarray(bits, dtype=np.uint64)
+    per_word = spec.NT_PER_WORD_2BIT if codec == "2bit" else spec.NT_PER_WORD_B5
+    if length > bits.size * per_word:
+        raise ValueError(f"length {length} exceeds capacity {bits.size * per_word}")
+
+    # balanced word split; pad each shard to the max shard word count
+    points = [(bits.size * k) // n_shards for k in range(n_shards + 1)]
+    wmax = max((points[k + 1] - points[k] for k in range(n_shards)), default=1)
+    wmax = max(wmax, 1)
+    padded = np.zeros((n_shards, 2 * wmax), dtype=np.uint32)
+    for k in range(n_shards):
+        piece = spec.u64_to_u32_pairs(bits[points[k] : points[k + 1]]).reshape(-1)
+        padded[k, : piece.size] = piece
+    sharding = NamedSharding(mesh, P(None, mesh_lib.SEQ_AXIS, None))
+    x = jax.device_put(
+        padded.reshape(1, n_shards, 2 * wmax), sharding
+    ).reshape(n_shards, 2 * wmax)
+    out = np.asarray(_jit_shard_decode(codec, mesh)(x))  # (n_shards, wmax*nt)
+
+    pieces = []
+    for k in range(n_shards):
+        w = points[k + 1] - points[k]
+        pieces.append(out[k, : w * per_word])
+    full = np.concatenate(pieces) if pieces else np.zeros(0, np.uint8)
+    return full[:length]
+
+
+def decode_long_2bit(bits, length: int, *, mesh: Mesh | None = None) -> np.ndarray:
+    """Decode a long 2-bit word stream, words sharded over the seq axis."""
+    return _decode_long(bits, length, "2bit", mesh)
+
+
+def decode_long_b5(bits, length: int, *, mesh: Mesh | None = None) -> np.ndarray:
+    """Decode a long base-5 word stream, words sharded over the seq axis."""
+    return _decode_long(bits, length, "base5", mesh)

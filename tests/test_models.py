@@ -1,0 +1,68 @@
+"""Batch codec models: padding, config plumbing, bit-exact round trips."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cute_nucleotides_tpu.models import Base5Codec, CodecConfig, TwoBitCodec, pad_batch
+from cute_nucleotides_tpu.ops import oracle, spec
+
+
+def test_pad_batch_list():
+    batch, lengths = pad_batch([b"ACGT", b"ACGTACG"], 32)
+    assert batch.shape == (2, 32)
+    assert lengths.tolist() == [4, 7]
+    assert bytes(batch[0][:4]) == b"ACGT" and batch[0][4] == ord("A")
+
+
+def test_pad_batch_array(rng):
+    arr = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(3, 40))
+    batch, lengths = pad_batch(arr, 32)
+    assert batch.shape == (3, 64) and lengths.tolist() == [40, 40, 40]
+
+
+@pytest.mark.parametrize("variant", ["mul", "shift"])
+def test_two_bit_codec_matches_oracle(rng, variant):
+    codec = TwoBitCodec(tier="xla", encode_variant=variant)
+    reads = [b"ACGTacgtUUGG" * 5, b"A" * 7, b"ttttGGGGccccAAAA" * 3]
+    batch, lengths = codec.pad(reads)
+    words = np.asarray(codec.encode(jnp.asarray(batch)))
+    for i, r in enumerate(reads):
+        want = oracle.n_to_bits_lut(np.frombuffer(r, np.uint8))
+        got = spec.u32_pairs_to_u64(words[i])[: want.size]
+        assert np.array_equal(got, want)
+
+
+def test_two_bit_roundtrip(rng):
+    codec = TwoBitCodec(tier="xla")
+    batch = rng.choice(np.frombuffer(b"ACGTUacgtu", np.uint8), size=(4, 64))
+    back = np.asarray(codec.decode(codec.encode(jnp.asarray(batch))))
+    want = np.frombuffer(
+        batch.tobytes().upper().replace(b"U", b"T"), np.uint8
+    ).reshape(4, 64)
+    assert np.array_equal(back, want)
+
+
+def test_base5_codec_matches_oracle(rng):
+    codec = Base5Codec(tier="xla")
+    batch = rng.choice(np.frombuffer(b"ACGTUNacgtun", np.uint8), size=(4, 108))
+    words = np.asarray(codec.encode(jnp.asarray(batch)))
+    for i in range(4):
+        assert np.array_equal(
+            spec.u32_pairs_to_u64(words[i]), oracle.n_to_bits2_lut(batch[i])
+        )
+
+
+def test_base5_roundtrip(rng):
+    codec = Base5Codec(tier="xla")
+    batch = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=(2, 54))
+    back = np.asarray(codec.decode(codec.encode(jnp.asarray(batch))))
+    assert np.array_equal(back, batch)
+
+
+def test_config_resolution():
+    cfg = CodecConfig(tier="auto")
+    assert cfg.resolved_tier() in ("xla", "pallas")
+    assert TwoBitCodec(tier="xla").tier == "xla"
+    assert TwoBitCodec(CodecConfig(tier="xla"), encode_variant="shift").config.encode_variant == "shift"

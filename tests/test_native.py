@@ -1,0 +1,64 @@
+"""C++ native oracle vs the NumPy spec oracle (bit-exact, all tiers agree)."""
+
+import numpy as np
+import pytest
+
+from cute_nucleotides_tpu.ops import native, oracle
+
+ALPHABET = np.frombuffer(b"ACGTUNacgtun", dtype=np.uint8)
+
+
+def test_native_available():
+    assert native.available(), f"C++ oracle failed to build: see native.build_error"
+
+
+@pytest.mark.parametrize("n", [0, 1, 4, 26, 27, 31, 32, 33, 100, 1000, 12345])
+def test_n_to_bits_parity(rng, n):
+    s = rng.choice(ALPHABET, size=n)
+    assert np.array_equal(native.n_to_bits(s), oracle.n_to_bits_lut(s))
+
+
+@pytest.mark.parametrize("n", [0, 1, 4, 26, 27, 31, 32, 33, 100, 1000, 12345])
+def test_n_to_bits2_parity(rng, n):
+    s = rng.choice(ALPHABET, size=n)
+    assert np.array_equal(native.n_to_bits2(s), oracle.n_to_bits2_lut(s))
+
+
+@pytest.mark.parametrize("n", [1, 31, 32, 33, 1000])
+def test_bits_to_n_parity(rng, n):
+    s = rng.choice(ALPHABET, size=n)
+    bits = oracle.n_to_bits_lut(s)
+    assert np.array_equal(native.bits_to_n(bits, n), oracle.bits_to_n_lut(bits, n))
+
+
+@pytest.mark.parametrize("n", [1, 26, 27, 28, 1000])
+def test_bits_to_n2_parity(rng, n):
+    s = rng.choice(ALPHABET, size=n)
+    bits = oracle.n_to_bits2_lut(s)
+    assert np.array_equal(native.bits_to_n2(bits, n), oracle.bits_to_n2_lut(bits, n))
+
+
+def test_capacity_check():
+    with pytest.raises(ValueError):
+        native.bits_to_n(np.zeros(1, np.uint64), 33)
+    with pytest.raises(ValueError):
+        native.bits_to_n2(np.zeros(1, np.uint64), 28)
+
+
+def test_arbitrary_bytes_defined(rng):
+    # the framework defines out-of-alphabet behavior; all tiers must agree
+    s = rng.integers(0, 256, size=999, dtype=np.int64).astype(np.uint8)
+    assert np.array_equal(native.n_to_bits(s), oracle.n_to_bits_lut(s))
+    assert np.array_equal(native.n_to_bits2(s), oracle.n_to_bits2_lut(s))
+
+
+def test_find_invalid():
+    assert native.find_invalid(b"ACGTUacgtuNn") == -1
+    assert native.find_invalid(b"ACGTN", allow_n=False) == 4
+    assert native.find_invalid(b"ACGTX") == 4
+    assert native.find_invalid(b"") == -1
+
+
+def test_memcpy():
+    s = b"ACGT" * 100
+    assert bytes(native.memcpy(s)) == s

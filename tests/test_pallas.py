@@ -1,0 +1,82 @@
+"""Pallas kernel tier vs the NumPy oracle (interpret mode on CPU).
+
+The real-TPU compilation of the same kernels is exercised by bench.py and
+__graft_entry__.py; these tests pin the kernel *math* bit-exactly to the
+oracle on randomized, mixed-case, all-length inputs (SURVEY.md §4 strategy).
+"""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cute_nucleotides_tpu.ops import oracle, pallas_kernels as pk, spec
+
+ALPHABET = np.frombuffer(b"ACGTUacgtu", dtype=np.uint8)
+
+
+def _rand_seq(rng, n, alphabet=ALPHABET):
+    return rng.choice(alphabet, size=n)
+
+
+@pytest.mark.parametrize("variant", ["mul", "shift"])
+def test_encode_2bit_nt4_matches_oracle(rng, variant):
+    n = 4096 * 4  # (8, 512) panel
+    s = _rand_seq(rng, n)
+    w = jnp.asarray(s.view(np.uint32).reshape(8, 512))
+    packed = np.asarray(pk.encode_2bit_nt4(w, variant, interpret=True))
+    got = spec.u32_pairs_to_u64(
+        np.ascontiguousarray(packed.reshape(-1)).view(np.uint32)
+    )
+    assert np.array_equal(got, oracle.n_to_bits_lut(s))
+
+
+@pytest.mark.parametrize("variant", ["shuffle", "select"])
+def test_decode_2bit_nt4_matches_oracle(rng, variant):
+    n = 4096 * 4
+    s = _rand_seq(rng, n)
+    words = oracle.n_to_bits_lut(s)
+    p = spec.u64_to_u32_pairs(words).reshape(-1).view(np.uint8)
+    nt4 = np.asarray(
+        pk.decode_2bit_nt4(jnp.asarray(p.reshape(8, 512)), variant, interpret=True)
+    )
+    got = np.ascontiguousarray(nt4.reshape(-1)).view(np.uint8)
+    want = oracle.bits_to_n_lut(words, n)
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("variant", ["mul", "shift"])
+def test_encode_2bit_words_batch(rng, variant):
+    B, L = 4, 160
+    batch = _rand_seq(rng, B * L).reshape(B, L)
+    out = np.asarray(
+        pk.encode_2bit_words(jnp.asarray(batch), variant, interpret=True)
+    )
+    for b in range(B):
+        want = oracle.n_to_bits_lut(batch[b])
+        assert np.array_equal(spec.u32_pairs_to_u64(out[b]), want)
+
+
+def test_decode_2bit_bytes_roundtrip(rng):
+    B, L = 4, 320
+    batch = _rand_seq(rng, B * L).reshape(B, L)
+    words = pk.encode_2bit_words(jnp.asarray(batch), interpret=True)
+    back = np.asarray(pk.decode_2bit_bytes(words, interpret=True))
+    want = np.frombuffer(
+        bytes(batch.tobytes().upper()).replace(b"U", b"T"), dtype=np.uint8
+    ).reshape(B, L)
+    assert np.array_equal(back, want)
+
+
+def test_ragged_rows_masked(rng):
+    # R=3 rows with a cdiv grid: out-of-bounds rows must not corrupt output
+    n = 3 * 512 * 4
+    s = _rand_seq(rng, n)
+    w = jnp.asarray(s.view(np.uint32).reshape(3, 512))
+    packed = np.asarray(pk.encode_2bit_nt4(w, interpret=True))
+    got = spec.u32_pairs_to_u64(
+        np.ascontiguousarray(packed.reshape(-1)).view(np.uint32)
+    )
+    assert np.array_equal(got, oracle.n_to_bits_lut(s))

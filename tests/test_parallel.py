@@ -1,0 +1,116 @@
+"""Multi-device semantics on the virtual 8-device CPU mesh (SURVEY.md §4d):
+data-parallel sharding, all_gather merge, and bit-exact block-sharded
+long-sequence encode/decode."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cute_nucleotides_tpu.ops import oracle, spec
+from cute_nucleotides_tpu import parallel
+from cute_nucleotides_tpu.parallel import longseq, mesh as mesh_lib
+
+ALPHABET = np.frombuffer(b"ACGTUacgtu", dtype=np.uint8)
+ALPHABET_N = np.frombuffer(b"ACGTUNacgtun", dtype=np.uint8)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_shapes():
+    m = parallel.make_mesh()
+    assert m.shape[mesh_lib.DATA_AXIS] == 8 and m.shape[mesh_lib.SEQ_AXIS] == 1
+    m2 = parallel.make_mesh(seq=4)
+    assert m2.shape[mesh_lib.DATA_AXIS] == 2 and m2.shape[mesh_lib.SEQ_AXIS] == 4
+
+
+@pytest.mark.parametrize("gather", [False, True])
+def test_data_parallel_encode_matches_oracle(rng, gather):
+    B, L = 16, 96
+    batch = rng.choice(ALPHABET, size=(B, L))
+    out = np.asarray(
+        parallel.data_parallel_encode(jnp.asarray(batch), gather=gather)
+    )
+    assert out.shape == (B, L // 16)
+    for b in range(B):
+        assert np.array_equal(
+            spec.u32_pairs_to_u64(out[b]), oracle.n_to_bits_lut(batch[b])
+        )
+
+
+def test_data_parallel_decode_roundtrip(rng):
+    B, L = 8, 64
+    batch = rng.choice(ALPHABET, size=(B, L))
+    words = parallel.data_parallel_encode(jnp.asarray(batch))
+    back = np.asarray(parallel.data_parallel_decode(words))
+    want = np.frombuffer(
+        batch.tobytes().upper().replace(b"U", b"T"), dtype=np.uint8
+    ).reshape(B, L)
+    assert np.array_equal(back, want)
+
+
+def test_data_parallel_b5(rng):
+    B, L = 8, 108
+    batch = rng.choice(ALPHABET_N, size=(B, L))
+    out = np.asarray(
+        parallel.data_parallel_encode(jnp.asarray(batch), codec="base5")
+    )
+    for b in range(B):
+        assert np.array_equal(
+            spec.u32_pairs_to_u64(out[b]), oracle.n_to_bits2_lut(batch[b])
+        )
+
+
+def test_sharded_codec_object(rng):
+    sc = parallel.ShardedCodec()
+    B, L = 16, 32
+    batch = rng.choice(ALPHABET, size=(B, L))
+    x = sc.shard(batch)
+    words = sc.encode(x)
+    back = np.asarray(sc.decode(words, gather=True))
+    want = np.frombuffer(
+        batch.tobytes().upper().replace(b"U", b"T"), dtype=np.uint8
+    ).reshape(B, L)
+    assert np.array_equal(back, want)
+
+
+# --- block-sharded long-sequence mode ---------------------------------------
+
+@pytest.mark.parametrize("n", [1, 31, 32, 1000, 40000, 40001])
+def test_long_2bit_bit_exact(rng, n):
+    s = rng.choice(ALPHABET, size=n)
+    got = longseq.encode_long_2bit(s)
+    assert np.array_equal(got, oracle.n_to_bits_lut(s))
+
+
+@pytest.mark.parametrize("n", [1, 26, 27, 1000, 40000, 40013])
+def test_long_b5_bit_exact(rng, n):
+    s = rng.choice(ALPHABET_N, size=n)
+    got = longseq.encode_long_b5(s)
+    assert np.array_equal(got, oracle.n_to_bits2_lut(s))
+
+
+def test_long_decode_roundtrip(rng):
+    n = 12345
+    s = rng.choice(ALPHABET, size=n)
+    bits = oracle.n_to_bits_lut(s)
+    got = longseq.decode_long_2bit(bits, n)
+    want = oracle.bits_to_n_lut(bits, n)
+    assert np.array_equal(got, want)
+
+    s5 = rng.choice(ALPHABET_N, size=n)
+    bits5 = oracle.n_to_bits2_lut(s5)
+    assert np.array_equal(
+        longseq.decode_long_b5(bits5, n), oracle.bits_to_n2_lut(bits5, n)
+    )
+
+
+def test_shard_points_alignment():
+    pts = longseq.shard_points_2bit(40000, 8)
+    assert pts[0] == 0 and pts[-1] == 40000
+    assert all(p % 32 == 0 for p in pts[1:-1])
+    pts5 = longseq.shard_points_b5(40000, 8)
+    assert all(p % 27 == 0 for p in pts5[1:-1])
