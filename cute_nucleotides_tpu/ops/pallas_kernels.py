@@ -56,13 +56,17 @@ from . import spec, xla
 #: per row = 2048 nt
 PANEL_LANES = 512
 
-#: VMEM budget per pallas_call (bytes); input tile + output tile must fit
-#: with double-buffering headroom.
-VMEM_BUDGET = 8 * 1024 * 1024
+#: VMEM budget per buffered copy of (input tile + output tile); Mosaic
+#: double-buffers both across grid steps, and the core has ~16 MiB of VMEM,
+#: so keep one copy well under half of that.
+VMEM_BUDGET = 3 * 1024 * 1024
 
 
 def _row_block(lanes: int, bytes_per_lane: int, rows: int) -> int:
-    """Pick a row-block size: multiple of 8, within VMEM budget."""
+    """Pick a row-block size: multiple of 8, within VMEM budget.
+
+    ``bytes_per_lane`` counts input + output bytes per lane-column.
+    """
     max_rows = max(VMEM_BUDGET // max(lanes * bytes_per_lane, 1), 8)
     rb = 1 << (max_rows.bit_length() - 1)
     rb = min(rb, 1024)

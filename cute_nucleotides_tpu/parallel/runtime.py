@@ -1,0 +1,137 @@
+"""Multi-host distributed runtime: pod initialization + streaming pipeline.
+
+The reference is a single-threaded, in-process library; the TPU-native build
+promotes it to a pod-scale service (SURVEY.md §2.3):
+
+* :func:`initialize` wraps ``jax.distributed.initialize`` (no-op on a single
+  host) and reports the host topology.
+* :class:`StreamingEncoder` is the full production loop: host-sharded record
+  stream -> fixed-shape padded batches -> data-parallel sharded encode on the
+  local mesh -> (optional) all_gather merge -> sink callback, with
+  per-batch metrics and a resumable stream-position manifest.  Because the
+  codec is stateless, failure recovery is re-dispatching batches from the
+  manifest position — there is no model state to restore.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterable
+
+import jax
+import numpy as np
+
+from ..models import CodecConfig
+from ..utils import checkpoint as ckpt_lib
+from ..utils import io as io_lib
+from ..utils import metrics as metrics_lib
+from . import data_parallel, mesh as mesh_lib
+
+
+def initialize(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> dict:
+    """Initialize the multi-host runtime; safe no-op for a single process.
+
+    On a real pod, call with the coordinator address (or rely on the TPU
+    environment's auto-detection) before any JAX computation.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+    }
+
+
+@dataclasses.dataclass
+class StreamConfig:
+    batch_size: int = 1024
+    max_len: int = 2048
+    codec: str = "2bit"
+    tier: str = "xla"
+    variant: str = "mul"
+    gather: bool = False
+    manifest_path: str | None = None
+    log_every: int = 0
+    allow_truncate: bool = False
+
+
+class StreamingEncoder:
+    """Pod-wide streaming encode pipeline over per-host record streams."""
+
+    def __init__(self, config: StreamConfig | None = None, **overrides):
+        if config is None:
+            config = StreamConfig(**overrides)
+        elif overrides:
+            config = dataclasses.replace(config, **overrides)
+        self.config = config
+        self.host_id = jax.process_index()
+        self.num_hosts = jax.process_count()
+        self.mesh = mesh_lib.default_mesh()
+        self.sharded = data_parallel.ShardedCodec(
+            config.codec,
+            mesh=self.mesh,
+            variant=config.variant,
+            tier=config.tier,
+        )
+        block = 32 if config.codec == "2bit" else 27
+        self.block = block
+        self.logger = metrics_lib.ThroughputLogger(
+            name=f"stream-encode-h{self.host_id}", log_every=config.log_every
+        )
+        self.manifest = (
+            ckpt_lib.Manifest(config.manifest_path)
+            if config.manifest_path
+            else None
+        )
+
+    def run(
+        self,
+        records: Iterable[io_lib.Record],
+        sink: Callable[[np.ndarray, io_lib.Batch], None] | None = None,
+    ) -> dict:
+        """Consume this host's shard of ``records``; return aggregate metrics.
+
+        ``sink(packed_words, batch)`` receives each encoded batch (host
+        NumPy u32 words and the batch metadata including true lengths).
+        Resumes from the manifest position when one is configured.
+        """
+        cfg = self.config
+        skip = self.manifest.batches_done(self.host_id) if self.manifest else 0
+        sharded_records = io_lib.shard_records(
+            records, self.host_id, self.num_hosts
+        )
+        stream = io_lib.BatchStream(
+            sharded_records,
+            cfg.batch_size,
+            cfg.max_len,
+            block=self.block,
+            truncate=cfg.allow_truncate,
+            skip=skip,
+        )
+        self.logger.start()
+        for batch in stream:
+            x = self.sharded.shard(batch.reads)
+            words = self.sharded.encode(x, gather=cfg.gather)
+            words_np = np.asarray(words)
+            if sink is not None:
+                sink(words_np, batch)
+            self.logger.batch_done(
+                nt=int(batch.lengths.sum()), reads=batch.count
+            )
+            if self.manifest:
+                self.manifest.advance(self.host_id, 1, batch.count)
+                self.manifest.save()
+        agg = self.logger.aggregate()
+        agg["host_id"] = self.host_id
+        agg["num_hosts"] = self.num_hosts
+        return agg

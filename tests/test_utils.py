@@ -1,0 +1,167 @@
+"""Streaming IO, checkpoint manifest, metrics, validation pass, runtime."""
+
+import gzip
+import io as pyio
+import json
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cute_nucleotides_tpu.ops import oracle, spec, validate
+from cute_nucleotides_tpu.parallel import runtime
+from cute_nucleotides_tpu.utils import checkpoint, io, metrics, profiling
+
+
+# --- readers ----------------------------------------------------------------
+
+def test_fasta_reader():
+    data = b">r1 desc\nACGT\nACGT\n>r2\nTTTT\n"
+    recs = list(io.read_fasta(pyio.BytesIO(data)))
+    assert [r.name for r in recs] == [b"r1 desc", b"r2"]
+    assert [r.seq for r in recs] == [b"ACGTACGT", b"TTTT"]
+
+
+def test_fastq_reader():
+    data = b"@r1\nACGT\n+\n!!!!\n@r2\nGGGG\n+\nIIII\n"
+    recs = list(io.read_fastq(pyio.BytesIO(data)))
+    assert [r.seq for r in recs] == [b"ACGT", b"GGGG"]
+
+
+def test_fastq_malformed():
+    with pytest.raises(ValueError):
+        list(io.read_fastq(pyio.BytesIO(b"ACGT\nACGT\n+\n!!!!\n")))
+
+
+def test_open_reads_gz(tmp_path):
+    p = tmp_path / "reads.fa.gz"
+    with gzip.open(p, "wb") as f:
+        f.write(b">a\nACGT\n")
+    recs = list(io.open_reads(p))
+    assert recs[0].seq == b"ACGT"
+
+
+def test_shard_records():
+    recs = [io.Record(str(i).encode(), b"A") for i in range(10)]
+    got = list(io.shard_records(recs, host_id=1, num_hosts=3))
+    assert [i for i, _ in got] == [1, 4, 7]
+
+
+# --- batch stream -----------------------------------------------------------
+
+def test_batch_stream_shapes_and_padding():
+    recs = [io.Record(b"", b"ACGT" * k) for k in (1, 3, 9, 2, 5)]
+    batches = list(io.BatchStream(recs, batch_size=2, max_len=40, block=32))
+    assert len(batches) == 3
+    assert all(b.reads.shape == (2, 64) for b in batches)  # 40 -> 64 (block)
+    assert batches[0].lengths.tolist() == [4, 12]
+    assert batches[-1].count == 1
+    assert batches[-1].indices.tolist() == [-1, -1]  # plain records: no ids
+    assert bytes(batches[0].reads[0][:8]) == b"ACGTAAAA"
+
+
+def test_batch_stream_skip_resume():
+    recs = [io.Record(b"", b"ACGT")] * 6
+    all_b = list(io.BatchStream(recs, batch_size=2, max_len=32))
+    resumed = list(io.BatchStream(recs, batch_size=2, max_len=32, skip=2))
+    assert len(all_b) == 3 and len(resumed) == 1
+
+
+def test_batch_stream_too_long():
+    recs = [io.Record(b"", b"A" * 100)]
+    with pytest.raises(ValueError):
+        list(io.BatchStream(recs, batch_size=1, max_len=32))
+    b = next(iter(io.BatchStream(recs, batch_size=1, max_len=32, truncate=True)))
+    assert b.lengths[0] == 32
+
+
+# --- checkpoint manifest ----------------------------------------------------
+
+def test_manifest_roundtrip(tmp_path):
+    p = tmp_path / "manifest.json"
+    m = checkpoint.Manifest(p)
+    m.advance(0, batches=3, records=100)
+    m.advance(1, batches=2, records=64)
+    m.save()
+    m2 = checkpoint.Manifest(p)
+    assert m2.batches_done(0) == 3 and m2.records_done(1) == 64
+    assert m2.batches_done(9) == 0
+
+
+# --- metrics ----------------------------------------------------------------
+
+def test_throughput_logger():
+    buf = pyio.StringIO()
+    log = metrics.ThroughputLogger(name="t", stream=buf, log_every=1)
+    log.start()
+    log.batch_done(nt=1000, reads=10)
+    log.batch_done(nt=2000, reads=20)
+    agg = log.aggregate()
+    assert agg["total_nt"] == 3000 and agg["total_reads"] == 30
+    lines = [json.loads(l) for l in buf.getvalue().splitlines()]
+    assert len(lines) == 2 and lines[0]["event"] == "batch"
+    assert metrics.scaling_efficiency(10.0, 4, 40.0) == 1.0
+
+
+def test_roofline():
+    r = profiling.encode_2bit_roofline(1 << 30)
+    assert r.total == (1 << 30) + (1 << 28)
+    assert 0 < r.speed_of_light_s(763.0) < 1
+
+
+# --- device-side validation -------------------------------------------------
+
+def test_validate_mask():
+    x = jnp.asarray(np.frombuffer(b"ACGTUacgtuNnX", np.uint8))
+    m = np.asarray(validate.valid_mask(x))
+    assert m[:10].all() and not m[10] and not m[11] and not m[12]
+    mn = np.asarray(validate.valid_mask(x, allow_n=True))
+    assert mn[:12].all() and not mn[12]
+
+
+def test_validate_first_invalid():
+    x = jnp.asarray(np.frombuffer(b"ACGTXACGT", np.uint8))
+    assert int(validate.jit_first_invalid()(x)) == 4
+    ok = jnp.asarray(np.frombuffer(b"ACGT", np.uint8))
+    assert int(validate.jit_first_invalid()(ok)) == -1
+    batch = jnp.asarray(
+        np.frombuffer(b"ACGTNNNNXAAA", np.uint8).reshape(3, 4)
+    )
+    got = np.asarray(validate.jit_first_invalid(allow_n=True)(batch))
+    assert got.tolist() == [-1, -1, 0]
+    assert int(validate.jit_count_invalid()(jnp.asarray(np.frombuffer(b"NXNA", np.uint8)))) == 3
+
+
+# --- streaming runtime ------------------------------------------------------
+
+def test_streaming_encoder_end_to_end(tmp_path):
+    info = runtime.initialize()
+    assert info["process_count"] == 1
+
+    reads = [b"ACGTACGTacgtacgtUUUU", b"GGGGCCCC", b"ACGT" * 40]
+    records = [io.Record(str(i).encode(), s) for i, s in enumerate(reads)]
+
+    outputs = []
+    enc = runtime.StreamingEncoder(
+        batch_size=8,
+        max_len=192,
+        manifest_path=str(tmp_path / "m.json"),
+    )
+    agg = enc.run(records, sink=lambda w, b: outputs.append((w, b)))
+    assert agg["total_reads"] == 3
+    assert agg["total_nt"] == sum(len(r) for r in reads)
+    (words, batch), = outputs
+    for i, r in enumerate(reads):
+        want = oracle.n_to_bits_lut(np.frombuffer(r, np.uint8))
+        got = spec.u32_pairs_to_u64(words[i])[: want.size]
+        assert np.array_equal(got, want)
+
+    # resume: manifest records 1 batch done -> re-run consumes nothing
+    enc2 = runtime.StreamingEncoder(
+        batch_size=8,
+        max_len=192,
+        manifest_path=str(tmp_path / "m.json"),
+    )
+    agg2 = enc2.run(records, sink=lambda w, b: outputs.append((w, b)))
+    assert agg2["batches"] == 0 and len(outputs) == 1
