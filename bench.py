@@ -104,6 +104,23 @@ def main() -> int:
     run("decode_2bit_xla_shuffle", dec_xla, (words_xla,), nt_bytes)
 
     # --- base-5 codec ------------------------------------------------------
+    rows_b5 = (ROWS * NT_PER_ROW_B5) // pk.B5_ROW_NT
+    x_b5_panels = jnp.asarray(
+        np.asarray(x_b5).reshape(-1)[: rows_b5 * pk.B5_ROW_NT].reshape(
+            rows_b5, pk.B5_ROW_NT
+        )
+    )
+    nt_b5_panels = rows_b5 * pk.B5_ROW_NT
+    enc_b5_pl = jax.jit(pk.encode_b5_panels)
+    run("encode_b5_pallas", enc_b5_pl, (x_b5_panels,), nt_b5_panels)
+    w_b5 = enc_b5_pl(x_b5_panels)
+    np.asarray(w_b5.ravel()[:8])
+    wn = np.asarray(w_b5)
+    lo = jnp.asarray(np.ascontiguousarray(wn.reshape(-1, 2)[:, 0]).reshape(rows_b5, 128))
+    hi = jnp.asarray(np.ascontiguousarray(wn.reshape(-1, 2)[:, 1]).reshape(rows_b5, 128))
+    dec_b5_pl = jax.jit(pk.decode_b5_panels)
+    run("decode_b5_pallas", dec_b5_pl, (lo, hi), nt_b5_panels)
+
     enc_b5 = jax.jit(xla.encode_b5_words)
     run("encode_b5_xla", enc_b5, (x_b5,), nt_bytes_b5)
     words_b5 = enc_b5(x_b5)

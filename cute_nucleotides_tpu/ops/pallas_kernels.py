@@ -247,27 +247,332 @@ def decode_2bit(variant: str = "shuffle"):
     return functools.partial(decode_2bit_bytes, variant=variant)
 
 
+
+
 # ---------------------------------------------------------------------------
-# Base-5 codec (Pallas tier)
+# Base-5 Pallas kernels: MXU as the bit-scatter engine
 # ---------------------------------------------------------------------------
-# The 27-byte/63-bit stride has no identity lane map.  The Pallas design (MXU
-# as bit-scatter engine) is staged for a follow-up milestone; until it lands,
-# the "pallas" tier for base-5 delegates to the fused XLA whole-array kernels,
-# which are bit-exact and already single-pass-fused by XLA.
+# No identity lane map exists for the 27-nt/63-bit stride (27 input bytes ->
+# 8 output bytes).  Instead every 16-bit half of an output word is an *exact*
+# linear combination of small lane-local "pieces" of the nine triplet values:
+#
+#   word bits: t0@0 t1@7 t2@14 t3@21 t4@28 t5@35 t6@42 t7@49 t8@56
+#   h0 = U0 + U1*2^7 + U2*2^14     h1 = V2 + U3*2^5 + U4*2^12
+#   h2 = V4 + U5*2^3 + U6*2^10     h3 = V6 + U7*2   + U8*2^8
+#   with U_j = t_j & mask_j (mask 3/15/63 for j=2/4/6 else 127),
+#        V_j = t_j >> shift_j (shift 2/4/6 for j=2/4/6 else 7, so V_j=0).
+#
+# All pieces are < 2^16 and all coefficients are powers of two, so bf16-input
+# matmuls with f32 accumulation are bit-exact, and one constant matmul does
+# the entire 7-bit packing that pext does in the reference
+# (reference src/n_to_bits2.rs:169-171).  The triplet values themselves come
+# from a second constant matmul (digit, 5*digit, 25*digit -> t, the maddubs
+# analogue of reference src/n_to_bits2.rs:160-165).
+#
+# Layout: one kernel row covers 3456 nt = 128 words (lcm(27,128)); the kernel
+# loops over eight 432-nt slices, each a 16-word group, and assembles the
+# 256-u32-lane output row in VMEM.  t values use a padded "16 lanes per word"
+# layout so every matmul block is lane-aligned.
+
+B5_ROW_NT = 3456          # nt per kernel row = 128 words
+B5_ROW_WORDS = 128
+B5_ROW_U32 = 256          # output u32 lanes per row
+B5_SLICES = 8             # 432-nt slices per row
+B5_SLICE_NT = 432         # 16 words
+B5_SLICE_WORDS = 16
+B5_TPAD = 16              # t-lanes per word (9 used, padded to 16)
+
+_B5_U_COEF = {0: 1 << 0, 1: 1 << 7, 2: 1 << 14, 3: 1 << 5, 4: 1 << 12,
+              5: 1 << 3, 6: 1 << 10, 7: 1 << 1, 8: 1 << 8}
+_B5_U_HALF = {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 3, 8: 3}
+_B5_V_HALF = {2: 1, 4: 2, 6: 3}  # V_j coefficient is always 1
+
+
+@functools.lru_cache(maxsize=None)
+def _b5_enc_mats():
+    """Constant matrices for the base-5 encode kernel (numpy, bf16-exact)."""
+    # M1: digits (432,) -> t16 (256,): M1[27w + 3j + k, 16w + j] = 5^k
+    m1 = np.zeros((B5_SLICE_NT, B5_SLICE_WORDS * B5_TPAD), np.float32)
+    for w in range(B5_SLICE_WORDS):
+        for j in range(9):
+            for k in range(3):
+                m1[27 * w + 3 * j + k, B5_TPAD * w + j] = (1, 5, 25)[k]
+    # MB: pieces (256,) -> halves.  he lane 2w+i = h_{2i}(w); ho = h_{2i+1}.
+    mu_he = np.zeros((256, 32), np.float32)
+    mv_he = np.zeros((256, 32), np.float32)
+    mu_ho = np.zeros((256, 32), np.float32)
+    mv_ho = np.zeros((256, 32), np.float32)
+    for w in range(B5_SLICE_WORDS):
+        for j in range(9):
+            row = B5_TPAD * w + j
+            h = _B5_U_HALF[j]
+            col = 2 * w + (h // 2)
+            (mu_he if h % 2 == 0 else mu_ho)[row, col] = _B5_U_COEF[j]
+            if j in _B5_V_HALF:
+                h = _B5_V_HALF[j]
+                col = 2 * w + (h // 2)
+                (mv_he if h % 2 == 0 else mv_ho)[row, col] = 1.0
+    # return numpy (ml_dtypes) arrays: jnp constants must not be created
+    # inside a cached function, or a traced constant could leak across traces
+    return tuple(
+        np.asarray(m, dtype=jnp.bfloat16)
+        for m in (m1, mu_he, mv_he, mu_ho, mv_ho)
+    )
+
+
+def _b5_piece_masks(shape):
+    """Per-lane (period-16) mask and shift vectors for piece extraction."""
+    j16 = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1) & 15
+    mask = jnp.where(
+        j16 == 2, 3, jnp.where(j16 == 4, 15, jnp.where(j16 == 6, 63, 127))
+    )
+    shift = jnp.where(
+        j16 == 2, 2, jnp.where(j16 == 4, 4, jnp.where(j16 == 6, 6, 7))
+    )
+    return mask, shift
+
+
+def _encode_b5_kernel(x_ref, m1_ref, mue_ref, mve_ref, muo_ref, mvo_ref, o_ref):
+    x = x_ref[:].astype(jnp.int32)
+    idx = x & 7
+    digits = (jnp.int32(spec.DIGIT_LUT8_U32) >> (idx << 2)) & 0xF
+    d = digits.astype(jnp.bfloat16)
+    rb = d.shape[0]
+    mask, shift = _b5_piece_masks((rb, B5_SLICE_WORDS * B5_TPAD))
+    for g in range(B5_SLICES):
+        d_g = jax.lax.slice(
+            d, (0, B5_SLICE_NT * g), (rb, B5_SLICE_NT * (g + 1))
+        )
+        t = jnp.dot(
+            d_g, m1_ref[:], preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
+        u = (t & mask).astype(jnp.bfloat16)
+        v = (t >> shift).astype(jnp.bfloat16)
+        he = (
+            jnp.dot(u, mue_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(v, mve_ref[:], preferred_element_type=jnp.float32)
+        ).astype(jnp.int32).astype(jnp.uint32)
+        ho = (
+            jnp.dot(u, muo_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(v, mvo_ref[:], preferred_element_type=jnp.float32)
+        ).astype(jnp.int32).astype(jnp.uint32)
+        o_ref[:, 32 * g : 32 * (g + 1)] = he | (ho << 16)
+
+
+def encode_b5_panels(x: jax.Array, *, interpret: bool = False) -> jax.Array:
+    """Encode u8[R, 3456] nt panels -> packed u32[R, 256] (row-major stream).
+
+    Bit-exact to the reference's base-5 layout (src/n_to_bits2.rs:44-53);
+    each row's 256 u32 lanes are the little-endian halves of its 128 words.
+    """
+    if x.dtype != jnp.uint8 or x.ndim != 2 or x.shape[1] != B5_ROW_NT:
+        raise TypeError(f"expected u8[R, {B5_ROW_NT}], got {x.dtype}{x.shape}")
+    R = x.shape[0]
+    rb = min(256, max(8, R))
+    mats = _b5_enc_mats()
+    mat_specs = [
+        pl.BlockSpec(m.shape, lambda i: (0,) * m.ndim, memory_space=pltpu.VMEM)
+        for m in mats
+    ]
+    return pl.pallas_call(
+        _encode_b5_kernel,
+        grid=(_cdiv(R, rb),),
+        in_specs=[
+            pl.BlockSpec((rb, B5_ROW_NT), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *mat_specs,
+        ],
+        out_specs=pl.BlockSpec((rb, B5_ROW_U32), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, B5_ROW_U32), jnp.uint32),
+        interpret=interpret,
+    )(x, *mats)
+
+
+def encode_b5_words_pallas(x: jax.Array, *, interpret: bool = False) -> jax.Array:
+    """Drop-in Pallas analogue of :func:`..ops.xla.encode_b5_words`:
+    u8[..., L] -> u32[..., 2*(L//27)], L % 27 == 0.
+
+    Rows are independent streams, but because L % 27 == 0 their word
+    boundaries survive flattening, so the whole batch is encoded as one
+    padded panel stream and re-split.
+    """
+    L = x.shape[-1]
+    if L % spec.NT_PER_WORD_B5:
+        raise ValueError(f"last dim {L} not a multiple of 27")
+    lead = x.shape[:-1]
+    n = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    total = n * L
+    rows = _cdiv(max(total, 1), B5_ROW_NT)
+    flat = x.reshape(-1)
+    pad = rows * B5_ROW_NT - total
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.uint8)])
+    out = encode_b5_panels(flat.reshape(rows, B5_ROW_NT), interpret=interpret)
+    words = out.reshape(-1)[: n * (2 * (L // 27))]
+    return words.reshape(*lead, 2 * (L // 27))
+
+
+# --- base-5 decode -----------------------------------------------------------
+# Inverse pipeline: planar (lo, hi) u32 word-half planes -> 16-bit halves ->
+# MXU expansion to the padded t16 layout -> per-lane bit splicing + Lemire
+# multiply-shift div/mod (reference src/n_to_bits2.rs:241-247) -> three char
+# planes -> one 0/1 matmul scatters chars to their 27-per-word positions
+# (the inverse of the encode's bit-scatter matmul).
+
+#: bit offset of triplet j inside its 16-bit half: 7j - 16*a(j)
+_B5_TRIP_SHIFT = {j: 7 * j - 16 * ((7 * j) // 16) for j in range(9)}
+_B5_TRIP_HALF = {j: (7 * j) // 16 for j in range(9)}  # a(j)
+
+
+@functools.lru_cache(maxsize=None)
+def _b5_dec_mats():
+    """Constant matrices for the base-5 decode kernel."""
+    # PA/PB: byte-split halves (128,) -> t16 lanes (256,).  Matmul inputs are
+    # rounded to bf16 by the MXU, so 16-bit half values are fed as exact
+    # low/high bytes (lanes [0,64) = h_a & 0xFF at 16a + w; lanes [64,128) =
+    # h_a >> 8) with the 256x weight folded into the matrix.
+    pa = np.zeros((128, B5_SLICE_WORDS * B5_TPAD), np.float32)
+    pb = np.zeros((128, B5_SLICE_WORDS * B5_TPAD), np.float32)
+    for w in range(B5_SLICE_WORDS):
+        for j in range(9):
+            a = _B5_TRIP_HALF[j]
+            pa[16 * a + w, B5_TPAD * w + j] = 1.0
+            pa[64 + 16 * a + w, B5_TPAD * w + j] = 256.0
+            if _B5_TRIP_SHIFT[j] > 9:  # spills into the next half
+                pb[16 * (a + 1) + w, B5_TPAD * w + j] = 1.0
+                pb[64 + 16 * (a + 1) + w, B5_TPAD * w + j] = 256.0
+    # G_k: chars (256,) at t16 lanes -> nt (432,): G_k[16w+j, 27w+3j+k] = 1
+    gs = np.zeros((3, B5_SLICE_WORDS * B5_TPAD, B5_SLICE_NT), np.float32)
+    for w in range(B5_SLICE_WORDS):
+        for j in range(9):
+            for k in range(3):
+                gs[k, B5_TPAD * w + j, 27 * w + 3 * j + k] = 1.0
+    return tuple(
+        np.asarray(m, dtype=jnp.bfloat16) for m in (pa, pb, gs[0], gs[1], gs[2])
+    )
+
+
+def _b5_trip_shift_vec(shape):
+    """Per-lane (period-16) triplet bit-offset vector s_j."""
+    j16 = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1) & 15
+    s = jnp.zeros(shape, jnp.int32)
+    for j, sj in _B5_TRIP_SHIFT.items():
+        s = jnp.where(j16 == j, sj, s)
+    return s
+
+
+def _digits_to_chars(d: jax.Array) -> jax.Array:
+    """Digit 0..4 (i32) -> ASCII char, matching reference src/n_to_bits2.rs:25-33."""
+    lut = jnp.int32(spec.BITS_TO_CHAR_2BIT_U32)
+    return jnp.where(
+        d == 4, jnp.int32(ord("N")), (lut >> (jnp.minimum(d, 3) << 3)) & 0xFF
+    )
+
+
+def _decode_b5_kernel(lo_ref, hi_ref, pa_ref, pb_ref, g0_ref, g1_ref, g2_ref, o_ref):
+    lo = lo_ref[:]
+    hi = hi_ref[:]
+    rb = lo.shape[0]
+    tshape = (rb, B5_SLICE_WORDS * B5_TPAD)
+    svec = _b5_trip_shift_vec(tshape)
+    m16 = jnp.uint32(0xFFFF)
+    for g in range(B5_SLICES):
+        lo_g = jax.lax.slice(lo, (0, 16 * g), (rb, 16 * (g + 1)))
+        hi_g = jax.lax.slice(hi, (0, 16 * g), (rb, 16 * (g + 1)))
+        h = [lo_g & m16, lo_g >> 16, hi_g & m16, hi_g >> 16]
+        m8 = jnp.uint32(0xFF)
+        halves = jnp.concatenate(
+            [x & m8 for x in h] + [x >> 8 for x in h], axis=1
+        ).astype(jnp.int32).astype(jnp.bfloat16)  # (rb, 128) exact bytes
+        a = jnp.dot(halves, pa_ref[:], preferred_element_type=jnp.float32)
+        b = jnp.dot(halves, pb_ref[:], preferred_element_type=jnp.float32)
+        ai = a.astype(jnp.int32)
+        bi = b.astype(jnp.int32)
+        t = ((ai >> svec) | (bi << (16 - svec))) & 0x7F
+        # exact multiply-shift division on the 7-bit domain
+        q5 = (t * 205) >> 10
+        q25 = (t * 41) >> 10
+        ch0 = _digits_to_chars(t - 5 * q5).astype(jnp.bfloat16)
+        ch1 = _digits_to_chars(q5 - 5 * q25).astype(jnp.bfloat16)
+        ch2 = _digits_to_chars(q25).astype(jnp.bfloat16)
+        out_g = (
+            jnp.dot(ch0, g0_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(ch1, g1_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(ch2, g2_ref[:], preferred_element_type=jnp.float32)
+        )
+        o_ref[:, B5_SLICE_NT * g : B5_SLICE_NT * (g + 1)] = out_g.astype(jnp.int32).astype(jnp.uint8)
+
+
+def decode_b5_panels(lo: jax.Array, hi: jax.Array, *, interpret: bool = False) -> jax.Array:
+    """Decode planar u32[R, 128] word-half planes -> u8[R, 3456] nt panels."""
+    if lo.shape != hi.shape or lo.ndim != 2 or lo.shape[1] != B5_ROW_WORDS:
+        raise TypeError(f"expected u32[R, {B5_ROW_WORDS}] planes, got {lo.shape}/{hi.shape}")
+    R = lo.shape[0]
+    rb = min(256, max(8, R))
+    mats = _b5_dec_mats()
+    mat_specs = [
+        pl.BlockSpec(m.shape, lambda i: (0,) * m.ndim, memory_space=pltpu.VMEM)
+        for m in mats
+    ]
+    return pl.pallas_call(
+        _decode_b5_kernel,
+        grid=(_cdiv(R, rb),),
+        in_specs=[
+            pl.BlockSpec((rb, B5_ROW_WORDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, B5_ROW_WORDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *mat_specs,
+        ],
+        out_specs=pl.BlockSpec((rb, B5_ROW_NT), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, B5_ROW_NT), jnp.uint8),
+        interpret=interpret,
+    )(lo, hi, *mats)
+
+
+def decode_b5_bytes_pallas(words: jax.Array, *, interpret: bool = False) -> jax.Array:
+    """Drop-in Pallas analogue of :func:`..ops.xla.decode_b5_bytes`:
+    u32[..., 2*W] -> u8[..., 27*W].
+
+    The interleaved (lo, hi) u32 stream is planarized by one XLA pre-pass
+    over the packed side (0.3x the nt bytes), then decoded panel-wise.
+    """
+    if words.shape[-1] % 2:
+        raise ValueError("base-5 packed stream must have even u32 count")
+    lead = words.shape[:-1]
+    W = words.shape[-1] // 2
+    n = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    pairs = words.reshape(-1, 2)
+    lo, hi = pairs[:, 0], pairs[:, 1]
+    rows = _cdiv(max(n * W, 1), B5_ROW_WORDS)
+    pad = rows * B5_ROW_WORDS - n * W
+    if pad:
+        z = jnp.zeros(pad, jnp.uint32)
+        lo = jnp.concatenate([lo, z])
+        hi = jnp.concatenate([hi, z])
+    out = decode_b5_panels(
+        lo.reshape(rows, B5_ROW_WORDS),
+        hi.reshape(rows, B5_ROW_WORDS),
+        interpret=interpret,
+    )
+    return out.reshape(-1)[: n * 27 * W].reshape(*lead, 27 * W)
+
+
+# ---------------------------------------------------------------------------
+# Base-5 codec (Pallas tier) — registry hooks
+# ---------------------------------------------------------------------------
 
 def encode_b5():
-    return xla.encode_b5_words
+    """Traceable base-5 encode fn (for shard_map composition)."""
+    return encode_b5_words_pallas
 
 
 def decode_b5():
-    return xla.decode_b5_bytes
+    return decode_b5_bytes_pallas
 
 
 @functools.lru_cache(maxsize=None)
 def jit_encode_b5():
-    return jax.jit(xla.encode_b5_words)
+    return jax.jit(encode_b5_words_pallas)
 
 
 @functools.lru_cache(maxsize=None)
 def jit_decode_b5():
-    return jax.jit(xla.decode_b5_bytes)
+    return jax.jit(decode_b5_bytes_pallas)

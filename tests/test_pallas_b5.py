@@ -1,0 +1,72 @@
+"""Base-5 Pallas kernels (MXU bit-scatter) vs the NumPy oracle, interpret mode.
+
+The kernels compute every 16-bit half of an output word as an exact
+bf16-input/f32-accumulate linear combination of lane-local triplet pieces
+(see ops/pallas_kernels.py); these tests pin that construction bit-exactly to
+the oracle (reference layout src/n_to_bits2.rs:44-53) across panel-boundary,
+mixed-case, full-alphabet, and arbitrary-byte inputs.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cute_nucleotides_tpu.ops import oracle, pallas_kernels as pk, spec
+
+ALPHABET = np.frombuffer(b"ACGTUNacgtun", dtype=np.uint8)
+
+
+@pytest.mark.parametrize(
+    "n", [27, 108, 3456, 3456 + 27, 2 * 3456 + 27 * 11]
+)
+def test_encode_b5_matches_oracle(rng, n):
+    s = rng.choice(ALPHABET, size=n)
+    got = np.asarray(pk.encode_b5_words_pallas(jnp.asarray(s), interpret=True))
+    assert np.array_equal(spec.u32_pairs_to_u64(got), oracle.n_to_bits2_lut(s))
+
+
+def test_encode_b5_batch(rng):
+    b = rng.choice(ALPHABET, size=(5, 135))
+    got = np.asarray(pk.encode_b5_words_pallas(jnp.asarray(b), interpret=True))
+    for i in range(5):
+        assert np.array_equal(
+            spec.u32_pairs_to_u64(got[i]), oracle.n_to_bits2_lut(b[i])
+        )
+
+
+def test_encode_b5_arbitrary_bytes(rng):
+    # defined out-of-alphabet behavior: all tiers agree (spec.py contract)
+    s = rng.integers(0, 256, size=27 * 40, dtype=np.int64).astype(np.uint8)
+    got = np.asarray(pk.encode_b5_words_pallas(jnp.asarray(s), interpret=True))
+    assert np.array_equal(spec.u32_pairs_to_u64(got), oracle.n_to_bits2_lut(s))
+
+
+@pytest.mark.parametrize("n", [27, 3456, 3456 + 27 * 9])
+def test_decode_b5_matches_oracle(rng, n):
+    s = rng.choice(ALPHABET, size=n)
+    words = oracle.n_to_bits2_lut(s)
+    w32 = jnp.asarray(spec.u64_to_u32_pairs(words).reshape(-1))
+    got = np.asarray(pk.decode_b5_bytes_pallas(w32, interpret=True))
+    assert np.array_equal(got[:n], oracle.bits_to_n2_lut(words, n))
+
+
+def test_b5_roundtrip_batch(rng):
+    b = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=(4, 216))
+    w = pk.encode_b5_words_pallas(jnp.asarray(b), interpret=True)
+    back = np.asarray(pk.decode_b5_bytes_pallas(w, interpret=True))
+    assert np.array_equal(back, b)
+
+
+def test_b5_golden_vector():
+    # reference src/n_to_bits2.rs:275-279 (35 nt -> two words)
+    s = np.frombuffer(b"ATCGN" * 7, np.uint8)
+    got = spec.u32_pairs_to_u64(
+        np.asarray(pk.encode_b5_words_pallas(jnp.asarray(np.concatenate(
+            [s, np.full(54 - 35, ord("A"), np.uint8)])), interpret=True))
+    )[:2]
+    # padding to a word multiple must not change the first two words' bits
+    want = oracle.n_to_bits2_lut(s)
+    assert got[0] == want[0]
+    # second word: 35-nt tail has missing digits as 0 == 'A' padding
+    assert got[1] == want[1]
