@@ -8,11 +8,13 @@ call), an on-device memcpy is the baseline, and the denominator is ASCII
 nucleotide bytes — the same convention as the reference's
 ``group.throughput(Bytes(40000))``.
 
-Timing methodology: the execution stream is asynchronous end-to-end (and on
-relayed/tunneled TPU backends ``block_until_ready`` can ack before hardware
-completion), so each measurement enqueues ``iters`` dependent-free calls and
-forces a tiny device->host readback of the last result; the stream executes
-in order, so total wall time covers all real executions.  Best of ``trials``.
+Timing methodology: the execution stream is asynchronous end-to-end, and on
+relayed/tunneled TPU backends neither ``block_until_ready`` nor a readback of
+an *independent* result reliably covers queued work.  Each measurement
+therefore runs a **dependent chain**: every step consumes the previous step's
+output (the op input is donated and returned aliased, so no extra traffic),
+and one tiny readback of the final link forces the whole chain.  Per-call
+time = chain time / links, best of several trials.
 
 Prints a human table on stderr and exactly ONE JSON line on stdout:
 ``{"metric": ..., "value": ..., "unit": "GiB/s", "vs_baseline": ...}``
@@ -22,6 +24,7 @@ encode (n_to_bits_movemask, 28.962 GiB/s, reference README.md:349).
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -31,25 +34,37 @@ import numpy as np
 
 REF_BEST_ENCODE_GIBS = 28.962  # reference README.md:349 (n_to_bits_movemask)
 REF_MEMCPY_GIBS = 23.599       # reference README.md:351
+REF_TABLE = {                  # reference README.md:346-377 (for context)
+    "encode_2bit": 28.962, "decode_2bit": 30.224,
+    "encode_b5": 11.787, "decode_b5": 10.175,
+}
 
 # workload: 256 MiB of nucleotides, batch of 32768 reads x 8192 nt
 ROWS = 32768
 NT_PER_ROW = 8192          # % 16 == 0 (2-bit block)
 NT_PER_ROW_B5 = 8208       # % 27 == 0 (base-5 block)
-ITERS = 12
+CHAIN = 12
 TRIALS = 3
 
 
-def _bench(fn, args, iters=ITERS, trials=TRIALS):
-    r = fn(*args)
+def _bench_chain(step, state, trials=TRIALS, chain=CHAIN):
+    """step: state -> (state, result) jitted with donated state.
+
+    Returns best per-link seconds over ``trials`` dependent chains.
+    """
+    import jax
+
+    state, r = step(state)
     np.asarray(r.ravel()[:8])  # compile + warm
     best = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
-        rs = [fn(*args) for _ in range(iters)]
-        np.asarray(rs[-1].ravel()[:8])
-        best = min(best, (time.perf_counter() - t0) / iters)
-        del rs
+        s = state
+        for _ in range(chain):
+            s, r = step(s)
+        np.asarray(r.ravel()[:8])
+        best = min(best, (time.perf_counter() - t0) / chain)
+        state = s
     return best
 
 
@@ -68,67 +83,103 @@ def main() -> int:
 
     nt_bytes = ROWS * NT_PER_ROW
     host_u8 = rng.choice(alphabet, size=(ROWS, NT_PER_ROW))
-    x_u8 = jnp.asarray(host_u8)                                   # u8[B, L]
-    x_nt4 = jnp.asarray(host_u8.reshape(ROWS, -1).view(np.uint32))  # u32[B, L/4]
+    host_nt4 = host_u8.reshape(ROWS, -1).view(np.uint32)
     nt_bytes_b5 = ROWS * NT_PER_ROW_B5
-    x_b5 = jnp.asarray(rng.choice(alphabet_n, size=(ROWS, NT_PER_ROW_B5)))
 
     results: dict[str, float] = {}
 
-    def run(name, fn, args, denom):
-        dt = _bench(fn, args)
+    def run(name, step, state, denom):
+        dt = _bench_chain(step, state)
         gibs = denom / dt / 2**30
         results[name] = gibs
         print(f"{name:28s} {dt * 1e3:9.3f} ms   {gibs:9.2f} GiB/s", file=sys.stderr)
         return gibs
 
-    # --- baselines ---------------------------------------------------------
-    memcpy = jax.jit(lambda a: a + jnp.uint8(0))
-    run("memcpy_device", memcpy, (x_u8,), nt_bytes)
+    def chained(fn):
+        """state -> (state_aliased, fn(state)) with the state donated."""
+        return jax.jit(lambda s: (s, fn(s)), donate_argnums=0)
 
-    # --- 2-bit codec -------------------------------------------------------
-    enc_pallas = jax.jit(lambda w: pk.encode_2bit_nt4(w, "mul"))
-    enc_pallas_shift = jax.jit(lambda w: pk.encode_2bit_nt4(w, "shift"))
-    enc_xla = jax.jit(lambda x: xla.encode_2bit_words(x, "mul"))
-    run("encode_2bit_pallas_mul", enc_pallas, (x_nt4,), nt_bytes)
-    run("encode_2bit_pallas_shift", enc_pallas_shift, (x_nt4,), nt_bytes)
-    run("encode_2bit_xla_mul", enc_xla, (x_u8,), nt_bytes)
+    def chained2(fn):
+        """two-array state variant."""
+        return jax.jit(lambda s: (s, fn(*s)), donate_argnums=0)
 
-    packed = enc_pallas(x_nt4)
-    np.asarray(packed.ravel()[:8])
-    dec_pallas = jax.jit(lambda p: pk.decode_2bit_nt4(p, "shuffle"))
-    run("decode_2bit_pallas_shuffle", dec_pallas, (packed,), nt_bytes)
-    words_xla = jax.jit(lambda x: xla.encode_2bit_words(x, "mul"))(x_u8)
-    np.asarray(words_xla.ravel()[:8])
-    dec_xla = jax.jit(lambda w: xla.decode_2bit_bytes(w, "shuffle"))
-    run("decode_2bit_xla_shuffle", dec_xla, (words_xla,), nt_bytes)
+    # --- baselines -----------------------------------------------------------
+    # memcpy chains naturally: output feeds the next copy (read N, write N)
+    memcpy_step = jax.jit(lambda s: (s + jnp.uint8(0),) * 2, donate_argnums=0)
+    run("memcpy_device", lambda s: memcpy_step(s), jnp.asarray(host_u8), nt_bytes)
 
-    # --- base-5 codec ------------------------------------------------------
-    rows_b5 = (ROWS * NT_PER_ROW_B5) // pk.B5_ROW_NT
-    x_b5_panels = jnp.asarray(
-        np.asarray(x_b5).reshape(-1)[: rows_b5 * pk.B5_ROW_NT].reshape(
-            rows_b5, pk.B5_ROW_NT
-        )
+    # --- 2-bit codec ---------------------------------------------------------
+    run(
+        "encode_2bit_pallas_mul",
+        chained(lambda x: pk.encode_2bit_nt4(x, "mul")),
+        jnp.asarray(host_nt4),
+        nt_bytes,
     )
+    run(
+        "encode_2bit_pallas_shift",
+        chained(lambda x: pk.encode_2bit_nt4(x, "shift")),
+        jnp.asarray(host_nt4),
+        nt_bytes,
+    )
+    run(
+        "encode_2bit_xla_mul",
+        chained(lambda x: xla.encode_2bit_words(x, "mul")),
+        jnp.asarray(host_u8),
+        nt_bytes,
+    )
+
+    packed_np = np.asarray(
+        jax.jit(lambda w: pk.encode_2bit_nt4(w, "mul"))(jnp.asarray(host_nt4))
+    )
+    run(
+        "decode_2bit_pallas_shuffle",
+        chained(lambda p: pk.decode_2bit_nt4(p, "shuffle")),
+        jnp.asarray(packed_np),
+        nt_bytes,
+    )
+    words_np = packed_np.reshape(ROWS, -1).view(np.uint32)
+    run(
+        "decode_2bit_xla_shuffle",
+        chained(lambda w: xla.decode_2bit_bytes(w, "shuffle")),
+        jnp.asarray(words_np),
+        nt_bytes,
+    )
+
+    # --- base-5 codec --------------------------------------------------------
+    rows_b5 = (ROWS * NT_PER_ROW_B5) // pk.B5_ROW_NT
+    host_b5 = rng.choice(alphabet_n, size=(rows_b5, pk.B5_ROW_NT))
     nt_b5_panels = rows_b5 * pk.B5_ROW_NT
-    enc_b5_pl = jax.jit(pk.encode_b5_panels)
-    run("encode_b5_pallas", enc_b5_pl, (x_b5_panels,), nt_b5_panels)
-    w_b5 = enc_b5_pl(x_b5_panels)
-    np.asarray(w_b5.ravel()[:8])
-    wn = np.asarray(w_b5)
-    lo = jnp.asarray(np.ascontiguousarray(wn.reshape(-1, 2)[:, 0]).reshape(rows_b5, 128))
-    hi = jnp.asarray(np.ascontiguousarray(wn.reshape(-1, 2)[:, 1]).reshape(rows_b5, 128))
-    dec_b5_pl = jax.jit(pk.decode_b5_panels)
-    run("decode_b5_pallas", dec_b5_pl, (lo, hi), nt_b5_panels)
+    run(
+        "encode_b5_pallas",
+        chained(pk.encode_b5_panels),
+        jnp.asarray(host_b5),
+        nt_b5_panels,
+    )
+    w_b5 = np.asarray(jax.jit(pk.encode_b5_panels)(jnp.asarray(host_b5)))
+    lo = np.ascontiguousarray(w_b5.reshape(-1, 2)[:, 0]).reshape(rows_b5, 128)
+    hi = np.ascontiguousarray(w_b5.reshape(-1, 2)[:, 1]).reshape(rows_b5, 128)
+    run(
+        "decode_b5_pallas",
+        chained2(pk.decode_b5_panels),
+        (jnp.asarray(lo), jnp.asarray(hi)),
+        nt_b5_panels,
+    )
+    x_b5 = rng.choice(alphabet_n, size=(ROWS, NT_PER_ROW_B5))
+    run(
+        "encode_b5_xla",
+        chained(xla.encode_b5_words),
+        jnp.asarray(x_b5),
+        nt_bytes_b5,
+    )
+    words_b5 = np.asarray(jax.jit(xla.encode_b5_words)(jnp.asarray(x_b5)))
+    run(
+        "decode_b5_xla",
+        chained(xla.decode_b5_bytes),
+        jnp.asarray(words_b5),
+        nt_bytes_b5,
+    )
 
-    enc_b5 = jax.jit(xla.encode_b5_words)
-    run("encode_b5_xla", enc_b5, (x_b5,), nt_bytes_b5)
-    words_b5 = enc_b5(x_b5)
-    np.asarray(words_b5.ravel()[:8])
-    dec_b5 = jax.jit(xla.decode_b5_bytes)
-    run("decode_b5_xla", dec_b5, (words_b5,), nt_bytes_b5)
-
-    # --- headline ----------------------------------------------------------
+    # --- headline ------------------------------------------------------------
     best_encode = max(
         results["encode_2bit_pallas_mul"],
         results["encode_2bit_pallas_shift"],

@@ -1,0 +1,220 @@
+"""Command-line interface: encode / decode / parity-gate / bench.
+
+The reference ships no CLI (it is a library crate); production deployment
+needs one.  Subcommands:
+
+* ``encode``  — FASTA/FASTQ (or raw) -> packed stream file (.nup)
+* ``decode``  — packed stream file -> FASTA
+* ``parity``  — randomized parity gate: device tiers vs the C++/NumPy oracle
+* ``bench``   — delegates to the repo-root criterion-analogue harness
+
+The packed container (".nup") is a minimal self-describing format::
+
+    magic b"NUPK" | version u32 | codec u8 (2=2bit, 5=base5) | reserved[3]
+    count u64 | (name_len u32, length u64)*count | names | packed words
+
+Words are the reference's exact little-endian u64 stream per read,
+concatenated (each read starts word-aligned).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import struct
+import sys
+
+import numpy as np
+
+MAGIC = b"NUPK"
+VERSION = 1
+
+
+def _codec_mod():
+    from .ops import spec
+
+    return spec
+
+
+def write_nup(path: str, names: list[bytes], seqs_words: list[np.ndarray],
+              lengths: list[int], codec: str) -> None:
+    spec = _codec_mod()
+    code = 2 if codec == "2bit" else 5
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<IB3x", VERSION, code))
+        f.write(struct.pack("<Q", len(names)))
+        for name, length in zip(names, lengths):
+            f.write(struct.pack("<IQ", len(name), length))
+        for name in names:
+            f.write(name)
+        for words in seqs_words:
+            f.write(np.ascontiguousarray(words, dtype="<u8").tobytes())
+    del spec
+
+
+def read_nup(path: str):
+    spec = _codec_mod()
+    with open(path, "rb") as f:
+        if f.read(4) != MAGIC:
+            raise ValueError("not a .nup file")
+        version, code = struct.unpack("<IB3x", f.read(8))
+        if version != VERSION:
+            raise ValueError(f"unsupported version {version}")
+        codec = "2bit" if code == 2 else "base5"
+        (count,) = struct.unpack("<Q", f.read(8))
+        meta = [struct.unpack("<IQ", f.read(12)) for _ in range(count)]
+        names = [f.read(nl) for nl, _ in meta]
+        per_word = spec.NT_PER_WORD_2BIT if codec == "2bit" else spec.NT_PER_WORD_B5
+        out = []
+        for (_, length), name in zip(meta, names):
+            nwords = spec.cdiv(length, per_word)
+            words = np.frombuffer(f.read(8 * nwords), dtype="<u8")
+            out.append((name, int(length), words))
+        return codec, out
+
+
+def cmd_encode(args) -> int:
+    from . import api
+    from .ops import native
+    from .utils import io as io_lib
+
+    records = list(io_lib.open_reads(args.input))
+    fn = api.n_to_bits if args.codec == "2bit" else api.n_to_bits2
+    names, words_list, lengths = [], [], []
+    total_nt = 0
+    for rec in records:
+        if args.validate:
+            bad = native.find_invalid(rec.seq, allow_n=args.codec == "base5")
+            if bad >= 0:
+                print(
+                    f"error: invalid byte {rec.seq[bad]!r} at {bad} in "
+                    f"{rec.name.decode(errors='replace')}",
+                    file=sys.stderr,
+                )
+                return 1
+        kwargs = {"tier": args.tier}
+        words_list.append(fn(rec.seq, **kwargs))
+        names.append(rec.name)
+        lengths.append(len(rec.seq))
+        total_nt += len(rec.seq)
+    write_nup(args.output, names, words_list, lengths, args.codec)
+    print(
+        json.dumps(
+            {"records": len(names), "nt": total_nt, "codec": args.codec,
+             "output": args.output}
+        )
+    )
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from . import api
+
+    codec, entries = read_nup(args.input)
+    fn = api.bits_to_n if codec == "2bit" else api.bits_to_n2
+    out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+    try:
+        for name, length, words in entries:
+            seq = fn(words, length, tier=args.tier)
+            out.write(b">" + name + b"\n")
+            data = bytes(seq)
+            for i in range(0, len(data), 80):
+                out.write(data[i : i + 80] + b"\n")
+    finally:
+        if out is not sys.stdout.buffer:
+            out.close()
+    return 0
+
+
+def cmd_parity(args) -> int:
+    """Randomized parity gate: every tier must match the oracle bit-exactly."""
+    from . import api
+    from .ops import native, oracle
+
+    rng = np.random.default_rng(args.seed)
+    alpha = np.frombuffer(b"ACGTUacgtu", np.uint8)
+    alpha_n = np.frombuffer(b"ACGTUNacgtun", np.uint8)
+    any_bytes = None
+    tiers = args.tiers.split(",")
+    failures = 0
+    for trial in range(args.trials):
+        n = int(rng.integers(1, args.max_len + 1))
+        kind = trial % 3
+        s = rng.choice(alpha_n if kind == 1 else alpha, size=n)
+        if kind == 2:
+            s = rng.integers(0, 256, size=n, dtype=np.int64).astype(np.uint8)
+        del any_bytes
+        any_bytes = s
+        w_ref = oracle.n_to_bits_lut(s)
+        w5_ref = oracle.n_to_bits2_lut(s)
+        checks = [("native", native.n_to_bits(s), w_ref),
+                  ("native-b5", native.n_to_bits2(s), w5_ref)]
+        for tier in tiers:
+            checks.append((f"{tier}", api.n_to_bits(s, tier=tier), w_ref))
+            checks.append((f"{tier}-b5", api.n_to_bits2(s, tier=tier), w5_ref))
+        for label, got, want in checks:
+            if not np.array_equal(got, want):
+                print(f"PARITY FAIL [{label}] n={n} trial={trial}", file=sys.stderr)
+                failures += 1
+        # decode roundtrip
+        want_seq = bytes(s[: n]).upper().replace(b"U", b"T") if kind != 2 else None
+        for tier in tiers:
+            back = api.bits_to_n(w_ref, n, tier=tier)
+            if not np.array_equal(back, oracle.bits_to_n_lut(w_ref, n)):
+                print(f"PARITY FAIL [decode-{tier}] n={n}", file=sys.stderr)
+                failures += 1
+            back5 = api.bits_to_n2(w5_ref, n, tier=tier)
+            if not np.array_equal(back5, oracle.bits_to_n2_lut(w5_ref, n)):
+                print(f"PARITY FAIL [decode-{tier}-b5] n={n}", file=sys.stderr)
+                failures += 1
+        del want_seq
+    status = "PASS" if failures == 0 else "FAIL"
+    print(json.dumps({"parity": status, "trials": args.trials, "failures": failures}))
+    return 0 if failures == 0 else 1
+
+
+def cmd_bench(args) -> int:
+    import runpy
+    import os
+
+    sys.argv = ["bench.py"]
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py")
+    runpy.run_path(path, run_name="__main__")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="cute-nucleotides-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("encode", help="encode reads to a packed .nup file")
+    pe.add_argument("input")
+    pe.add_argument("output")
+    pe.add_argument("--codec", choices=["2bit", "base5"], default="2bit")
+    pe.add_argument("--tier", default="xla")
+    pe.add_argument("--validate", action="store_true")
+    pe.set_defaults(fn=cmd_encode)
+
+    pd = sub.add_parser("decode", help="decode a .nup file to FASTA")
+    pd.add_argument("input")
+    pd.add_argument("output", nargs="?", default="-")
+    pd.add_argument("--tier", default="xla")
+    pd.set_defaults(fn=cmd_decode)
+
+    pp = sub.add_parser("parity", help="randomized oracle parity gate")
+    pp.add_argument("--trials", type=int, default=50)
+    pp.add_argument("--max-len", type=int, default=5000)
+    pp.add_argument("--seed", type=int, default=0)
+    pp.add_argument("--tiers", default="xla,pallas")
+    pp.set_defaults(fn=cmd_parity)
+
+    pb = sub.add_parser("bench", help="run the benchmark harness")
+    pb.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -78,6 +78,17 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _auto_interpret(interpret: bool) -> bool:
+    """Pallas compiles only for TPU; fall back to interpret mode on CPU
+    (keeps the 'pallas' tier usable everywhere, e.g. the CPU test mesh)."""
+    if interpret:
+        return True
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 # ---------------------------------------------------------------------------
 # 2-bit codec kernels (identity lane map)
 # ---------------------------------------------------------------------------
@@ -162,6 +173,7 @@ def encode_2bit_nt4(x: jax.Array, variant: str = "mul", *, interpret: bool = Fal
     """
     if x.dtype != jnp.uint32 or x.ndim != 2:
         raise TypeError(f"expected u32[R, C] nt4 input, got {x.dtype}{x.shape}")
+    interpret = _auto_interpret(interpret)
     R, C = x.shape
     rb = _row_block(C, 4 + 1, R)
     return pl.pallas_call(
@@ -178,6 +190,7 @@ def decode_2bit_nt4(p: jax.Array, variant: str = "shuffle", *, interpret: bool =
     """Decode packed u8[R, C] -> nt4 u32[R, C] (identity lane map)."""
     if p.dtype != jnp.uint8 or p.ndim != 2:
         raise TypeError(f"expected u8[R, C] packed input, got {p.dtype}{p.shape}")
+    interpret = _auto_interpret(interpret)
     R, C = p.shape
     rb = _row_block(C, 4 + 1, R)
     return pl.pallas_call(
@@ -367,6 +380,7 @@ def encode_b5_panels(x: jax.Array, *, interpret: bool = False) -> jax.Array:
     """
     if x.dtype != jnp.uint8 or x.ndim != 2 or x.shape[1] != B5_ROW_NT:
         raise TypeError(f"expected u8[R, {B5_ROW_NT}], got {x.dtype}{x.shape}")
+    interpret = _auto_interpret(interpret)
     R = x.shape[0]
     rb = min(256, max(8, R))
     mats = _b5_enc_mats()
@@ -506,6 +520,7 @@ def decode_b5_panels(lo: jax.Array, hi: jax.Array, *, interpret: bool = False) -
     """Decode planar u32[R, 128] word-half planes -> u8[R, 3456] nt panels."""
     if lo.shape != hi.shape or lo.ndim != 2 or lo.shape[1] != B5_ROW_WORDS:
         raise TypeError(f"expected u32[R, {B5_ROW_WORDS}] planes, got {lo.shape}/{hi.shape}")
+    interpret = _auto_interpret(interpret)
     R = lo.shape[0]
     rb = min(256, max(8, R))
     mats = _b5_dec_mats()

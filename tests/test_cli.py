@@ -1,0 +1,52 @@
+"""CLI: encode -> .nup container -> decode roundtrip, parity gate."""
+
+import json
+
+import numpy as np
+import pytest
+
+from cute_nucleotides_tpu import cli
+from cute_nucleotides_tpu.ops import oracle
+
+
+def test_nup_roundtrip(tmp_path):
+    names = [b"r1", b"read two"]
+    seqs = [b"ACGTACGTAC", b"GG"]
+    words = [oracle.n_to_bits_lut(np.frombuffer(s, np.uint8)) for s in seqs]
+    p = str(tmp_path / "x.nup")
+    cli.write_nup(p, names, words, [len(s) for s in seqs], "2bit")
+    codec, entries = cli.read_nup(p)
+    assert codec == "2bit"
+    assert [e[0] for e in entries] == names
+    assert [e[1] for e in entries] == [10, 2]
+    for (name, length, w), want in zip(entries, words):
+        assert np.array_equal(w, want)
+
+
+def test_cli_encode_decode(tmp_path, capsys):
+    fa = tmp_path / "in.fa"
+    fa.write_bytes(b">a\nACGTacgtUU\n>b\nGGGGCCCC\n")
+    nup = str(tmp_path / "out.nup")
+    out_fa = str(tmp_path / "out.fa")
+    assert cli.main(["encode", str(fa), nup, "--codec", "2bit", "--tier", "oracle"]) == 0
+    info = json.loads(capsys.readouterr().out.strip())
+    assert info["records"] == 2 and info["nt"] == 18
+    assert cli.main(["decode", nup, out_fa, "--tier", "oracle"]) == 0
+    text = open(out_fa, "rb").read()
+    assert text == b">a\nACGTACGTTT\n>b\nGGGGCCCC\n"
+
+
+def test_cli_validate_rejects(tmp_path, capsys):
+    fa = tmp_path / "bad.fa"
+    fa.write_bytes(b">a\nACGTX\n")
+    rc = cli.main(
+        ["encode", str(fa), str(tmp_path / "o.nup"), "--validate", "--tier", "oracle"]
+    )
+    assert rc == 1
+
+
+def test_cli_parity_gate(capsys):
+    rc = cli.main(["parity", "--trials", "6", "--max-len", "300", "--tiers", "xla"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["parity"] == "PASS"
