@@ -591,3 +591,58 @@ def jit_encode_b5():
 @functools.lru_cache(maxsize=None)
 def jit_decode_b5():
     return jax.jit(decode_b5_bytes_pallas)
+
+
+# ---------------------------------------------------------------------------
+# 2-bit encode, MXU variant
+# ---------------------------------------------------------------------------
+# A third packing strategy completing the variant menu (the reference has
+# five encoders, src/n_to_bits.rs): instead of the identity-lane u8 output,
+# pack four adjacent lanes' bytes into one u32 word with a constant matmul —
+# the same "matrix as byte-gatherer" idea the base-5 kernels use.  Columns
+# [0,128) collect the low 16 bits of each word (bytes 4j, 4j+1 weighted 1 and
+# 256), columns [128,256) the high 16 bits.  Useful as the building block for
+# fused consumers that want u32 words directly in VMEM.
+
+@functools.lru_cache(maxsize=None)
+def _mxu_pack_mat():
+    m = np.zeros((512, 256), np.float32)
+    for j in range(128):
+        m[4 * j, j] = 1.0
+        m[4 * j + 1, j] = 256.0
+        m[4 * j + 2, 128 + j] = 1.0
+        m[4 * j + 3, 128 + j] = 256.0
+    return np.asarray(m, dtype=jnp.bfloat16)
+
+
+def _encode_2bit_mxu_kernel(x_ref, m_ref, o_ref):
+    p = _pack4_mul(x_ref[:]).astype(jnp.int32).astype(jnp.bfloat16)
+    C = p.shape[1]
+    for g in range(C // 512):
+        z = jnp.dot(
+            p[:, 512 * g : 512 * (g + 1)],
+            m_ref[:],
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32).astype(jnp.uint32)
+        o_ref[:, 128 * g : 128 * (g + 1)] = z[:, :128] | (z[:, 128:] << 16)
+
+
+def encode_2bit_nt4_mxu(x: jax.Array, *, interpret: bool = False) -> jax.Array:
+    """Encode nt4 u32[R, C] -> packed u32 words [R, C // 4]; C % 512 == 0."""
+    if x.dtype != jnp.uint32 or x.ndim != 2 or x.shape[1] % 512:
+        raise TypeError(f"expected u32[R, 512k] nt4 input, got {x.dtype}{x.shape}")
+    interpret = _auto_interpret(interpret)
+    R, C = x.shape
+    rb = _row_block(C, 4 + 1, R)
+    m = _mxu_pack_mat()
+    return pl.pallas_call(
+        _encode_2bit_mxu_kernel,
+        grid=(_cdiv(R, rb),),
+        in_specs=[
+            pl.BlockSpec((rb, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rb, C // 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, C // 4), jnp.uint32),
+        interpret=interpret,
+    )(x, m)

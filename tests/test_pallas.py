@@ -80,3 +80,12 @@ def test_ragged_rows_masked(rng):
         np.ascontiguousarray(packed.reshape(-1)).view(np.uint32)
     )
     assert np.array_equal(got, oracle.n_to_bits_lut(s))
+
+
+def test_encode_2bit_mxu_variant(rng):
+    n = 8 * 2048 * 4
+    s = _rand_seq(rng, n)
+    w = jnp.asarray(s.view(np.uint32).reshape(8, 2048))
+    words = np.asarray(pk.encode_2bit_nt4_mxu(w, interpret=True))
+    got = spec.u32_pairs_to_u64(np.ascontiguousarray(words.reshape(-1)))
+    assert np.array_equal(got, oracle.n_to_bits_lut(s))
