@@ -10,11 +10,13 @@ nucleotide bytes — the same convention as the reference's
 
 Timing methodology: the execution stream is asynchronous end-to-end, and on
 relayed/tunneled TPU backends neither ``block_until_ready`` nor a readback of
-an *independent* result reliably covers queued work.  Each measurement
-therefore runs a **dependent chain**: every step consumes the previous step's
-output (the op input is donated and returned aliased, so no extra traffic),
-and one tiny readback of the final link forces the whole chain.  Per-call
-time = chain time / links, best of several trials.
+an *independent* result reliably covers queued work — and even a donated
+input returned aliased short-circuits (parameter forwarding completes before
+the kernel runs).  Each measurement therefore runs a **dependent chain**
+whose carried state is updated *from the op's output* with one in-place
+dynamic-update-slice element (donated input, near-zero cost), and takes the
+slope between two chain lengths so the fixed dispatch+readback cost cancels:
+``t = (T(k_hi) - T(k_lo)) / (k_hi - k_lo)``.
 
 Prints a human table on stderr and exactly ONE JSON line on stdout:
 ``{"metric": ..., "value": ..., "unit": "GiB/s", "vs_baseline": ...}``
@@ -43,29 +45,33 @@ REF_TABLE = {                  # reference README.md:346-377 (for context)
 ROWS = 32768
 NT_PER_ROW = 8192          # % 16 == 0 (2-bit block)
 NT_PER_ROW_B5 = 8208       # % 27 == 0 (base-5 block)
-CHAIN = 12
-TRIALS = 3
+CHAIN_LO = 8
+CHAIN_HI = 72
+TRIALS = 5
 
 
-def _bench_chain(step, state, trials=TRIALS, chain=CHAIN):
-    """step: state -> (state, result) jitted with donated state.
+def _chain_T(step, state, k):
+    t0 = time.perf_counter()
+    s = state
+    for _ in range(k):
+        s, r = step(s)
+    np.asarray(r.ravel()[:4])
+    return time.perf_counter() - t0, s
 
-    Returns best per-link seconds over ``trials`` dependent chains.
-    """
-    import jax
 
+def _bench_chain(step, state, trials=TRIALS):
+    """step: state -> (state, result), jitted, state donated, state depends
+    on result.  Returns the median per-trial slope seconds/link (each trial
+    pairs one short and one long chain so dispatch/readback jitter cancels
+    within the trial)."""
     state, r = step(state)
-    np.asarray(r.ravel()[:8])  # compile + warm
-    best = float("inf")
+    np.asarray(r.ravel()[:4])  # compile + warm
+    slopes = []
     for _ in range(trials):
-        t0 = time.perf_counter()
-        s = state
-        for _ in range(chain):
-            s, r = step(s)
-        np.asarray(r.ravel()[:8])
-        best = min(best, (time.perf_counter() - t0) / chain)
-        state = s
-    return best
+        t_lo, state = _chain_T(step, state, CHAIN_LO)
+        t_hi, state = _chain_T(step, state, CHAIN_HI)
+        slopes.append(max((t_hi - t_lo) / (CHAIN_HI - CHAIN_LO), 1e-9))
+    return float(np.median(slopes))
 
 
 def main() -> int:
@@ -96,12 +102,26 @@ def main() -> int:
         return gibs
 
     def chained(fn):
-        """state -> (state_aliased, fn(state)) with the state donated."""
-        return jax.jit(lambda s: (s, fn(s)), donate_argnums=0)
+        """Dependent chain step: the carried state is refreshed in place from
+        one element of the op output (true data dependency, ~zero cost)."""
+
+        def step(s):
+            r = fn(s)
+            patch = r[:1, :1].astype(s.dtype)
+            return jax.lax.dynamic_update_slice(s, patch, (0, 0)), r
+
+        return jax.jit(step, donate_argnums=0)
 
     def chained2(fn):
         """two-array state variant."""
-        return jax.jit(lambda s: (s, fn(*s)), donate_argnums=0)
+
+        def step(s):
+            a, b = s
+            r = fn(a, b)
+            patch = r[:1, :1].astype(a.dtype)
+            return (jax.lax.dynamic_update_slice(a, patch, (0, 0)), b), r
+
+        return jax.jit(step, donate_argnums=0)
 
     # --- baselines -----------------------------------------------------------
     # memcpy chains naturally: output feeds the next copy (read N, write N)
