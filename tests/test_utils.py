@@ -165,3 +165,15 @@ def test_streaming_encoder_end_to_end(tmp_path):
     )
     agg2 = enc2.run(records, sink=lambda w, b: outputs.append((w, b)))
     assert agg2["batches"] == 0 and len(outputs) == 1
+
+
+def test_profiler_trace_smoke(tmp_path):
+    import jax.numpy as jnp2
+
+    with profiling.trace(str(tmp_path / "trace")):
+        jnp2.arange(8).sum().block_until_ready()
+    # a trace directory with at least one artifact must exist
+    import os
+
+    found = any(files for _, _, files in os.walk(tmp_path / "trace"))
+    assert found
