@@ -171,7 +171,13 @@ def main() -> int:
     nt_b5_panels = rows_b5 * pk.B5_ROW_NT
     run(
         "encode_b5_pallas",
-        chained(pk.encode_b5_panels),
+        chained(pk.encode_b5_panels_v2),
+        jnp.asarray(host_b5),
+        nt_b5_panels,
+    )
+    run(
+        "encode_b5_pallas_planar",
+        chained(lambda x: pk.encode_b5_planar(x)[0]),
         jnp.asarray(host_b5),
         nt_b5_panels,
     )

@@ -420,7 +420,7 @@ def encode_b5_words_pallas(x: jax.Array, *, interpret: bool = False) -> jax.Arra
     pad = rows * B5_ROW_NT - total
     if pad:
         flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.uint8)])
-    out = encode_b5_panels(flat.reshape(rows, B5_ROW_NT), interpret=interpret)
+    out = encode_b5_panels_v2(flat.reshape(rows, B5_ROW_NT), interpret=interpret)
     words = out.reshape(-1)[: n * (2 * (L // 27))]
     return words.reshape(*lead, 2 * (L // 27))
 
@@ -646,3 +646,91 @@ def encode_2bit_nt4_mxu(x: jax.Array, *, interpret: bool = False) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct((R, C // 4), jnp.uint32),
         interpret=interpret,
     )(x, m)
+
+
+# ---------------------------------------------------------------------------
+# Base-5 encode v2: g-chunk matmul + planar output
+# ---------------------------------------------------------------------------
+# A 63-bit word splits at triplet boundaries into three 21-bit chunks
+#   g_c = t_{3c} + t_{3c+1}*2^7 + t_{3c+2}*2^14   (c = 0,1,2)
+# which are *linear in the digits* (coef 5^k * 2^(7(j-3c)) <= 25*2^14, exact
+# in bf16), so a single constant matmul maps digits -> chunks, eliminating
+# the v1 pipeline's piece-extraction VPU stage and its second matmul pair.
+# The chunk recombination is lane-local integer math per word:
+#   lo = g0 | (g1 & 0x7FF) << 21        hi = (g1 >> 11) | (g2 << 10)
+# and the kernel emits PLANAR (lo, hi) u32 planes — the exact input format of
+# the Pallas base-5 decoder, so device-resident roundtrips never interleave;
+# the reference's interleaved u64 stream is recovered by one cheap XLA pass
+# over the packed (0.3x) side at export.
+
+@functools.lru_cache(maxsize=None)
+def _b5_enc_mat_v2():
+    """digits (432,) -> chunks (48,): cols [g0(16) | g1(16) | g2(16)]."""
+    m = np.zeros((B5_SLICE_NT, 48), np.float32)
+    for w in range(B5_SLICE_WORDS):
+        for j in range(9):
+            c = j // 3
+            for k in range(3):
+                m[27 * w + 3 * j + k, 16 * c + w] = (1, 5, 25)[k] * (
+                    1 << (7 * (j - 3 * c))
+                )
+    return np.asarray(m, dtype=jnp.bfloat16)
+
+
+def _encode_b5_v2_kernel(x_ref, m_ref, lo_ref, hi_ref):
+    x = x_ref[:].astype(jnp.int32)
+    idx = x & 7
+    digits = (jnp.int32(spec.DIGIT_LUT8_U32) >> (idx << 2)) & 0xF
+    d = digits.astype(jnp.bfloat16)
+    rb = d.shape[0]
+    for g in range(B5_SLICES):
+        d_g = jax.lax.slice(
+            d, (0, B5_SLICE_NT * g), (rb, B5_SLICE_NT * (g + 1))
+        )
+        gc = jnp.dot(
+            d_g, m_ref[:], preferred_element_type=jnp.float32
+        ).astype(jnp.int32).astype(jnp.uint32)
+        g0 = gc[:, :16]
+        g1 = gc[:, 16:32]
+        g2 = gc[:, 32:48]
+        lo_ref[:, 16 * g : 16 * (g + 1)] = g0 | ((g1 & jnp.uint32(0x7FF)) << 21)
+        hi_ref[:, 16 * g : 16 * (g + 1)] = (g1 >> 11) | (g2 << 10)
+
+
+def encode_b5_planar(x: jax.Array, *, interpret: bool = False):
+    """Encode u8[R, 3456] nt panels -> planar (lo, hi) u32[R, 128] planes.
+
+    ``lo[r, w] | hi[r, w] << 32`` is word ``128 r + w`` of the reference's
+    base-5 stream (src/n_to_bits2.rs:44-53); this planar form feeds
+    :func:`decode_b5_panels` directly.
+    """
+    if x.dtype != jnp.uint8 or x.ndim != 2 or x.shape[1] != B5_ROW_NT:
+        raise TypeError(f"expected u8[R, {B5_ROW_NT}], got {x.dtype}{x.shape}")
+    interpret = _auto_interpret(interpret)
+    R = x.shape[0]
+    rb = min(256, max(8, R))
+    m = _b5_enc_mat_v2()
+    return pl.pallas_call(
+        _encode_b5_v2_kernel,
+        grid=(_cdiv(R, rb),),
+        in_specs=[
+            pl.BlockSpec((rb, B5_ROW_NT), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rb, B5_ROW_WORDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, B5_ROW_WORDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, B5_ROW_WORDS), jnp.uint32),
+            jax.ShapeDtypeStruct((R, B5_ROW_WORDS), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(x, m)
+
+
+def encode_b5_panels_v2(x: jax.Array, *, interpret: bool = False) -> jax.Array:
+    """Interleaved-stream wrapper over :func:`encode_b5_planar` (one XLA
+    pass over the packed side re-interleaves the planes)."""
+    lo, hi = encode_b5_planar(x, interpret=interpret)
+    return jnp.stack([lo, hi], axis=-1).reshape(x.shape[0], B5_ROW_U32)

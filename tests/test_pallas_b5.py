@@ -70,3 +70,23 @@ def test_b5_golden_vector():
     assert got[0] == want[0]
     # second word: 35-nt tail has missing digits as 0 == 'A' padding
     assert got[1] == want[1]
+
+
+@pytest.mark.parametrize("n_rows", [1, 3])
+def test_encode_b5_v2_matches_oracle(rng, n_rows):
+    s = rng.choice(ALPHABET, size=n_rows * pk.B5_ROW_NT)
+    x = jnp.asarray(s.reshape(n_rows, pk.B5_ROW_NT))
+    got = np.asarray(pk.encode_b5_panels_v2(x, interpret=True))
+    want = oracle.n_to_bits2_lut(s)
+    assert np.array_equal(
+        spec.u32_pairs_to_u64(np.ascontiguousarray(got.reshape(-1))), want
+    )
+
+
+def test_encode_b5_planar_feeds_decoder(rng):
+    s = rng.choice(ALPHABET, size=2 * pk.B5_ROW_NT)
+    x = jnp.asarray(s.reshape(2, pk.B5_ROW_NT))
+    lo, hi = pk.encode_b5_planar(x, interpret=True)
+    back = np.asarray(pk.decode_b5_panels(lo, hi, interpret=True))
+    want = oracle.bits_to_n2_lut(oracle.n_to_bits2_lut(s), s.size)
+    assert np.array_equal(back.reshape(-1), want)
