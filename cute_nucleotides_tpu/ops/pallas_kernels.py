@@ -734,3 +734,99 @@ def encode_b5_panels_v2(x: jax.Array, *, interpret: bool = False) -> jax.Array:
     pass over the packed side re-interleaves the planes)."""
     lo, hi = encode_b5_planar(x, interpret=interpret)
     return jnp.stack([lo, hi], axis=-1).reshape(x.shape[0], B5_ROW_U32)
+
+
+# ---------------------------------------------------------------------------
+# Base-5 decode v2: char scatter into nt4 u32 lanes
+# ---------------------------------------------------------------------------
+# The v1 decoder scatters three char planes to 432 u8 lanes per slice (24 MXU
+# passes).  v2 scatters into the nt4 form instead — each output u32 lane
+# holds 4 ASCII bytes, and both 16-bit halves of that lane are exact linear
+# combinations of chars (coef 1 or 256, chars <= 84 bf16-exact) — so one
+# (768, 256) matmul per slice does the whole job in half the passes.  The
+# result is the framework's canonical device byte-stream form (free u8 view
+# on the host).
+
+@functools.lru_cache(maxsize=None)
+def _b5_dec_scatter_nt4():
+    """chars concat [c0|c1|c2] (768,) -> nt4 halves (256,): lo 108 @ [0,128),
+    hi 108 @ [128,256)."""
+    s = np.zeros((3 * B5_SLICE_WORDS * B5_TPAD, 256), np.float32)
+    for w in range(B5_SLICE_WORDS):
+        for j in range(9):
+            for k in range(3):
+                p = 27 * w + 3 * j + k          # nt position within slice
+                m, b = divmod(p, 4)             # nt4 lane, byte
+                col = m if b < 2 else 128 + m
+                s[256 * k + B5_TPAD * w + j, col] = 1.0 if b % 2 == 0 else 256.0
+    return np.asarray(s, dtype=jnp.bfloat16)
+
+
+def _decode_b5_nt4_kernel(lo_ref, hi_ref, pa_ref, pb_ref, s_ref, o_ref):
+    lo = lo_ref[:]
+    hi = hi_ref[:]
+    rb = lo.shape[0]
+    tshape = (rb, B5_SLICE_WORDS * B5_TPAD)
+    svec = _b5_trip_shift_vec(tshape)
+    m16 = jnp.uint32(0xFFFF)
+    for g in range(B5_SLICES):
+        lo_g = jax.lax.slice(lo, (0, 16 * g), (rb, 16 * (g + 1)))
+        hi_g = jax.lax.slice(hi, (0, 16 * g), (rb, 16 * (g + 1)))
+        h = [lo_g & m16, lo_g >> 16, hi_g & m16, hi_g >> 16]
+        m8 = jnp.uint32(0xFF)
+        halves = jnp.concatenate(
+            [x & m8 for x in h] + [x >> 8 for x in h], axis=1
+        ).astype(jnp.int32).astype(jnp.bfloat16)
+        a = jnp.dot(halves, pa_ref[:], preferred_element_type=jnp.float32)
+        b = jnp.dot(halves, pb_ref[:], preferred_element_type=jnp.float32)
+        ai = a.astype(jnp.int32)
+        bi = b.astype(jnp.int32)
+        t = ((ai >> svec) | (bi << (16 - svec))) & 0x7F
+        q5 = (t * 205) >> 10
+        q25 = (t * 41) >> 10
+        chars = jnp.concatenate(
+            [
+                _digits_to_chars(t - 5 * q5),
+                _digits_to_chars(q5 - 5 * q25),
+                _digits_to_chars(q25),
+            ],
+            axis=1,
+        ).astype(jnp.bfloat16)
+        z = jnp.dot(
+            chars, s_ref[:], preferred_element_type=jnp.float32
+        ).astype(jnp.int32).astype(jnp.uint32)
+        o_ref[:, 108 * g : 108 * (g + 1)] = (
+            jax.lax.slice(z, (0, 0), (rb, 108))
+            | (jax.lax.slice(z, (0, 128), (rb, 236)) << 16)
+        )
+
+
+def decode_b5_nt4_panels(lo: jax.Array, hi: jax.Array, *, interpret: bool = False) -> jax.Array:
+    """Decode planar u32[R, 128] planes -> nt4 u32[R, 864] panels.
+
+    The output's little-endian byte stream is the ASCII nucleotide stream
+    (one u32 lane = 4 chars) — the canonical device form; a host
+    ``ndarray.view(uint8)`` recovers bytes for free.
+    """
+    if lo.shape != hi.shape or lo.ndim != 2 or lo.shape[1] != B5_ROW_WORDS:
+        raise TypeError(f"expected u32[R, {B5_ROW_WORDS}] planes, got {lo.shape}/{hi.shape}")
+    interpret = _auto_interpret(interpret)
+    R = lo.shape[0]
+    rb = min(256, max(8, R))
+    mats = (*_b5_dec_mats()[:2], _b5_dec_scatter_nt4())
+    mat_specs = [
+        pl.BlockSpec(m.shape, lambda i: (0,) * m.ndim, memory_space=pltpu.VMEM)
+        for m in mats
+    ]
+    return pl.pallas_call(
+        _decode_b5_nt4_kernel,
+        grid=(_cdiv(R, rb),),
+        in_specs=[
+            pl.BlockSpec((rb, B5_ROW_WORDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, B5_ROW_WORDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *mat_specs,
+        ],
+        out_specs=pl.BlockSpec((rb, B5_ROW_NT // 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, B5_ROW_NT // 4), jnp.uint32),
+        interpret=interpret,
+    )(lo, hi, *mats)
