@@ -157,6 +157,12 @@ def main() -> int:
         jnp.asarray(packed_np),
         nt_bytes,
     )
+    run(
+        "decode_2bit_pallas_swar",
+        chained(lambda p: pk.decode_2bit_nt4(p, "swar")),
+        jnp.asarray(packed_np),
+        nt_bytes,
+    )
     words_np = packed_np.reshape(ROWS, -1).view(np.uint32)
     run(
         "decode_2bit_xla_shuffle",

@@ -94,7 +94,7 @@ def n_to_bits(seq, *, tier: str = "xla", variant: str = "mul") -> np.ndarray:
     return spec.u32_pairs_to_u64(w32)
 
 
-def bits_to_n(bits, length: int, *, tier: str = "xla", variant: str = "shuffle") -> np.ndarray:
+def bits_to_n(bits, length: int, *, tier: str = "xla", variant: str = "swar") -> np.ndarray:
     """Decode 2-bit packed u64 words to ASCII; ``length`` = nucleotide count.
 
     Raises ``ValueError`` on capacity overflow (reference panic,

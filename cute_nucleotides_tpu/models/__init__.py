@@ -46,15 +46,16 @@ class CodecConfig:
       encode_variant: packing strategy for the 2-bit encoder — "mul"
         (multiply-as-bit-shuffle, analogue of reference src/n_to_bits.rs:213)
         or "shift" (log-depth shift-OR tree, analogue of src/n_to_bits.rs:121).
-      decode_variant: "shuffle" (packed-LUT variable shift, analogue of
-        reference src/n_to_bits.rs:265) or "select" (arithmetic select tree).
+      decode_variant: "swar" (byte-parallel arithmetic, the fastest),
+        "shuffle" (packed-LUT variable shift, analogue of reference
+        src/n_to_bits.rs:265) or "select" (arithmetic select tree).
       donate: donate input buffers to the compiled call (the allocation-honest
         analogue of the reference's alloc-included benchmarks).
     """
 
     tier: str = "auto"
     encode_variant: str = "mul"
-    decode_variant: str = "shuffle"
+    decode_variant: str = "swar"
     donate: bool = False
 
     def resolved_tier(self) -> str:

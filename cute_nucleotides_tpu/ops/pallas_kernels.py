@@ -186,7 +186,7 @@ def encode_2bit_nt4(x: jax.Array, variant: str = "mul", *, interpret: bool = Fal
     )(x)
 
 
-def decode_2bit_nt4(p: jax.Array, variant: str = "shuffle", *, interpret: bool = False) -> jax.Array:
+def decode_2bit_nt4(p: jax.Array, variant: str = "swar", *, interpret: bool = False) -> jax.Array:
     """Decode packed u8[R, C] -> nt4 u32[R, C] (identity lane map)."""
     if p.dtype != jnp.uint8 or p.ndim != 2:
         raise TypeError(f"expected u8[R, C] packed input, got {p.dtype}{p.shape}")
@@ -231,7 +231,7 @@ def encode_2bit_words(x: jax.Array, variant: str = "mul", *, interpret: bool = F
     return out
 
 
-def decode_2bit_bytes(words: jax.Array, variant: str = "shuffle", *, interpret: bool = False) -> jax.Array:
+def decode_2bit_bytes(words: jax.Array, variant: str = "swar", *, interpret: bool = False) -> jax.Array:
     """Drop-in Pallas analogue of :func:`..ops.xla.decode_2bit_bytes`:
     u32[..., W] -> u8[..., 16*W]."""
     W = words.shape[-1]
@@ -247,7 +247,7 @@ def jit_encode_2bit(variant: str = "mul"):
 
 
 @functools.lru_cache(maxsize=None)
-def jit_decode_2bit(variant: str = "shuffle"):
+def jit_decode_2bit(variant: str = "swar"):
     return jax.jit(functools.partial(decode_2bit_bytes, variant=variant))
 
 
@@ -256,7 +256,7 @@ def encode_2bit(variant: str = "mul"):
     return functools.partial(encode_2bit_words, variant=variant)
 
 
-def decode_2bit(variant: str = "shuffle"):
+def decode_2bit(variant: str = "swar"):
     return functools.partial(decode_2bit_bytes, variant=variant)
 
 
@@ -830,3 +830,31 @@ def decode_b5_nt4_panels(lo: jax.Array, hi: jax.Array, *, interpret: bool = Fals
         out_shape=jax.ShapeDtypeStruct((R, B5_ROW_NT // 4), jnp.uint32),
         interpret=interpret,
     )(lo, hi, *mats)
+
+
+# ---------------------------------------------------------------------------
+# 2-bit decode, SWAR variant
+# ---------------------------------------------------------------------------
+# unpack4 via byte-parallel arithmetic inside each u32 lane instead of four
+# LUT lookups: two masked multiplies spread the four 2-bit codes to their
+# byte positions with disjoint shifted copies (codes 0,2 via *(1|1<<12),
+# codes 1,3 via *(1<<6|1<<18) — ranges never overlap, so the multiply's
+# additions cannot carry), then chars = 'AAAA' + 2*code + 15*[code==2]
+# byte-locally (A+0=A, A+2=C, A+4+15=T, A+6=G; max byte 84, no carries).
+# Roughly half the VPU ops of the shuffle variant — the TPU descendant of
+# the reference's pdep spread (src/n_to_bits.rs:327-330).
+
+_SPREAD_MUL_02 = (1 << 0) | (1 << 12)
+_SPREAD_MUL_13 = (1 << 6) | (1 << 18)
+
+
+def _unpack4_swar(b: jax.Array) -> jax.Array:
+    m1 = (b & jnp.uint32(0x33)) * jnp.uint32(_SPREAD_MUL_02)
+    m2 = (b & jnp.uint32(0xCC)) * jnp.uint32(_SPREAD_MUL_13)
+    s = (m1 | m2) & jnp.uint32(0x03030303)
+    e = (s >> 1) & (~s) & jnp.uint32(0x01010101)  # [code == 2] per byte
+    return jnp.uint32(0x41414141) + (s << 1) + e * jnp.uint32(15)
+
+
+_UNPACK4["swar"] = _unpack4_swar
+DECODE_2BIT_VARIANTS = ("shuffle", "select", "swar")

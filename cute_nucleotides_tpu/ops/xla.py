@@ -60,7 +60,7 @@ DIV5_MUL, DIV5_SHIFT = 205, 10    # t//5  == (t*205) >> 10  for t < 1024
 DIV25_MUL, DIV25_SHIFT = 41, 10   # t//25 == (t*41)  >> 10  for t < 1024
 
 ENCODE_2BIT_VARIANTS = ("shift", "mul")
-DECODE_2BIT_VARIANTS = ("shuffle", "select")
+DECODE_2BIT_VARIANTS = ("shuffle", "select", "swar")
 
 
 def _bytes_to_u32(x: jax.Array) -> jax.Array:
@@ -120,13 +120,24 @@ def _codes_to_chars_select(c: jax.Array) -> jax.Array:
     return ch
 
 
-def decode_2bit_bytes(words: jax.Array, variant: str = "shuffle") -> jax.Array:
+def _codes_to_chars_swar(b: jax.Array) -> jax.Array:
+    """All 4 chars at once via byte-parallel SWAR (see pallas_kernels)."""
+    m1 = (b & jnp.uint32(0x33)) * jnp.uint32((1 << 0) | (1 << 12))
+    m2 = (b & jnp.uint32(0xCC)) * jnp.uint32((1 << 6) | (1 << 18))
+    s = (m1 | m2) & jnp.uint32(0x03030303)
+    e = (s >> 1) & (~s) & jnp.uint32(0x01010101)
+    return jnp.uint32(0x41414141) + (s << 1) + e * jnp.uint32(15)
+
+
+def decode_2bit_bytes(words: jax.Array, variant: str = "swar") -> jax.Array:
     """Decode packed u32[..., W] to ASCII u8[..., W*16] (full blocks).
 
     Callers truncate to the logical nucleotide count (the packed stream does
     not self-terminate; contract of reference src/n_to_bits.rs:51,150-151).
     """
     b = _u32_to_bytes(words).astype(jnp.uint32)  # one packed byte (4 nt)/lane
+    if variant == "swar":
+        return _u32_to_bytes(_codes_to_chars_swar(b))
     to_chars = {
         "shuffle": _codes_to_chars_shuffle,
         "select": _codes_to_chars_select,

@@ -101,7 +101,7 @@ def data_parallel_decode(
     *,
     mesh: Mesh | None = None,
     codec: str = "2bit",
-    variant: str = "shuffle",
+    variant: str = "swar",
     tier: str = "xla",
     gather: bool = False,
 ) -> jax.Array:
@@ -126,7 +126,7 @@ class ShardedCodec:
         *,
         mesh: Mesh | None = None,
         variant: str = "mul",
-        decode_variant: str = "shuffle",
+        decode_variant: str = "swar",
         tier: str = "xla",
     ):
         self.mesh = mesh if mesh is not None else mesh_lib.default_mesh()

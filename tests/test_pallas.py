@@ -33,7 +33,7 @@ def test_encode_2bit_nt4_matches_oracle(rng, variant):
     assert np.array_equal(got, oracle.n_to_bits_lut(s))
 
 
-@pytest.mark.parametrize("variant", ["shuffle", "select"])
+@pytest.mark.parametrize("variant", ["shuffle", "select", "swar"])
 def test_decode_2bit_nt4_matches_oracle(rng, variant):
     n = 4096 * 4
     s = _rand_seq(rng, n)
