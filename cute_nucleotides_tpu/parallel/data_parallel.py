@@ -26,11 +26,14 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from ..models import _default_tier
 from ..ops import xla
 from . import mesh as mesh_lib
 
 
 def _encode_fn(codec: str, variant: str, tier: str):
+    if tier == "auto":
+        tier = _default_tier()
     if tier == "pallas":
         from ..ops import pallas_kernels as pk
 
@@ -43,6 +46,8 @@ def _encode_fn(codec: str, variant: str, tier: str):
 
 
 def _decode_fn(codec: str, variant: str, tier: str):
+    if tier == "auto":
+        tier = _default_tier()
     if tier == "pallas":
         from ..ops import pallas_kernels as pk
 
@@ -82,7 +87,7 @@ def data_parallel_encode(
     mesh: Mesh | None = None,
     codec: str = "2bit",
     variant: str = "mul",
-    tier: str = "xla",
+    tier: str = "auto",
     gather: bool = False,
 ) -> jax.Array:
     """Encode u8[B, L] with B sharded over the mesh's data axis.
@@ -102,7 +107,7 @@ def data_parallel_decode(
     mesh: Mesh | None = None,
     codec: str = "2bit",
     variant: str = "swar",
-    tier: str = "xla",
+    tier: str = "auto",
     gather: bool = False,
 ) -> jax.Array:
     """Decode packed u32[B, W] with B sharded over the mesh's data axis."""
@@ -127,7 +132,7 @@ class ShardedCodec:
         mesh: Mesh | None = None,
         variant: str = "mul",
         decode_variant: str = "swar",
-        tier: str = "xla",
+        tier: str = "auto",
     ):
         self.mesh = mesh if mesh is not None else mesh_lib.default_mesh()
         self.codec = codec

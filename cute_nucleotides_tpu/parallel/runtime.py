@@ -57,7 +57,7 @@ class StreamConfig:
     batch_size: int = 1024
     max_len: int = 2048
     codec: str = "2bit"
-    tier: str = "xla"
+    tier: str = "auto"
     variant: str = "mul"
     gather: bool = False
     manifest_path: str | None = None

@@ -27,7 +27,7 @@ class TestGoldenVectors:
             np.array([0b11011000], dtype=np.uint64),
         )
 
-    @pytest.mark.parametrize("variant", ["shuffle", "select"])
+    @pytest.mark.parametrize("variant", ["shuffle", "select", "swar"])
     def test_decode_2bit(self, variant):
         assert bytes(api.bits_to_n(GOLDEN_2BIT_32, 32, variant=variant)) == SEQ32
 
@@ -51,7 +51,7 @@ class TestOracleParity:
         )
 
     @pytest.mark.parametrize("n", [1, 31, 32, 33, 64, 100])
-    @pytest.mark.parametrize("variant", ["shuffle", "select"])
+    @pytest.mark.parametrize("variant", ["shuffle", "select", "swar"])
     def test_decode_2bit_parity(self, rng, n, variant):
         seq = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n)
         enc = oracle.n_to_bits_lut(seq)
