@@ -37,10 +37,19 @@ def _as_u8(seq) -> np.ndarray:
 
 
 def _pad_to(a: np.ndarray, block: int, fill: int = ord("A")) -> np.ndarray:
-    rem = (-a.size) % block
-    if rem == 0:
+    """Pad to a *bucketed* block-multiple length.
+
+    Device calls compile per shape, so arbitrary read lengths would trigger a
+    compilation each; bucketing to the next power-of-two block count bounds
+    the number of compiled shapes to ~log2(max_len) while output words beyond
+    the logical count are sliced off by the callers.
+    """
+    blocks = max(-(-a.size // block), 1)
+    bucket = 1 << (blocks - 1).bit_length()
+    target = bucket * block
+    if target == a.size:
         return a
-    return np.concatenate([a, np.full(rem, fill, dtype=np.uint8)])
+    return np.concatenate([a, np.full(target - a.size, fill, dtype=np.uint8)])
 
 
 @functools.lru_cache(maxsize=None)
@@ -91,7 +100,7 @@ def n_to_bits(seq, *, tier: str = "xla", variant: str = "mul") -> np.ndarray:
     if x.size == 0:
         return np.zeros(0, dtype=np.uint64)
     w32 = np.asarray(_encode_fn_2bit(tier, variant)(jnp.asarray(x)))
-    return spec.u32_pairs_to_u64(w32)
+    return spec.u32_pairs_to_u64(w32)[: spec.num_words_2bit(n.size)]
 
 
 def bits_to_n(bits, length: int, *, tier: str = "xla", variant: str = "swar") -> np.ndarray:
@@ -109,6 +118,9 @@ def bits_to_n(bits, length: int, *, tier: str = "xla", variant: str = "swar") ->
         return oracle.bits_to_n_lut(bits, length)
     if bits.size == 0:
         return np.zeros(0, dtype=np.uint8)
+    bucket = 1 << (bits.size - 1).bit_length()
+    if bucket != bits.size:
+        bits = np.concatenate([bits, np.zeros(bucket - bits.size, np.uint64)])
     w32 = jnp.asarray(spec.u64_to_u32_pairs(bits).reshape(-1))
     out = np.asarray(_decode_fn_2bit(tier, variant)(w32))
     return out[:length]
@@ -132,7 +144,7 @@ def n_to_bits2(seq, *, tier: str = "xla") -> np.ndarray:
     else:
         fn = _jit_encode_b5()
     w32 = np.asarray(fn(jnp.asarray(x)))
-    return spec.u32_pairs_to_u64(w32)
+    return spec.u32_pairs_to_u64(w32)[: spec.num_words_b5(n.size)]
 
 
 def bits_to_n2(bits, length: int, *, tier: str = "xla") -> np.ndarray:
@@ -150,6 +162,9 @@ def bits_to_n2(bits, length: int, *, tier: str = "xla") -> np.ndarray:
         return oracle.bits_to_n2_lut(bits, length)
     if bits.size == 0:
         return np.zeros(0, dtype=np.uint8)
+    bucket = 1 << (bits.size - 1).bit_length()
+    if bucket != bits.size:
+        bits = np.concatenate([bits, np.zeros(bucket - bits.size, np.uint64)])
     if tier == "pallas":
         from .ops import pallas_kernels
 

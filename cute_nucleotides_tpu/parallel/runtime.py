@@ -76,7 +76,9 @@ class StreamingEncoder:
         self.config = config
         self.host_id = jax.process_index()
         self.num_hosts = jax.process_count()
-        self.mesh = mesh_lib.default_mesh()
+        # the pipeline is collective-free across hosts (records are sharded
+        # host-side), so the device mesh spans only this host's devices
+        self.mesh = mesh_lib.make_mesh(devices=jax.local_devices())
         self.sharded = data_parallel.ShardedCodec(
             config.codec,
             mesh=self.mesh,
