@@ -762,6 +762,21 @@ def _b5_dec_scatter_nt4():
     return np.asarray(s, dtype=jnp.bfloat16)
 
 
+def _swar_digits_to_chars(s: jax.Array) -> jax.Array:
+    """Packed digits (4 per u32 lane, each byte 0..4) -> packed ASCII.
+
+    Byte-parallel: char = 'A' + 2*d + 15*[d==2] + 5*[d==4]
+    (A+0=A, A+2=C, A+4+15=T, A+6=G, A+8+5=N; no byte sum can carry).
+    """
+    one = jnp.uint32(0x01010101)
+    s2 = s >> 2
+    e2 = (s >> 1) & (~s) & (~s2) & one  # [d == 2]
+    e4 = s2 & one                        # [d == 4]
+    return (
+        jnp.uint32(0x41414141) + (s << 1) + e2 * jnp.uint32(15) + e4 * jnp.uint32(5)
+    )
+
+
 def _decode_b5_nt4_kernel(lo_ref, hi_ref, pa_ref, pb_ref, s_ref, o_ref):
     lo = lo_ref[:]
     hi = hi_ref[:]
@@ -784,21 +799,19 @@ def _decode_b5_nt4_kernel(lo_ref, hi_ref, pa_ref, pb_ref, s_ref, o_ref):
         t = ((ai >> svec) | (bi << (16 - svec))) & 0x7F
         q5 = (t * 205) >> 10
         q25 = (t * 41) >> 10
-        chars = jnp.concatenate(
-            [
-                _digits_to_chars(t - 5 * q5),
-                _digits_to_chars(q5 - 5 * q25),
-                _digits_to_chars(q25),
-            ],
-            axis=1,
+        # scatter DIGITS (<= 4, bf16-exact); ASCII conversion happens
+        # byte-parallel on the packed nt4 lanes afterwards (far fewer regs)
+        digs = jnp.concatenate(
+            [t - 5 * q5, q5 - 5 * q25, q25], axis=1
         ).astype(jnp.bfloat16)
         z = jnp.dot(
-            chars, s_ref[:], preferred_element_type=jnp.float32
+            digs, s_ref[:], preferred_element_type=jnp.float32
         ).astype(jnp.int32).astype(jnp.uint32)
-        o_ref[:, 108 * g : 108 * (g + 1)] = (
+        packed_digits = (
             jax.lax.slice(z, (0, 0), (rb, 108))
             | (jax.lax.slice(z, (0, 128), (rb, 236)) << 16)
         )
+        o_ref[:, 108 * g : 108 * (g + 1)] = _swar_digits_to_chars(packed_digits)
 
 
 def decode_b5_nt4_panels(lo: jax.Array, hi: jax.Array, *, interpret: bool = False) -> jax.Array:
