@@ -231,6 +231,10 @@ def main() -> int:
                 "value": round(best_encode, 3),
                 "unit": "GiB/s",
                 "vs_baseline": round(best_encode / REF_BEST_ENCODE_GIBS, 3),
+                "gbps_per_chip": round(best_encode * 2**30 / 1e9, 1),
+                "vs_device_memcpy": round(ratio_memcpy, 3),
+                "vs_reference_memcpy": round(best_encode / REF_MEMCPY_GIBS, 2),
+                "chips": 1,
                 "detail": {k: round(v, 3) for k, v in results.items()},
             }
         )
