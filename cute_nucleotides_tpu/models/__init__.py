@@ -147,6 +147,20 @@ class TwoBitCodec(_CodecBase):
         """u32[..., W] -> u8[..., 16*W] (full blocks; caller truncates)."""
         return self._decode(words)
 
+    def encode_nt4(self, nt4: jax.Array) -> jax.Array:
+        """Fast path: nt4 u32[R, C] (4 ASCII bytes/lane, a free host view of
+        the byte stream) -> packed u8[R, C].  Skips the device-side bitcast
+        the u8[B, L] path needs; see ops/pallas_kernels.encode_2bit_nt4."""
+        from ..ops import pallas_kernels as pk
+
+        return pk.jit_encode_2bit_nt4(self.config.encode_variant)(nt4)
+
+    def decode_nt4(self, packed: jax.Array) -> jax.Array:
+        """Fast path: packed u8[R, C] -> nt4 u32[R, C]."""
+        from ..ops import pallas_kernels as pk
+
+        return pk.jit_decode_2bit_nt4(self.config.decode_variant)(packed)
+
     def words_per_read(self, length: int) -> int:
         return 2 * spec.num_words_2bit(length)  # u32 count
 

@@ -52,10 +52,6 @@ from . import spec, xla
 # Tiling policy
 # ---------------------------------------------------------------------------
 
-#: default lane width (u32 lanes) for flat-stream panels: 512 lanes = 2 KiB
-#: per row = 2048 nt
-PANEL_LANES = 512
-
 #: VMEM budget per buffered copy of (input tile + output tile); Mosaic
 #: double-buffers both across grid steps, and the core has ~16 MiB of VMEM,
 #: so keep one copy well under half of that.
@@ -239,6 +235,16 @@ def decode_2bit_bytes(words: jax.Array, variant: str = "swar", *, interpret: boo
     p = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(-1, W * 4)
     nt4 = decode_2bit_nt4(p, variant, interpret=interpret)  # u32[R, 4W]
     return jax.lax.bitcast_convert_type(nt4, jnp.uint8).reshape(*lead, 16 * W)
+
+
+@functools.lru_cache(maxsize=None)
+def jit_encode_2bit_nt4(variant: str = "mul"):
+    return jax.jit(functools.partial(encode_2bit_nt4, variant=variant))
+
+
+@functools.lru_cache(maxsize=None)
+def jit_decode_2bit_nt4(variant: str = "swar"):
+    return jax.jit(functools.partial(decode_2bit_nt4, variant=variant))
 
 
 @functools.lru_cache(maxsize=None)

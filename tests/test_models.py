@@ -66,3 +66,18 @@ def test_config_resolution():
     assert cfg.resolved_tier() in ("xla", "pallas")
     assert TwoBitCodec(tier="xla").tier == "xla"
     assert TwoBitCodec(CodecConfig(tier="xla"), encode_variant="shift").config.encode_variant == "shift"
+
+
+def test_nt4_fast_path_roundtrip(rng):
+    import jax
+
+    codec = TwoBitCodec(tier="xla")  # tier only affects u8-path; nt4 is pallas
+    s = rng.choice(np.frombuffer(b"ACGTUacgtu", np.uint8), size=8 * 512 * 4)
+    nt4 = jnp.asarray(s.view(np.uint32).reshape(8, 512))
+    # on CPU the pallas kernels auto-interpret
+    packed = codec.encode_nt4(nt4)
+    back = np.asarray(codec.decode_nt4(packed))
+    want = np.frombuffer(
+        bytes(s).upper().replace(b"U", b"T"), np.uint8
+    ).view(np.uint32).reshape(8, 512)
+    assert np.array_equal(back, want)
