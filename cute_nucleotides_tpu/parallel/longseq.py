@@ -68,7 +68,9 @@ def _pad_and_stack(seq: np.ndarray, points: list[int], block: int) -> tuple[np.n
 @functools.lru_cache(maxsize=None)
 def _jit_shard_encode(codec: str, mesh: Mesh, gather: bool):
     axis = mesh_lib.SEQ_AXIS
-    fn = xla.encode_2bit_words if codec == "2bit" else xla.encode_b5_words
+    from . import data_parallel
+
+    fn = data_parallel._encode_fn(codec, "mul", "auto")
 
     def per_shard(x):  # x: u8[1, Lmax] on each device
         out = fn(x)
@@ -138,7 +140,9 @@ def encode_long_b5(seq, *, mesh: Mesh | None = None) -> np.ndarray:
 @functools.lru_cache(maxsize=None)
 def _jit_shard_decode(codec: str, mesh: Mesh):
     axis = mesh_lib.SEQ_AXIS
-    fn = xla.decode_2bit_bytes if codec == "2bit" else xla.decode_b5_bytes
+    from . import data_parallel
+
+    fn = data_parallel._decode_fn(codec, "swar", "auto")
 
     return jax.jit(
         shard_map(

@@ -50,3 +50,19 @@ def test_cli_parity_gate(capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip())
     assert out["parity"] == "PASS"
+
+
+def test_nup_rejects_garbage(tmp_path):
+    p = tmp_path / "bad.nup"
+    p.write_bytes(b"NOPE1234")
+    with pytest.raises(ValueError):
+        cli.read_nup(str(p))
+
+
+def test_nup_rejects_bad_version(tmp_path):
+    import struct
+
+    p = tmp_path / "v9.nup"
+    p.write_bytes(cli.MAGIC + struct.pack("<IB3x", 99, 2) + struct.pack("<Q", 0))
+    with pytest.raises(ValueError):
+        cli.read_nup(str(p))
