@@ -30,15 +30,8 @@ MAGIC = b"NUPK"
 VERSION = 1
 
 
-def _codec_mod():
-    from .ops import spec
-
-    return spec
-
-
 def write_nup(path: str, names: list[bytes], seqs_words: list[np.ndarray],
               lengths: list[int], codec: str) -> None:
-    spec = _codec_mod()
     code = 2 if codec == "2bit" else 5
     with open(path, "wb") as f:
         f.write(MAGIC)
@@ -50,11 +43,11 @@ def write_nup(path: str, names: list[bytes], seqs_words: list[np.ndarray],
             f.write(name)
         for words in seqs_words:
             f.write(np.ascontiguousarray(words, dtype="<u8").tobytes())
-    del spec
 
 
 def read_nup(path: str):
-    spec = _codec_mod()
+    from .ops import spec
+
     with open(path, "rb") as f:
         if f.read(4) != MAGIC:
             raise ValueError("not a .nup file")
@@ -135,7 +128,6 @@ def cmd_parity(args) -> int:
     rng = np.random.default_rng(args.seed)
     alpha = np.frombuffer(b"ACGTUacgtu", np.uint8)
     alpha_n = np.frombuffer(b"ACGTUNacgtun", np.uint8)
-    any_bytes = None
     tiers = args.tiers.split(",")
     failures = 0
     for trial in range(args.trials):
@@ -144,8 +136,6 @@ def cmd_parity(args) -> int:
         s = rng.choice(alpha_n if kind == 1 else alpha, size=n)
         if kind == 2:
             s = rng.integers(0, 256, size=n, dtype=np.int64).astype(np.uint8)
-        del any_bytes
-        any_bytes = s
         w_ref = oracle.n_to_bits_lut(s)
         w5_ref = oracle.n_to_bits2_lut(s)
         checks = [("native", native.n_to_bits(s), w_ref),
@@ -158,7 +148,6 @@ def cmd_parity(args) -> int:
                 print(f"PARITY FAIL [{label}] n={n} trial={trial}", file=sys.stderr)
                 failures += 1
         # decode roundtrip
-        want_seq = bytes(s[: n]).upper().replace(b"U", b"T") if kind != 2 else None
         for tier in tiers:
             back = api.bits_to_n(w_ref, n, tier=tier)
             if not np.array_equal(back, oracle.bits_to_n_lut(w_ref, n)):
@@ -168,7 +157,6 @@ def cmd_parity(args) -> int:
             if not np.array_equal(back5, oracle.bits_to_n2_lut(w5_ref, n)):
                 print(f"PARITY FAIL [decode-{tier}-b5] n={n}", file=sys.stderr)
                 failures += 1
-        del want_seq
     status = "PASS" if failures == 0 else "FAIL"
     print(json.dumps({"parity": status, "trials": args.trials, "failures": failures}))
     return 0 if failures == 0 else 1

@@ -58,15 +58,15 @@ def _one_hot_planes(reads: jax.Array) -> jax.Array:
     return oh.reshape(reads.shape[0], reads.shape[1] * 4)
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def pairwise_hamming(reads: jax.Array, block: int = 0) -> jax.Array:
+@jax.jit
+def pairwise_hamming(reads: jax.Array) -> jax.Array:
     """All-pairs nt Hamming distances for a batch: u8[B, L] -> i32[B, B].
 
     One MXU matmul: matching positions are the dot product of one-hot code
     planes; distance = L - matches.  Exact (f32 accumulation of 0/1
     products) for ``L < 2**24``.
     """
-    B, L = reads.shape
+    L = reads.shape[1]
     a = _one_hot_planes(reads)
     matches = jnp.dot(a, a.T, preferred_element_type=jnp.float32)
     return (L - matches).astype(jnp.int32)

@@ -29,7 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..ops import spec, xla
+from ..ops import spec
 from . import mesh as mesh_lib
 
 

@@ -21,7 +21,6 @@ from typing import Callable, Iterable
 import jax
 import numpy as np
 
-from ..models import CodecConfig
 from ..utils import checkpoint as ckpt_lib
 from ..utils import io as io_lib
 from ..utils import metrics as metrics_lib
