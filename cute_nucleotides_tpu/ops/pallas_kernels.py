@@ -671,13 +671,22 @@ def encode_2bit_nt4_mxu(x: jax.Array, *, interpret: bool = False) -> jax.Array:
 
 @functools.lru_cache(maxsize=None)
 def _b5_enc_mat_v2():
-    """digits (432,) -> chunks (48,): cols [g0(16) | g1(16) | g2(16)]."""
-    m = np.zeros((B5_SLICE_NT, 48), np.float32)
-    for w in range(B5_SLICE_WORDS):
+    """digits (3456,) -> chunks (384,): register-aligned column blocks
+    [g0 (128) | g1 (128) | g2 (128)], one column per word of the row.
+
+    One full-row matmul so the kernel needs NO sub-register lane slices or
+    16-lane stores: an earlier per-slice version extracted g-chunks at
+    16-lane offsets and Mosaic miscompiled the slice+shift+or+narrow-store
+    sequence for rare inputs (dropped low bits of g1 on specific lanes).
+    The matrix is block-diagonal (dense cost ~2.7x the minimal matmul) but
+    the kernel stays VPU-bound, so this is free in practice.
+    """
+    m = np.zeros((B5_ROW_NT, 3 * B5_ROW_WORDS), np.float32)
+    for w in range(B5_ROW_WORDS):
         for j in range(9):
             c = j // 3
             for k in range(3):
-                m[27 * w + 3 * j + k, 16 * c + w] = (1, 5, 25)[k] * (
+                m[27 * w + 3 * j + k, 128 * c + w] = (1, 5, 25)[k] * (
                     1 << (7 * (j - 3 * c))
                 )
     return np.asarray(m, dtype=jnp.bfloat16)
@@ -688,19 +697,14 @@ def _encode_b5_v2_kernel(x_ref, m_ref, lo_ref, hi_ref):
     idx = x & 7
     digits = (jnp.int32(spec.DIGIT_LUT8_U32) >> (idx << 2)) & 0xF
     d = digits.astype(jnp.bfloat16)
-    rb = d.shape[0]
-    for g in range(B5_SLICES):
-        d_g = jax.lax.slice(
-            d, (0, B5_SLICE_NT * g), (rb, B5_SLICE_NT * (g + 1))
-        )
-        gc = jnp.dot(
-            d_g, m_ref[:], preferred_element_type=jnp.float32
-        ).astype(jnp.int32).astype(jnp.uint32)
-        g0 = gc[:, :16]
-        g1 = gc[:, 16:32]
-        g2 = gc[:, 32:48]
-        lo_ref[:, 16 * g : 16 * (g + 1)] = g0 | ((g1 & jnp.uint32(0x7FF)) << 21)
-        hi_ref[:, 16 * g : 16 * (g + 1)] = (g1 >> 11) | (g2 << 10)
+    gc = jnp.dot(
+        d, m_ref[:], preferred_element_type=jnp.float32
+    ).astype(jnp.int32).astype(jnp.uint32)
+    g0 = gc[:, :128]
+    g1 = gc[:, 128:256]
+    g2 = gc[:, 256:384]
+    lo_ref[:] = g0 | ((g1 & jnp.uint32(0x7FF)) << 21)
+    hi_ref[:] = (g1 >> 11) | (g2 << 10)
 
 
 def encode_b5_planar(x: jax.Array, *, interpret: bool = False):

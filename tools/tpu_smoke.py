@@ -1,0 +1,128 @@
+"""Real-TPU smoke: compile and bit-exactness of every device kernel.
+
+The pytest suite pins kernel math on a virtual CPU mesh (fast, deterministic);
+this script is the real-hardware gate — it compiles every Pallas kernel and
+variant on the attached TPU and asserts bit-exact parity with the NumPy
+oracle plus full roundtrips.  Exits non-zero on any mismatch.
+
+    PYTHONPATH=. python tools/tpu_smoke.py
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from cute_nucleotides_tpu import api
+    from cute_nucleotides_tpu.ops import (
+        distance,
+        oracle,
+        pallas_kernels as pk,
+        seqops,
+        spec,
+        validate,
+        xla,
+    )
+
+    dev = jax.devices()[0]
+    print(f"device: {dev} ({dev.platform})", file=sys.stderr)
+    rng = np.random.default_rng(0xE2E)
+    checks = 0
+
+    def ok(name, cond):
+        nonlocal checks
+        checks += 1
+        if not cond:
+            print(f"FAIL: {name}", file=sys.stderr)
+            sys.exit(1)
+        print(f"ok: {name}", file=sys.stderr)
+
+    # --- 2-bit kernels, all variants ----------------------------------------
+    s = rng.choice(np.frombuffer(b"ACGTUacgtu", np.uint8), size=64 * 2048 * 4)
+    nt4 = jnp.asarray(s.view(np.uint32).reshape(64, 2048))
+    want_w = oracle.n_to_bits_lut(s)
+    for variant in ("mul", "shift"):
+        packed = np.asarray(jax.jit(lambda x, v=variant: pk.encode_2bit_nt4(x, v))(nt4))
+        got = spec.u32_pairs_to_u64(np.ascontiguousarray(packed.reshape(-1)).view(np.uint32))
+        ok(f"pallas encode_2bit[{variant}]", np.array_equal(got, want_w))
+    words_mxu = np.asarray(jax.jit(pk.encode_2bit_nt4_mxu)(nt4))
+    ok(
+        "pallas encode_2bit[mxu]",
+        np.array_equal(
+            spec.u32_pairs_to_u64(np.ascontiguousarray(words_mxu.reshape(-1))), want_w
+        ),
+    )
+    p = jnp.asarray(spec.u64_to_u32_pairs(want_w).reshape(-1).view(np.uint8).reshape(64, 2048))
+    want_seq = oracle.bits_to_n_lut(want_w, s.size)
+    for variant in ("swar", "shuffle", "select"):
+        nt4_out = np.asarray(jax.jit(lambda x, v=variant: pk.decode_2bit_nt4(x, v))(p))
+        got = np.ascontiguousarray(nt4_out.reshape(-1)).view(np.uint8)
+        ok(f"pallas decode_2bit[{variant}]", np.array_equal(got, want_seq))
+
+    # --- base-5 kernels ------------------------------------------------------
+    s5 = rng.choice(np.frombuffer(b"ACGTUNacgtun", np.uint8), size=4 * pk.B5_ROW_NT)
+    x5 = jnp.asarray(s5.reshape(4, pk.B5_ROW_NT))
+    want5 = oracle.n_to_bits2_lut(s5)
+    got5 = np.asarray(jax.jit(pk.encode_b5_panels_v2)(x5))
+    ok(
+        "pallas encode_b5 v2",
+        np.array_equal(spec.u32_pairs_to_u64(np.ascontiguousarray(got5.reshape(-1))), want5),
+    )
+    lo, hi = jax.jit(pk.encode_b5_planar)(x5)
+    want_seq5 = oracle.bits_to_n2_lut(want5, s5.size)
+    nt4_5 = np.asarray(jax.jit(pk.decode_b5_nt4_panels)(lo, hi))
+    ok(
+        "pallas decode_b5 v3 (nt4)",
+        np.array_equal(np.ascontiguousarray(nt4_5.reshape(-1)).view(np.uint8), want_seq5),
+    )
+    u8_5 = np.asarray(jax.jit(pk.decode_b5_panels)(lo, hi))
+    ok("pallas decode_b5 v1 (u8)", np.array_equal(u8_5.reshape(-1), want_seq5))
+
+    # --- api surface (golden vectors + ragged roundtrips) --------------------
+    for tier in ("oracle", "xla", "pallas"):
+        w = api.n_to_bits(b"ATCG" * 8, tier=tier)
+        ok(f"api golden 2bit[{tier}]", w.tolist() == [0xD8D8D8D8D8D8D8D8])
+        w2 = api.n_to_bits2(b"ATCGN" * 7, tier=tier)
+        ok(
+            f"api golden b5[{tier}]",
+            w2[0] == 0x36A45D1F46D48BA3 and w2[1] == 0x5D1F4,
+        )
+    for n in (1, 27, 31, 33, 12345):
+        t = rng.choice(np.frombuffer(b"ACGTUNacgtun", np.uint8), size=n)
+        w = api.n_to_bits2(t, tier="pallas")
+        back = api.bits_to_n2(w, n, tier="pallas")
+        ok(f"api b5 roundtrip n={n}", bytes(back) == bytes(t).upper().replace(b"U", b"T"))
+
+    # --- extras ---------------------------------------------------------------
+    w32 = jnp.asarray(spec.u64_to_u32_pairs(want_w).reshape(-1))
+    ok(
+        "gc_content_packed",
+        int(seqops.gc_content_packed(w32))
+        == sum(1 for c in bytes(want_seq) if c in b"CG"),
+    )
+    rc = np.asarray(seqops.revcomp_packed(w32, s.size))
+    comp = bytes(want_seq).translate(bytes.maketrans(b"ACGT", b"TGCA"))[::-1]
+    want_rc = oracle.n_to_bits_lut(np.frombuffer(comp, np.uint8))
+    ok(
+        "revcomp_packed",
+        np.array_equal(spec.u32_pairs_to_u64(rc[: 2 * want_rc.size]), want_rc),
+    )
+    ok("validate.first_invalid", int(validate.jit_first_invalid()(jnp.asarray(
+        np.frombuffer(b"ACGTXACGT", np.uint8)))) == 4)
+    small = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(4, 64))
+    d = np.asarray(distance.pairwise_hamming(jnp.asarray(small)))
+    ok("pairwise_hamming diag", (np.diag(d) == 0).all())
+
+    print(f"TPU SMOKE PASS ({checks} checks)", file=sys.stderr)
+    print('{"tpu_smoke": "PASS", "checks": %d}' % checks)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
