@@ -196,6 +196,12 @@ def main() -> int:
         (jnp.asarray(lo), jnp.asarray(hi)),
         nt_b5_panels,
     )
+    run(
+        "decode_b5_pallas_nt4",
+        chained2(pk.decode_b5_nt4_panels),
+        (jnp.asarray(lo), jnp.asarray(hi)),
+        nt_b5_panels,
+    )
     x_b5 = rng.choice(alphabet_n, size=(ROWS, NT_PER_ROW_B5))
     run(
         "encode_b5_xla",
