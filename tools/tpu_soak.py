@@ -1,0 +1,107 @@
+"""Randomized hardware soak: varied shapes and data through every kernel.
+
+The Pallas kernels are bit-exact in interpret mode by construction; real
+Mosaic lowering is the residual risk (a sub-register store sequence in an
+early base-5 encode was miscompiled for rare inputs).  This soak drives the
+compiled kernels across a grid of row counts (including non-block multiples
+that exercise grid padding), lane widths, and random seeds, asserting oracle
+parity on every byte.
+
+    PYTHONPATH=. python tools/tpu_soak.py --rounds 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--rounds", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from cute_nucleotides_tpu.ops import oracle, pallas_kernels as pk, spec
+
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    rng = np.random.default_rng(args.seed)
+    alpha = np.frombuffer(b"ACGTUacgtu", np.uint8)
+    alpha_n = np.frombuffer(b"ACGTUNacgtun", np.uint8)
+
+    enc2 = {v: jax.jit(lambda w, v=v: pk.encode_2bit_nt4(w, v)) for v in ("mul", "shift")}
+    dec2 = {v: jax.jit(lambda q, v=v: pk.decode_2bit_nt4(q, v)) for v in ("swar", "shuffle", "select")}
+    enc2_mxu = jax.jit(pk.encode_2bit_nt4_mxu)
+    enc5 = jax.jit(pk.encode_b5_planar)
+    dec5_nt4 = jax.jit(pk.decode_b5_nt4_panels)
+    dec5_u8 = jax.jit(pk.decode_b5_panels)
+
+    shapes_2bit = [(8, 512), (13, 512), (100, 2048), (256, 1024), (32, 512 * 7)]
+    rows_b5 = [1, 3, 8, 23, 64]
+    failures = 0
+    t0 = time.time()
+
+    for rnd in range(args.rounds):
+        # --- 2-bit ----------------------------------------------------------
+        for R, C in shapes_2bit:
+            s = rng.choice(alpha, size=R * C * 4)
+            want_w = oracle.n_to_bits_lut(s)
+            want_seq = oracle.bits_to_n_lut(want_w, s.size)
+            nt4 = jnp.asarray(s.view(np.uint32).reshape(R, C))
+            for v, fn in enc2.items():
+                got = np.ascontiguousarray(np.asarray(fn(nt4)).reshape(-1)).view(np.uint32)
+                if not np.array_equal(spec.u32_pairs_to_u64(got), want_w):
+                    print(f"FAIL enc2[{v}] {R}x{C} round {rnd}", file=sys.stderr)
+                    failures += 1
+            if C % 512 == 0:
+                got = np.ascontiguousarray(np.asarray(enc2_mxu(nt4)).reshape(-1))
+                if not np.array_equal(spec.u32_pairs_to_u64(got), want_w):
+                    print(f"FAIL enc2[mxu] {R}x{C} round {rnd}", file=sys.stderr)
+                    failures += 1
+            packed = jnp.asarray(
+                spec.u64_to_u32_pairs(want_w).reshape(-1).view(np.uint8).reshape(R, C)
+            )
+            for v, fn in dec2.items():
+                got = np.ascontiguousarray(np.asarray(fn(packed)).reshape(-1)).view(np.uint8)
+                if not np.array_equal(got, want_seq):
+                    print(f"FAIL dec2[{v}] {R}x{C} round {rnd}", file=sys.stderr)
+                    failures += 1
+
+        # --- base-5 ---------------------------------------------------------
+        for R in rows_b5:
+            s = rng.choice(alpha_n, size=R * pk.B5_ROW_NT)
+            want_w = oracle.n_to_bits2_lut(s)
+            want_seq = oracle.bits_to_n2_lut(want_w, s.size)
+            lo, hi = enc5(jnp.asarray(s.reshape(R, pk.B5_ROW_NT)))
+            lo_np, hi_np = np.asarray(lo), np.asarray(hi)
+            got_w = (lo_np.astype(np.uint64) | (hi_np.astype(np.uint64) << 32)).reshape(-1)
+            if not np.array_equal(got_w, want_w):
+                print(f"FAIL enc5 R={R} round {rnd}", file=sys.stderr)
+                failures += 1
+            got = np.ascontiguousarray(np.asarray(dec5_nt4(lo, hi)).reshape(-1)).view(np.uint8)
+            if not np.array_equal(got, want_seq):
+                print(f"FAIL dec5[nt4] R={R} round {rnd}", file=sys.stderr)
+                failures += 1
+            got = np.asarray(dec5_u8(lo, hi)).reshape(-1)
+            if not np.array_equal(got, want_seq):
+                print(f"FAIL dec5[u8] R={R} round {rnd}", file=sys.stderr)
+                failures += 1
+        print(
+            f"round {rnd + 1}/{args.rounds} done ({time.time() - t0:.0f}s, "
+            f"{failures} failures)",
+            file=sys.stderr,
+        )
+
+    status = "PASS" if failures == 0 else "FAIL"
+    print(f'{{"tpu_soak": "{status}", "rounds": {args.rounds}, "failures": {failures}}}')
+    return 0 if failures == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
