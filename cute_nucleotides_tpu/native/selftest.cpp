@@ -1,0 +1,105 @@
+// Self-test for the native host oracle, intended to run under sanitizers.
+//
+// The reference's scalar tier rests on heavy `unsafe` (raw alloc,
+// get_unchecked, unions — reference README.md:17-18); this framework's host
+// oracle is plain C++ and this binary exercises it end-to-end so CI can run
+// it under AddressSanitizer/UBSan (see the Makefile next to it):
+//
+//   make -C cute_nucleotides_tpu/native asan-check
+//
+// Checks: the reference's golden vectors (src/n_to_bits.rs:413-417,
+// src/n_to_bits2.rs:275-279), roundtrips at every length 0..200 (all
+// residues mod 32 and mod 27), and arbitrary-byte inputs.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+void cutenuc_n_to_bits(const uint8_t*, size_t, uint64_t*);
+void cutenuc_bits_to_n(const uint64_t*, size_t, uint8_t*);
+void cutenuc_n_to_bits2(const uint8_t*, size_t, uint64_t*);
+void cutenuc_bits_to_n2(const uint64_t*, size_t, uint8_t*);
+long long cutenuc_find_invalid(const uint8_t*, size_t, int);
+}
+
+static int failures = 0;
+
+#define CHECK(cond, msg)                                   \
+  do {                                                     \
+    if (!(cond)) {                                         \
+      std::fprintf(stderr, "FAIL: %s\n", msg);             \
+      ++failures;                                          \
+    }                                                      \
+  } while (0)
+
+static uint8_t norm(uint8_t c) {
+  uint8_t u = c & 0xDF;
+  return u == 'U' ? 'T' : u;
+}
+
+int main() {
+  // golden vectors
+  {
+    std::vector<uint8_t> s;
+    for (int i = 0; i < 8; ++i) s.insert(s.end(), {'A', 'T', 'C', 'G'});
+    uint64_t w[1] = {0};
+    cutenuc_n_to_bits(s.data(), s.size(), w);
+    CHECK(w[0] == 0xD8D8D8D8D8D8D8D8ULL, "2-bit golden vector");
+  }
+  {
+    std::vector<uint8_t> s;
+    for (int i = 0; i < 7; ++i) s.insert(s.end(), {'A', 'T', 'C', 'G', 'N'});
+    uint64_t w[2] = {0, 0};
+    cutenuc_n_to_bits2(s.data(), s.size(), w);
+    CHECK(w[0] == 0x36a45d1f46d48ba3ULL && w[1] == 0x5d1f4ULL,
+          "base-5 golden vector");
+  }
+
+  // roundtrips at every length 0..200 (covers all residues mod 32 / mod 27)
+  const char alpha[] = "ACGTUacgtu";
+  const char alpha_n[] = "ACGTUNacgtun";
+  uint32_t state = 0x5EED;
+  auto next = [&state]() {
+    state = state * 1664525u + 1013904223u;
+    return state >> 16;
+  };
+  for (size_t n = 0; n <= 200; ++n) {
+    std::vector<uint8_t> s(n);
+    for (size_t i = 0; i < n; ++i) s[i] = alpha[next() % 10];
+    std::vector<uint64_t> w((n + 31) / 32);
+    cutenuc_n_to_bits(s.data(), n, w.data());
+    std::vector<uint8_t> back(n);
+    cutenuc_bits_to_n(w.data(), n, back.data());
+    bool ok = true;
+    for (size_t i = 0; i < n; ++i) ok &= back[i] == norm(s[i]);
+    CHECK(ok, "2-bit roundtrip");
+
+    for (size_t i = 0; i < n; ++i) s[i] = alpha_n[next() % 12];
+    std::vector<uint64_t> w5((n + 26) / 27);
+    cutenuc_n_to_bits2(s.data(), n, w5.data());
+    std::vector<uint8_t> back5(n);
+    cutenuc_bits_to_n2(w5.data(), n, back5.data());
+    ok = true;
+    for (size_t i = 0; i < n; ++i) ok &= back5[i] == norm(s[i]);
+    CHECK(ok, "base-5 roundtrip");
+  }
+
+  // arbitrary bytes are defined (no UB): run the encoders over all 256 values
+  {
+    std::vector<uint8_t> s(256);
+    for (int i = 0; i < 256; ++i) s[i] = static_cast<uint8_t>(i);
+    std::vector<uint64_t> w((256 + 31) / 32), w5((256 + 26) / 27);
+    cutenuc_n_to_bits(s.data(), s.size(), w.data());
+    cutenuc_n_to_bits2(s.data(), s.size(), w5.data());
+    CHECK(cutenuc_find_invalid(s.data(), s.size(), 1) == 0, "find_invalid");
+  }
+
+  if (failures == 0) {
+    std::printf("NATIVE SELFTEST PASS\n");
+    return 0;
+  }
+  std::fprintf(stderr, "%d failures\n", failures);
+  return 1;
+}

@@ -62,3 +62,24 @@ def test_find_invalid():
 def test_memcpy():
     s = b"ACGT" * 100
     assert bytes(native.memcpy(s)) == s
+
+
+def test_asan_selftest():
+    """The native oracle passes its self-test under ASan+UBSan (SURVEY §5:
+    host code provably clean, vs the reference's unsafe scalar tier)."""
+    import os
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None or shutil.which("make") is None:
+        pytest.skip("no native toolchain")
+    d = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "cute_nucleotides_tpu",
+        "native",
+    )
+    r = subprocess.run(
+        ["make", "-C", d, "asan-check"], capture_output=True, text=True, timeout=240
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "NATIVE SELFTEST PASS" in r.stdout
