@@ -1,0 +1,55 @@
+"""End-to-end tour of the framework. Runs on CPU or TPU:
+
+    python examples/quickstart.py
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# --- 1. the reference-compatible host API ----------------------------------
+from cute_nucleotides_tpu import api, compat
+
+words = api.n_to_bits(b"ATCGatcgUUUU")          # u64 packed, reference layout
+print("packed:", [hex(w) for w in words])
+print("decoded:", bytes(api.bits_to_n(words, 12)))
+
+# the reference's exact function names also work:
+assert compat.n_to_bits_movemask(b"ATCG" * 8)[0] == 0xD8D8D8D8D8D8D8D8
+
+# --- 2. base-5 codec ({A,C,G,T/U,N}) ---------------------------------------
+w5 = api.n_to_bits2(b"ATCGNatcgn")
+print("base-5:", bytes(api.bits_to_n2(w5, 10)))
+
+# --- 3. resident device batches (the production path) ----------------------
+from cute_nucleotides_tpu.models import TwoBitCodec
+
+codec = TwoBitCodec()                            # pallas tier on TPU
+batch, lengths = codec.pad([b"ACGTACGTACGTACGT" * 8] * 64)
+packed = codec.encode(jnp.asarray(batch))        # u32[B, W] on device
+print("batch packed:", packed.shape, packed.dtype)
+
+# --- 4. data-parallel over a device mesh -----------------------------------
+from cute_nucleotides_tpu import parallel
+
+dp_words = parallel.data_parallel_encode(jnp.asarray(batch), gather=True)
+print("mesh-encoded:", dp_words.shape, "on", len(jax.devices()), "device(s)")
+
+# --- 5. streaming pipeline with resume -------------------------------------
+from cute_nucleotides_tpu.parallel.runtime import StreamingEncoder
+from cute_nucleotides_tpu.utils.io import Record
+
+records = [Record(b"r%d" % i, b"ACGT" * 100) for i in range(32)]
+enc = StreamingEncoder(batch_size=8, max_len=512)
+stats = enc.run(records, sink=lambda words, b: None)
+print("streamed:", stats["total_reads"], "reads,", stats["total_nt"], "nt")
+
+# --- 6. packed-domain analytics (no decode needed) --------------------------
+from cute_nucleotides_tpu.ops import distance, seqops, spec
+
+flat = np.ascontiguousarray(np.asarray(packed[0]))
+print("GC content:", int(seqops.gc_content_packed(jnp.asarray(flat))))
+rc = seqops.revcomp_packed(jnp.asarray(flat), int(lengths[0]))
+print("revcomp words:", np.asarray(rc)[:2])
+reads = jnp.asarray(batch[:8, :64])
+print("pairwise Hamming:\n", np.asarray(distance.pairwise_hamming(reads)))
