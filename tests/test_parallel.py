@@ -114,3 +114,24 @@ def test_shard_points_alignment():
     assert all(p % 32 == 0 for p in pts[1:-1])
     pts5 = longseq.shard_points_b5(40000, 8)
     assert all(p % 27 == 0 for p in pts5[1:-1])
+
+
+def test_data_parallel_pallas_tier(rng):
+    """The production config (pallas kernels inside shard_map) composes; on
+    the CPU mesh the kernels auto-fall back to interpret mode."""
+    B, L = 8, 64
+    batch = rng.choice(ALPHABET, size=(B, L))
+    out = np.asarray(
+        parallel.data_parallel_encode(jnp.asarray(batch), tier="pallas")
+    )
+    for b in range(B):
+        assert np.array_equal(
+            spec.u32_pairs_to_u64(out[b]), oracle.n_to_bits_lut(batch[b])
+        )
+    back = np.asarray(
+        parallel.data_parallel_decode(jnp.asarray(out), tier="pallas")
+    )
+    want = np.frombuffer(
+        batch.tobytes().upper().replace(b"U", b"T"), dtype=np.uint8
+    ).reshape(B, L)
+    assert np.array_equal(back, want)
