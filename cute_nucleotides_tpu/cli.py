@@ -69,15 +69,14 @@ def read_nup(path: str):
 
 def cmd_encode(args) -> int:
     from . import api
-    from .ops import native
+    from .ops import native, spec
     from .utils import io as io_lib
 
     records = list(io_lib.open_reads(args.input))
-    fn = api.n_to_bits if args.codec == "2bit" else api.n_to_bits2
     names, words_list, lengths = [], [], []
     total_nt = 0
-    for rec in records:
-        if args.validate:
+    if args.validate:
+        for rec in records:
             bad = native.find_invalid(rec.seq, allow_n=args.codec == "base5")
             if bad >= 0:
                 print(
@@ -86,11 +85,37 @@ def cmd_encode(args) -> int:
                     file=sys.stderr,
                 )
                 return 1
-        kwargs = {"tier": args.tier}
-        words_list.append(fn(rec.seq, **kwargs))
-        names.append(rec.name)
-        lengths.append(len(rec.seq))
-        total_nt += len(rec.seq)
+
+    if args.batch:
+        # production path: device batches through the codec models
+        import jax.numpy as jnp
+
+        from .models import Base5Codec, TwoBitCodec
+
+        codec_cls = TwoBitCodec if args.codec == "2bit" else Base5Codec
+        codec = codec_cls(tier="auto" if args.tier == "auto" else args.tier)
+        words_for = (
+            spec.num_words_2bit if args.codec == "2bit" else spec.num_words_b5
+        )
+        stream = io_lib.BatchStream(
+            records, batch_size=args.batch, max_len=args.max_len,
+            block=codec.block,
+        )
+        for b in stream:
+            out = np.asarray(codec.encode(jnp.asarray(b.reads)))
+            for row in range(b.count):
+                n = int(b.lengths[row])
+                rec_words = spec.u32_pairs_to_u64(out[row])[: words_for(n)]
+                words_list.append(rec_words)
+                lengths.append(n)
+        names = [r.name for r in records]
+    else:
+        fn = api.n_to_bits if args.codec == "2bit" else api.n_to_bits2
+        for rec in records:
+            words_list.append(fn(rec.seq, tier=args.tier))
+            names.append(rec.name)
+            lengths.append(len(rec.seq))
+    total_nt = sum(lengths)
     write_nup(args.output, names, words_list, lengths, args.codec)
     print(
         json.dumps(
@@ -182,6 +207,12 @@ def main(argv=None) -> int:
     pe.add_argument("--codec", choices=["2bit", "base5"], default="2bit")
     pe.add_argument("--tier", default="xla")
     pe.add_argument("--validate", action="store_true")
+    pe.add_argument(
+        "--batch", type=int, default=0,
+        help="device batch size (0 = per-record host path); uses the codec "
+             "models with fixed-shape padded batches",
+    )
+    pe.add_argument("--max-len", type=int, default=65536)
     pe.set_defaults(fn=cmd_encode)
 
     pd = sub.add_parser("decode", help="decode a .nup file to FASTA")

@@ -66,3 +66,21 @@ def test_nup_rejects_bad_version(tmp_path):
     p.write_bytes(cli.MAGIC + struct.pack("<IB3x", 99, 2) + struct.pack("<Q", 0))
     with pytest.raises(ValueError):
         cli.read_nup(str(p))
+
+
+def test_cli_encode_batch_mode(tmp_path, capsys):
+    fa = tmp_path / "in.fa"
+    fa.write_bytes(b">a\nACGTacgtUU\n>b\nGGGGCCCC\n>c\n" + b"ACGTN" * 30 + b"\n")
+    nup = str(tmp_path / "out.nup")
+    rc = cli.main(
+        ["encode", str(fa), nup, "--codec", "base5", "--tier", "xla",
+         "--batch", "8", "--max-len", "256"]
+    )
+    assert rc == 0
+    codec, entries = cli.read_nup(nup)
+    assert codec == "base5" and len(entries) == 3
+    for (name, length, words), seq in zip(
+        entries, [b"ACGTacgtUU", b"GGGGCCCC", b"ACGTN" * 30]
+    ):
+        want = oracle.n_to_bits2_lut(np.frombuffer(seq, np.uint8))
+        assert np.array_equal(words, want), name
