@@ -95,7 +95,13 @@ def main() -> int:
     results: dict[str, float] = {}
 
     def run(name, step, state, denom):
-        dt = _bench_chain(step, state)
+        # a single failing row must not prevent the headline JSON line
+        try:
+            dt = _bench_chain(step, state)
+        except Exception as e:  # pragma: no cover
+            print(f"{name:28s} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+            results[name] = 0.0
+            return 0.0
         gibs = denom / dt / 2**30
         results[name] = gibs
         print(f"{name:28s} {dt * 1e3:9.3f} ms   {gibs:9.2f} GiB/s", file=sys.stderr)
