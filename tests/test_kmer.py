@@ -1,0 +1,85 @@
+"""Packed-domain k-mer extraction/counting vs a naive byte-domain reference."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cute_nucleotides_tpu.ops import kmer, oracle, spec
+
+CODE = {65: 0, 67: 1, 84: 2, 71: 3}  # A C T G (2-bit codes)
+COMP = {0: 2, 1: 3, 2: 0, 3: 1}
+
+
+def _naive_codes(seq: bytes, k: int) -> list[int]:
+    s = seq.upper().replace(b"U", b"T")
+    out = []
+    for i in range(len(s) - k + 1):
+        c = 0
+        for j in range(k):
+            c |= CODE[s[i + j]] << (2 * j)
+        out.append(c)
+    return out
+
+
+def _naive_rc(code: int, k: int) -> int:
+    out = 0
+    for j in range(k):
+        d = (code >> (2 * j)) & 3
+        out |= COMP[d] << (2 * (k - 1 - j))
+    return out
+
+
+def _packed(seq: np.ndarray) -> jnp.ndarray:
+    return jnp.asarray(
+        spec.u64_to_u32_pairs(oracle.n_to_bits_lut(seq)).reshape(-1)
+    )
+
+
+@pytest.mark.parametrize("k", [1, 3, 8, 15])
+def test_kmer_codes(rng, k):
+    s = rng.choice(np.frombuffer(b"ACGTUacgtu", np.uint8), size=100)
+    got = np.asarray(kmer.kmer_codes(_packed(s), 100, k))
+    assert got.tolist() == _naive_codes(bytes(s), k)
+
+
+@pytest.mark.parametrize("k", [2, 5, 11, 15])
+def test_revcomp_code(rng, k):
+    codes = rng.integers(0, 4**k, size=50, dtype=np.int64).astype(np.int32)
+    got = np.asarray(kmer.revcomp_code(jnp.asarray(codes), k))
+    want = [_naive_rc(int(c), k) for c in codes]
+    assert got.tolist() == want
+    # involution
+    back = np.asarray(kmer.revcomp_code(jnp.asarray(got), k))
+    assert back.tolist() == codes.tolist()
+
+
+def test_kmer_histogram(rng):
+    k = 4
+    s = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=500)
+    hist = np.asarray(kmer.kmer_histogram(_packed(s), 500, k))
+    naive = np.zeros(4**k, np.int64)
+    for c in _naive_codes(bytes(s), k):
+        naive[c] += 1
+    assert hist.tolist() == naive.tolist()
+    assert hist.sum() == 500 - k + 1
+
+
+def test_kmer_histogram_canonical(rng):
+    k = 3
+    s = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=200)
+    hist = np.asarray(kmer.kmer_histogram(_packed(s), 200, k, canonical=True))
+    naive = np.zeros(4**k, np.int64)
+    for c in _naive_codes(bytes(s), k):
+        naive[min(c, _naive_rc(c, k))] += 1
+    assert hist.tolist() == naive.tolist()
+
+
+def test_kmer_errors():
+    w = jnp.zeros(2, jnp.uint32)
+    with pytest.raises(ValueError):
+        kmer.kmer_codes(w, 10, 16)
+    with pytest.raises(ValueError):
+        kmer.kmer_codes(w, 3, 5)
+    with pytest.raises(ValueError):
+        kmer.kmer_codes(w, 40, 4)
