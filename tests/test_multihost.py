@@ -60,7 +60,6 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(300)
 def test_two_process_streaming(tmp_path):
     port = _free_port()
     coord = f"localhost:{port}"
