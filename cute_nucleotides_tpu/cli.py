@@ -187,6 +187,60 @@ def cmd_parity(args) -> int:
     return 0 if failures == 0 else 1
 
 
+def cmd_stats(args) -> int:
+    """Packed-domain analytics over reads: GC content + top k-mers.
+
+    Demonstrates the point of the codec: everything below runs on the packed
+    stream, never decoding back to ASCII.
+    """
+    import jax.numpy as jnp
+
+    from . import api
+    from .ops import kmer, seqops, spec
+    from .utils import io as io_lib
+
+    if args.input.endswith(".nup"):
+        codec, entries = read_nup(args.input)
+        if codec != "2bit":
+            print("stats requires a 2-bit stream", file=sys.stderr)
+            return 1
+        seqs = [(length, words) for _, length, words in entries]
+    else:
+        seqs = []
+        for rec in io_lib.open_reads(args.input):
+            seqs.append((len(rec.seq), api.n_to_bits(rec.seq, tier=args.tier)))
+
+    total_nt = sum(n for n, _ in seqs)
+    gc = 0
+    hist = None
+    for n, words in seqs:
+        w32 = jnp.asarray(spec.u64_to_u32_pairs(
+            __import__("numpy").ascontiguousarray(words)).reshape(-1))
+        gc += int(seqops.gc_content_packed(w32))
+        if n >= args.k:
+            h = kmer.kmer_histogram(w32, n, args.k, canonical=args.canonical)
+            hist = h if hist is None else hist + h
+    out = {
+        "records": len(seqs),
+        "nt": total_nt,
+        "gc_fraction": round(gc / max(total_nt, 1), 6),
+        "k": args.k,
+        "canonical": bool(args.canonical),
+    }
+    if hist is not None:
+        hist_np = np.asarray(hist)
+        top = np.argsort(hist_np)[::-1][: args.top]
+        chars = np.frombuffer(b"ACTG", np.uint8)
+        def code_to_str(c):
+            return "".join(chr(chars[(c >> (2 * j)) & 3]) for j in range(args.k))
+        out["top_kmers"] = [
+            {"kmer": code_to_str(int(c)), "count": int(hist_np[c])}
+            for c in top if hist_np[c] > 0
+        ]
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import runpy
     import os
@@ -227,6 +281,14 @@ def main(argv=None) -> int:
     pp.add_argument("--seed", type=int, default=0)
     pp.add_argument("--tiers", default="xla,pallas")
     pp.set_defaults(fn=cmd_parity)
+
+    ps = sub.add_parser("stats", help="packed-domain GC content + top k-mers")
+    ps.add_argument("input")
+    ps.add_argument("-k", type=int, default=8)
+    ps.add_argument("--top", type=int, default=5)
+    ps.add_argument("--canonical", action="store_true")
+    ps.add_argument("--tier", default="xla")
+    ps.set_defaults(fn=cmd_stats)
 
     pb = sub.add_parser("bench", help="run the benchmark harness")
     pb.set_defaults(fn=cmd_bench)

@@ -84,3 +84,15 @@ def test_cli_encode_batch_mode(tmp_path, capsys):
     ):
         want = oracle.n_to_bits2_lut(np.frombuffer(seq, np.uint8))
         assert np.array_equal(words, want), name
+
+
+def test_cli_stats(tmp_path, capsys):
+    fa = tmp_path / "in.fa"
+    fa.write_bytes(b">a\nACGTACGTACGT\n>b\nGGGGCC\n")
+    rc = cli.main(["stats", str(fa), "-k", "2", "--top", "3"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["records"] == 2 and out["nt"] == 18
+    assert abs(out["gc_fraction"] - 12 / 18) < 1e-6
+    assert out["top_kmers"][0]["count"] >= 3
+    assert all(len(t["kmer"]) == 2 for t in out["top_kmers"])
