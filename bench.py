@@ -193,7 +193,7 @@ def main() -> int:
         jnp.asarray(host_b5),
         nt_b5_panels,
     )
-    w_b5 = np.asarray(jax.jit(pk.encode_b5_panels)(jnp.asarray(host_b5)))
+    w_b5 = np.asarray(jax.jit(pk.encode_b5_panels_v2)(jnp.asarray(host_b5)))
     lo = np.ascontiguousarray(w_b5.reshape(-1, 2)[:, 0]).reshape(rows_b5, 128)
     hi = np.ascontiguousarray(w_b5.reshape(-1, 2)[:, 1]).reshape(rows_b5, 128)
     run(

@@ -272,139 +272,33 @@ def decode_2bit(variant: str = "swar"):
 # Base-5 Pallas kernels: MXU as the bit-scatter engine
 # ---------------------------------------------------------------------------
 # No identity lane map exists for the 27-nt/63-bit stride (27 input bytes ->
-# 8 output bytes).  Instead every 16-bit half of an output word is an *exact*
-# linear combination of small lane-local "pieces" of the nine triplet values:
+# 8 output bytes); the MXU is the bit mover.  A 63-bit word splits at triplet
+# boundaries into three 21-bit chunks
 #
-#   word bits: t0@0 t1@7 t2@14 t3@21 t4@28 t5@35 t6@42 t7@49 t8@56
-#   h0 = U0 + U1*2^7 + U2*2^14     h1 = V2 + U3*2^5 + U4*2^12
-#   h2 = V4 + U5*2^3 + U6*2^10     h3 = V6 + U7*2   + U8*2^8
-#   with U_j = t_j & mask_j (mask 3/15/63 for j=2/4/6 else 127),
-#        V_j = t_j >> shift_j (shift 2/4/6 for j=2/4/6 else 7, so V_j=0).
+#   word bits: t0@0 t1@7 t2@14 | t3@21 t4@28 t5@35 | t6@42 t7@49 t8@56
+#   g_c = t_{3c} + t_{3c+1}*2^7 + t_{3c+2}*2^14          (c = 0, 1, 2)
 #
-# All pieces are < 2^16 and all coefficients are powers of two, so bf16-input
-# matmuls with f32 accumulation are bit-exact, and one constant matmul does
-# the entire 7-bit packing that pext does in the reference
-# (reference src/n_to_bits2.rs:169-171).  The triplet values themselves come
-# from a second constant matmul (digit, 5*digit, 25*digit -> t, the maddubs
-# analogue of reference src/n_to_bits2.rs:160-165).
+# which are *linear in the base-5 digits* (coefficient 5^k * 2^(7(j-3c)),
+# <= 25*2^14, exact in bf16; products < 2^21 accumulate exactly in f32) —
+# so ONE constant matmul performs the entire 7-bit packing that pext does in
+# the reference (src/n_to_bits2.rs:169-171), folding in the triplet mul-adds
+# (the maddubs analogue, src/n_to_bits2.rs:160-165).  Recombination is
+# lane-local per word: lo = g0 | (g1 & 0x7FF) << 21; hi = (g1>>11)|(g2<<10).
 #
-# Layout: one kernel row covers 3456 nt = 128 words (lcm(27,128)); the kernel
-# loops over eight 432-nt slices, each a 16-word group, and assembles the
-# 256-u32-lane output row in VMEM.  t values use a padded "16 lanes per word"
-# layout so every matmul block is lane-aligned.
+# Layout: one kernel row covers 3456 nt = 128 words (lcm(27,128)); the
+# matmul's column blocks [g0 | g1 | g2] are 128-lane aligned, so the kernel
+# needs NO sub-register lane slicing (an earlier per-slice formulation was
+# miscompiled by Mosaic for rare inputs — see _b5_enc_mat_v2).  The decoder
+# uses a padded "16 t-lanes per word" layout (B5_TPAD) for the same
+# alignment reason.
 
 B5_ROW_NT = 3456          # nt per kernel row = 128 words
 B5_ROW_WORDS = 128
 B5_ROW_U32 = 256          # output u32 lanes per row
-B5_SLICES = 8             # 432-nt slices per row
+B5_SLICES = 8             # decoder: 432-nt slices per row
 B5_SLICE_NT = 432         # 16 words
 B5_SLICE_WORDS = 16
 B5_TPAD = 16              # t-lanes per word (9 used, padded to 16)
-
-_B5_U_COEF = {0: 1 << 0, 1: 1 << 7, 2: 1 << 14, 3: 1 << 5, 4: 1 << 12,
-              5: 1 << 3, 6: 1 << 10, 7: 1 << 1, 8: 1 << 8}
-_B5_U_HALF = {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 3, 8: 3}
-_B5_V_HALF = {2: 1, 4: 2, 6: 3}  # V_j coefficient is always 1
-
-
-@functools.lru_cache(maxsize=None)
-def _b5_enc_mats():
-    """Constant matrices for the base-5 encode kernel (numpy, bf16-exact)."""
-    # M1: digits (432,) -> t16 (256,): M1[27w + 3j + k, 16w + j] = 5^k
-    m1 = np.zeros((B5_SLICE_NT, B5_SLICE_WORDS * B5_TPAD), np.float32)
-    for w in range(B5_SLICE_WORDS):
-        for j in range(9):
-            for k in range(3):
-                m1[27 * w + 3 * j + k, B5_TPAD * w + j] = (1, 5, 25)[k]
-    # MB: pieces (256,) -> halves.  he lane 2w+i = h_{2i}(w); ho = h_{2i+1}.
-    mu_he = np.zeros((256, 32), np.float32)
-    mv_he = np.zeros((256, 32), np.float32)
-    mu_ho = np.zeros((256, 32), np.float32)
-    mv_ho = np.zeros((256, 32), np.float32)
-    for w in range(B5_SLICE_WORDS):
-        for j in range(9):
-            row = B5_TPAD * w + j
-            h = _B5_U_HALF[j]
-            col = 2 * w + (h // 2)
-            (mu_he if h % 2 == 0 else mu_ho)[row, col] = _B5_U_COEF[j]
-            if j in _B5_V_HALF:
-                h = _B5_V_HALF[j]
-                col = 2 * w + (h // 2)
-                (mv_he if h % 2 == 0 else mv_ho)[row, col] = 1.0
-    # return numpy (ml_dtypes) arrays: jnp constants must not be created
-    # inside a cached function, or a traced constant could leak across traces
-    return tuple(
-        np.asarray(m, dtype=jnp.bfloat16)
-        for m in (m1, mu_he, mv_he, mu_ho, mv_ho)
-    )
-
-
-def _b5_piece_masks(shape):
-    """Per-lane (period-16) mask and shift vectors for piece extraction."""
-    j16 = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1) & 15
-    mask = jnp.where(
-        j16 == 2, 3, jnp.where(j16 == 4, 15, jnp.where(j16 == 6, 63, 127))
-    )
-    shift = jnp.where(
-        j16 == 2, 2, jnp.where(j16 == 4, 4, jnp.where(j16 == 6, 6, 7))
-    )
-    return mask, shift
-
-
-def _encode_b5_kernel(x_ref, m1_ref, mue_ref, mve_ref, muo_ref, mvo_ref, o_ref):
-    x = x_ref[:].astype(jnp.int32)
-    idx = x & 7
-    digits = (jnp.int32(spec.DIGIT_LUT8_U32) >> (idx << 2)) & 0xF
-    d = digits.astype(jnp.bfloat16)
-    rb = d.shape[0]
-    mask, shift = _b5_piece_masks((rb, B5_SLICE_WORDS * B5_TPAD))
-    for g in range(B5_SLICES):
-        d_g = jax.lax.slice(
-            d, (0, B5_SLICE_NT * g), (rb, B5_SLICE_NT * (g + 1))
-        )
-        t = jnp.dot(
-            d_g, m1_ref[:], preferred_element_type=jnp.float32
-        ).astype(jnp.int32)
-        u = (t & mask).astype(jnp.bfloat16)
-        v = (t >> shift).astype(jnp.bfloat16)
-        he = (
-            jnp.dot(u, mue_ref[:], preferred_element_type=jnp.float32)
-            + jnp.dot(v, mve_ref[:], preferred_element_type=jnp.float32)
-        ).astype(jnp.int32).astype(jnp.uint32)
-        ho = (
-            jnp.dot(u, muo_ref[:], preferred_element_type=jnp.float32)
-            + jnp.dot(v, mvo_ref[:], preferred_element_type=jnp.float32)
-        ).astype(jnp.int32).astype(jnp.uint32)
-        o_ref[:, 32 * g : 32 * (g + 1)] = he | (ho << 16)
-
-
-def encode_b5_panels(x: jax.Array, *, interpret: bool = False) -> jax.Array:
-    """Encode u8[R, 3456] nt panels -> packed u32[R, 256] (row-major stream).
-
-    Bit-exact to the reference's base-5 layout (src/n_to_bits2.rs:44-53);
-    each row's 256 u32 lanes are the little-endian halves of its 128 words.
-    """
-    if x.dtype != jnp.uint8 or x.ndim != 2 or x.shape[1] != B5_ROW_NT:
-        raise TypeError(f"expected u8[R, {B5_ROW_NT}], got {x.dtype}{x.shape}")
-    interpret = _auto_interpret(interpret)
-    R = x.shape[0]
-    rb = min(256, max(8, R))
-    mats = _b5_enc_mats()
-    mat_specs = [
-        pl.BlockSpec(m.shape, lambda i: (0,) * m.ndim, memory_space=pltpu.VMEM)
-        for m in mats
-    ]
-    return pl.pallas_call(
-        _encode_b5_kernel,
-        grid=(_cdiv(R, rb),),
-        in_specs=[
-            pl.BlockSpec((rb, B5_ROW_NT), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            *mat_specs,
-        ],
-        out_specs=pl.BlockSpec((rb, B5_ROW_U32), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R, B5_ROW_U32), jnp.uint32),
-        interpret=interpret,
-    )(x, *mats)
 
 
 def encode_b5_words_pallas(x: jax.Array, *, interpret: bool = False) -> jax.Array:
@@ -881,3 +775,8 @@ def _unpack4_swar(b: jax.Array) -> jax.Array:
 
 _UNPACK4["swar"] = _unpack4_swar
 DECODE_2BIT_VARIANTS = ("shuffle", "select", "swar")
+
+
+# Back-compat alias: the piece-matmul v1 encoder was superseded by the
+# aligned g-chunk v2 (faster and immune to the sub-register miscompile).
+encode_b5_panels = encode_b5_panels_v2
