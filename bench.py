@@ -28,10 +28,16 @@ from __future__ import annotations
 
 import functools
 import json
+import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+#: include the (slow, portability-only) XLA-tier rows; default off so the
+#: harness finishes well inside driver timeouts even on a congested relay
+BENCH_FULL = os.environ.get("BENCH_FULL", "") == "1"
 
 
 REF_BEST_ENCODE_GIBS = 28.962  # reference README.md:349 (n_to_bits_movemask)
@@ -94,6 +100,41 @@ def main() -> int:
 
     results: dict[str, float] = {}
 
+    def emit_headline():
+        candidates = [
+            results.get(k, 0.0)
+            for k in (
+                "encode_2bit_pallas_mul",
+                "encode_2bit_pallas_shift",
+                "encode_2bit_xla_mul",
+            )
+        ]
+        best_encode = max(candidates) if any(candidates) else 0.0
+        memcpy = results.get("memcpy_device", 0.0)
+        print(
+            json.dumps(
+                {
+                    "metric": "encode_2bit_throughput",
+                    "value": round(best_encode, 3),
+                    "unit": "GiB/s",
+                    "vs_baseline": round(best_encode / REF_BEST_ENCODE_GIBS, 3),
+                    "gbps_per_chip": round(best_encode * 2**30 / 1e9, 1),
+                    "vs_device_memcpy": round(best_encode / memcpy, 3) if memcpy else None,
+                    "vs_reference_memcpy": round(best_encode / REF_MEMCPY_GIBS, 2),
+                    "chips": 1,
+                    "detail": {k: round(v, 3) for k, v in results.items()},
+                }
+            ),
+            flush=True,
+        )
+
+    def on_term(signum, frame):  # driver timeout: still emit what we have
+        print("SIGTERM: emitting partial results", file=sys.stderr)
+        emit_headline()
+        sys.exit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+
     def run(name, step, state, denom):
         # a single failing row must not prevent the headline JSON line
         try:
@@ -147,12 +188,13 @@ def main() -> int:
         jnp.asarray(host_nt4),
         nt_bytes,
     )
-    run(
-        "encode_2bit_xla_mul",
-        chained(lambda x: xla.encode_2bit_words(x, "mul")),
-        jnp.asarray(host_u8),
-        nt_bytes,
-    )
+    if BENCH_FULL:
+        run(
+            "encode_2bit_xla_mul",
+            chained(lambda x: xla.encode_2bit_words(x, "mul")),
+            jnp.asarray(host_u8),
+            nt_bytes,
+        )
 
     packed_np = np.asarray(
         jax.jit(lambda w: pk.encode_2bit_nt4(w, "mul"))(jnp.asarray(host_nt4))
@@ -169,13 +211,14 @@ def main() -> int:
         jnp.asarray(packed_np),
         nt_bytes,
     )
-    words_np = packed_np.reshape(ROWS, -1).view(np.uint32)
-    run(
-        "decode_2bit_xla_shuffle",
-        chained(lambda w: xla.decode_2bit_bytes(w, "shuffle")),
-        jnp.asarray(words_np),
-        nt_bytes,
-    )
+    if BENCH_FULL:
+        words_np = packed_np.reshape(ROWS, -1).view(np.uint32)
+        run(
+            "decode_2bit_xla_shuffle",
+            chained(lambda w: xla.decode_2bit_bytes(w, "shuffle")),
+            jnp.asarray(words_np),
+            nt_bytes,
+        )
 
     # --- base-5 codec --------------------------------------------------------
     rows_b5 = (ROWS * NT_PER_ROW_B5) // pk.B5_ROW_NT
@@ -208,49 +251,37 @@ def main() -> int:
         (jnp.asarray(lo), jnp.asarray(hi)),
         nt_b5_panels,
     )
-    x_b5 = rng.choice(alphabet_n, size=(ROWS, NT_PER_ROW_B5))
-    run(
-        "encode_b5_xla",
-        chained(xla.encode_b5_words),
-        jnp.asarray(x_b5),
-        nt_bytes_b5,
-    )
-    words_b5 = np.asarray(jax.jit(xla.encode_b5_words)(jnp.asarray(x_b5)))
-    run(
-        "decode_b5_xla",
-        chained(xla.decode_b5_bytes),
-        jnp.asarray(words_b5),
-        nt_bytes_b5,
-    )
+    if BENCH_FULL:
+        x_b5 = rng.choice(alphabet_n, size=(ROWS, NT_PER_ROW_B5))
+        run(
+            "encode_b5_xla",
+            chained(xla.encode_b5_words),
+            jnp.asarray(x_b5),
+            nt_bytes_b5,
+        )
+        words_b5 = np.asarray(jax.jit(xla.encode_b5_words)(jnp.asarray(x_b5)))
+        run(
+            "decode_b5_xla",
+            chained(xla.decode_b5_bytes),
+            jnp.asarray(words_b5),
+            nt_bytes_b5,
+        )
 
     # --- headline ------------------------------------------------------------
     best_encode = max(
-        results["encode_2bit_pallas_mul"],
-        results["encode_2bit_pallas_shift"],
-        results["encode_2bit_xla_mul"],
+        results.get("encode_2bit_pallas_mul", 0.0),
+        results.get("encode_2bit_pallas_shift", 0.0),
+        results.get("encode_2bit_xla_mul", 0.0),
     )
-    ratio_memcpy = best_encode / results["memcpy_device"]
-    print(
-        f"\nbest 2-bit encode: {best_encode:.2f} GiB/s "
-        f"({ratio_memcpy:.2f}x device memcpy; reference best "
-        f"{REF_BEST_ENCODE_GIBS} GiB/s = {REF_BEST_ENCODE_GIBS / REF_MEMCPY_GIBS:.2f}x its memcpy)",
-        file=sys.stderr,
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "encode_2bit_throughput",
-                "value": round(best_encode, 3),
-                "unit": "GiB/s",
-                "vs_baseline": round(best_encode / REF_BEST_ENCODE_GIBS, 3),
-                "gbps_per_chip": round(best_encode * 2**30 / 1e9, 1),
-                "vs_device_memcpy": round(ratio_memcpy, 3),
-                "vs_reference_memcpy": round(best_encode / REF_MEMCPY_GIBS, 2),
-                "chips": 1,
-                "detail": {k: round(v, 3) for k, v in results.items()},
-            }
+    memcpy = results.get("memcpy_device", 0.0)
+    if memcpy:
+        print(
+            f"\nbest 2-bit encode: {best_encode:.2f} GiB/s "
+            f"({best_encode / memcpy:.2f}x device memcpy; reference best "
+            f"{REF_BEST_ENCODE_GIBS} GiB/s = {REF_BEST_ENCODE_GIBS / REF_MEMCPY_GIBS:.2f}x its memcpy)",
+            file=sys.stderr,
         )
-    )
+    emit_headline()
     return 0
 
 
