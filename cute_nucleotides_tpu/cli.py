@@ -54,7 +54,12 @@ def read_nup(path: str):
         version, code = struct.unpack("<IB3x", f.read(8))
         if version != VERSION:
             raise ValueError(f"unsupported version {version}")
-        codec = "2bit" if code == 2 else "base5"
+        if code == 2:
+            codec = "2bit"
+        elif code == 5:
+            codec = "base5"
+        else:
+            raise ValueError(f"unknown codec byte {code} (expected 2 or 5)")
         (count,) = struct.unpack("<Q", f.read(8))
         meta = [struct.unpack("<IQ", f.read(12)) for _ in range(count)]
         names = [f.read(nl) for nl, _ in meta]

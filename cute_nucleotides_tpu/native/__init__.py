@@ -9,6 +9,7 @@ fall back to the NumPy oracle — see :mod:`cute_nucleotides_tpu.ops.native`.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -16,13 +17,19 @@ import threading
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "codec.cpp")
 _LIB = os.path.join(_HERE, "libcutenuc.so")
+_STAMP = _LIB + ".srchash"
 
 _lock = threading.Lock()
 _lib = None
 _build_error: str | None = None
 
 
-def _compile() -> None:
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _compile(digest: str) -> None:
     cmd = [
         "g++",
         "-O3",
@@ -35,19 +42,34 @@ def _compile() -> None:
         _LIB,
     ]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
+    with open(_STAMP, "w") as f:
+        f.write(digest)
+
+
+def _stamp_matches(digest: str) -> bool:
+    try:
+        with open(_STAMP) as f:
+            return f.read().strip() == digest
+    except OSError:
+        return False
 
 
 def load() -> ctypes.CDLL | None:
-    """Load (building if needed) the native codec library, or None."""
+    """Load (building if needed) the native codec library, or None.
+
+    Rebuilds whenever the *content hash* of ``codec.cpp`` differs from the
+    stamp written at build time — mtimes are meaningless after a fresh
+    checkout, and a stale or foreign binary (built elsewhere with
+    ``-march=native``) must never be trusted as the parity oracle.
+    """
     global _lib, _build_error
     with _lock:
         if _lib is not None or _build_error is not None:
             return _lib
         try:
-            if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(
-                _SRC
-            ):
-                _compile()
+            digest = _src_hash()
+            if not os.path.exists(_LIB) or not _stamp_matches(digest):
+                _compile(digest)
             lib = ctypes.CDLL(_LIB)
         except (OSError, subprocess.CalledProcessError) as e:  # pragma: no cover
             _build_error = str(e)

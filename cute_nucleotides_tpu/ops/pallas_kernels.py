@@ -67,7 +67,8 @@ def _row_block(lanes: int, bytes_per_lane: int, rows: int) -> int:
     rb = 1 << (max_rows.bit_length() - 1)
     rb = min(rb, 1024)
     rb = max(rb, 8)
-    return min(rb, max(8, rows))
+    rows8 = -(-rows // 8) * 8  # round up so small-R blocks stay 8-aligned
+    return min(rb, max(8, rows8))
 
 
 def _cdiv(a: int, b: int) -> int:

@@ -11,6 +11,13 @@ promotes it to a pod-scale service (SURVEY.md §2.3):
   per-batch metrics and a resumable stream-position manifest.  Because the
   codec is stateless, failure recovery is re-dispatching batches from the
   manifest position — there is no model state to restore.
+
+Delivery semantics: **at-least-once**.  The sink runs *before* the manifest
+advances (a manifest must never claim un-sunk work), so a crash in the window
+between a successful sink and the manifest write re-delivers that batch on
+resume.  Sinks must therefore be idempotent per ``batch.index`` (e.g. write
+to a per-batch path, or upsert keyed on the batch index); no batch is ever
+lost or skipped.
 """
 
 from __future__ import annotations

@@ -181,7 +181,11 @@ def test_profiler_trace_smoke(tmp_path):
 
 def test_streaming_crash_resume_no_loss_no_dup(tmp_path):
     """Failure recovery contract (SURVEY §5): a crash mid-stream resumes from
-    the manifest with every batch delivered exactly once."""
+    the manifest with no batch lost.  Delivery is at-least-once (the sink
+    runs before the manifest advances); here the crash happens *inside* the
+    sink — before any durable effect — so the re-delivered batch appears
+    once.  A crash after a durable sink but before the manifest write would
+    re-deliver, which idempotent sinks absorb (see parallel/runtime.py)."""
     reads = [b"ACGT" * (i % 5 + 1) for i in range(20)]
     records = [io.Record(str(i).encode(), s) for i, s in enumerate(reads)]
     manifest = str(tmp_path / "m.json")
