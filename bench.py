@@ -251,6 +251,12 @@ def main() -> int:
         (jnp.asarray(lo), jnp.asarray(hi)),
         nt_b5_panels,
     )
+    run(
+        "decode_b5_pallas_nt4_padded",
+        chained2(lambda a, b: pk.decode_b5_nt4_panels(a, b, padded=True)),
+        (jnp.asarray(lo), jnp.asarray(hi)),
+        nt_b5_panels,
+    )
     if BENCH_FULL:
         x_b5 = rng.choice(alphabet_n, size=(ROWS, NT_PER_ROW_B5))
         run(

@@ -642,29 +642,33 @@ def encode_b5_panels_v2(x: jax.Array, *, interpret: bool = False) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# Base-5 decode v2: char scatter into nt4 u32 lanes
+# Base-5 decode v2: digit-pair scatter into nt4 u32 lanes (int8 MXU)
 # ---------------------------------------------------------------------------
 # The v1 decoder scatters three char planes to 432 u8 lanes per slice (24 MXU
 # passes).  v2 scatters into the nt4 form instead — each output u32 lane
-# holds 4 ASCII bytes, and both 16-bit halves of that lane are exact linear
-# combinations of chars (coef 1 or 256, chars <= 84 bf16-exact) — so one
-# (768, 256) matmul per slice does the whole job in half the passes.  The
-# result is the framework's canonical device byte-stream form (free u8 view
-# on the host).
+# holds 4 ASCII bytes — with ONE (768, 256) matmul per slice.  The scatter
+# runs on the int8 MXU path (int8 x int8 -> i32 `jnp.dot` is exact on this
+# chip and much faster than bf16 at these shapes): digits are <= 4 so they
+# feed int8 directly, and because the 256 weight that would place the second
+# byte of each 16-bit half does not fit int8, each half is scattered as a
+# digit PAIR ``v = d_even + 8 * d_odd`` (weights {1, 8}, v <= 36; a half
+# whose two nts straddle a triplet boundary simply sums entries from two
+# t-lanes), then the VPU re-expands ``v -> (v & 7) | (v >> 3) << 8``.
 
 @functools.lru_cache(maxsize=None)
-def _b5_dec_scatter_nt4():
-    """chars concat [c0|c1|c2] (768,) -> nt4 halves (256,): lo 108 @ [0,128),
-    hi 108 @ [128,256)."""
-    s = np.zeros((3 * B5_SLICE_WORDS * B5_TPAD, 256), np.float32)
+def _b5_dec_scatter_pairs_i8():
+    """digits concat [d0|d1|d2] (768,) int8 -> nt4 half PAIRS (256,):
+    col m in [0,128) = lo half of nt4 lane m as d_even + 8*d_odd, col 128+m
+    the hi half.  Columns 108..127 / 236..255 are all-zero (pad lanes)."""
+    s = np.zeros((3 * B5_SLICE_WORDS * B5_TPAD, 256), np.int8)
     for w in range(B5_SLICE_WORDS):
         for j in range(9):
             for k in range(3):
                 p = 27 * w + 3 * j + k          # nt position within slice
                 m, b = divmod(p, 4)             # nt4 lane, byte
                 col = m if b < 2 else 128 + m
-                s[256 * k + B5_TPAD * w + j, col] = 1.0 if b % 2 == 0 else 256.0
-    return np.asarray(s, dtype=jnp.bfloat16)
+                s[256 * k + B5_TPAD * w + j, col] = 1 if b % 2 == 0 else 8
+    return s
 
 
 def _swar_digits_to_chars(s: jax.Array) -> jax.Array:
@@ -682,70 +686,96 @@ def _swar_digits_to_chars(s: jax.Array) -> jax.Array:
     )
 
 
-def _decode_b5_nt4_kernel(lo_ref, hi_ref, pa_ref, pb_ref, s_ref, o_ref):
-    lo = lo_ref[:]
-    hi = hi_ref[:]
-    rb = lo.shape[0]
-    tshape = (rb, B5_SLICE_WORDS * B5_TPAD)
-    svec = _b5_trip_shift_vec(tshape)
-    m16 = jnp.uint32(0xFFFF)
-    for g in range(B5_SLICES):
-        lo_g = jax.lax.slice(lo, (0, 16 * g), (rb, 16 * (g + 1)))
-        hi_g = jax.lax.slice(hi, (0, 16 * g), (rb, 16 * (g + 1)))
-        h = [lo_g & m16, lo_g >> 16, hi_g & m16, hi_g >> 16]
-        m8 = jnp.uint32(0xFF)
-        halves = jnp.concatenate(
-            [x & m8 for x in h] + [x >> 8 for x in h], axis=1
-        ).astype(jnp.int32).astype(jnp.bfloat16)
-        a = jnp.dot(halves, pa_ref[:], preferred_element_type=jnp.float32)
-        b = jnp.dot(halves, pb_ref[:], preferred_element_type=jnp.float32)
-        ai = a.astype(jnp.int32)
-        bi = b.astype(jnp.int32)
-        t = ((ai >> svec) | (bi << (16 - svec))) & 0x7F
-        q5 = (t * 205) >> 10
-        q25 = (t * 41) >> 10
-        # scatter DIGITS (<= 4, bf16-exact); ASCII conversion happens
-        # byte-parallel on the packed nt4 lanes afterwards (far fewer regs)
-        digs = jnp.concatenate(
-            [t - 5 * q5, q5 - 5 * q25, q25], axis=1
-        ).astype(jnp.bfloat16)
-        z = jnp.dot(
-            digs, s_ref[:], preferred_element_type=jnp.float32
-        ).astype(jnp.int32).astype(jnp.uint32)
-        packed_digits = (
-            jax.lax.slice(z, (0, 0), (rb, 108))
-            | (jax.lax.slice(z, (0, 128), (rb, 236)) << 16)
-        )
-        o_ref[:, 108 * g : 108 * (g + 1)] = _swar_digits_to_chars(packed_digits)
+#: padded nt4 panel width: 8 slices x 112 lanes (112 = 108 data + 4 pad)
+B5_NT4_PAD_LANES = 8 * 112
 
 
-def decode_b5_nt4_panels(lo: jax.Array, hi: jax.Array, *, interpret: bool = False) -> jax.Array:
-    """Decode planar u32[R, 128] planes -> nt4 u32[R, 864] panels.
+def _decode_b5_nt4_kernel(padded: bool):
+    ow = 112 if padded else 108  # output lanes consumed per slice
+
+    def kernel(lo_ref, hi_ref, pa_ref, pb_ref, s_ref, o_ref):
+        lo = lo_ref[:]
+        hi = hi_ref[:]
+        rb = lo.shape[0]
+        tshape = (rb, B5_SLICE_WORDS * B5_TPAD)
+        svec = _b5_trip_shift_vec(tshape)
+        m16 = jnp.uint32(0xFFFF)
+        for g in range(B5_SLICES):
+            lo_g = jax.lax.slice(lo, (0, 16 * g), (rb, 16 * (g + 1)))
+            hi_g = jax.lax.slice(hi, (0, 16 * g), (rb, 16 * (g + 1)))
+            h = [lo_g & m16, lo_g >> 16, hi_g & m16, hi_g >> 16]
+            m8 = jnp.uint32(0xFF)
+            halves = jnp.concatenate(
+                [x & m8 for x in h] + [x >> 8 for x in h], axis=1
+            ).astype(jnp.int32).astype(jnp.bfloat16)
+            a = jnp.dot(halves, pa_ref[:], preferred_element_type=jnp.float32)
+            b = jnp.dot(halves, pb_ref[:], preferred_element_type=jnp.float32)
+            ai = a.astype(jnp.int32)
+            bi = b.astype(jnp.int32)
+            t = ((ai >> svec) | (bi << (16 - svec))) & 0x7F
+            q5 = (t * 205) >> 10
+            q25 = (t * 41) >> 10
+            # scatter DIGITS (<= 4, int8-exact); ASCII conversion happens
+            # byte-parallel on the packed nt4 lanes afterwards (far fewer regs)
+            digs = jnp.concatenate(
+                [t - 5 * q5, q5 - 5 * q25, q25], axis=1
+            ).astype(jnp.int8)
+            zv = jnp.dot(digs, s_ref[:], preferred_element_type=jnp.int32)
+            hp = (zv & 7) | ((zv >> 3) << 8)
+            # pad lanes (cols 108..111) read the scatter's all-zero columns,
+            # so in padded mode they deterministically decode to 'AAAA'
+            pd = (
+                jax.lax.slice(hp, (0, 0), (rb, ow))
+                | (jax.lax.slice(hp, (0, 128), (rb, 128 + ow)) << 16)
+            ).astype(jnp.uint32)
+            o_ref[:, ow * g : ow * (g + 1)] = _swar_digits_to_chars(pd)
+
+    return kernel
+
+
+def decode_b5_nt4_panels(
+    lo: jax.Array,
+    hi: jax.Array,
+    *,
+    padded: bool = False,
+    interpret: bool = False,
+    row_block: int = 256,
+) -> jax.Array:
+    """Decode planar u32[R, 128] planes -> nt4 u32 panels.
 
     The output's little-endian byte stream is the ASCII nucleotide stream
     (one u32 lane = 4 chars) — the canonical device form; a host
     ``ndarray.view(uint8)`` recovers bytes for free.
+
+    ``padded=False``: u32[R, 864], the compact stream.  ``padded=True``:
+    u32[R, 896] where slice ``g`` of the row occupies lanes
+    ``[112 g, 112 g + 108)`` and the 4 pad lanes decode as ``'AAAA'`` —
+    896 = 7*128 keeps the row tile-aligned so XLA never inserts a relayout
+    copy on the result (for u32[R, 864] results XLA prefers a {0,1} layout
+    and pays a full extra HBM round-trip to convert; measured ~30% of the
+    op).  Prefer the padded form for device-resident throughput paths.
     """
     if lo.shape != hi.shape or lo.ndim != 2 or lo.shape[1] != B5_ROW_WORDS:
         raise TypeError(f"expected u32[R, {B5_ROW_WORDS}] planes, got {lo.shape}/{hi.shape}")
     interpret = _auto_interpret(interpret)
     R = lo.shape[0]
-    rb = min(256, max(8, R))
-    mats = (*_b5_dec_mats()[:2], _b5_dec_scatter_nt4())
+    rb = min(row_block, max(8, -(-R // 8) * 8))
+    out_w = B5_NT4_PAD_LANES if padded else B5_ROW_NT // 4
+    mats = (*_b5_dec_mats()[:2], _b5_dec_scatter_pairs_i8())
     mat_specs = [
         pl.BlockSpec(m.shape, lambda i: (0,) * m.ndim, memory_space=pltpu.VMEM)
         for m in mats
     ]
     return pl.pallas_call(
-        _decode_b5_nt4_kernel,
+        _decode_b5_nt4_kernel(padded),
         grid=(_cdiv(R, rb),),
         in_specs=[
             pl.BlockSpec((rb, B5_ROW_WORDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, B5_ROW_WORDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
             *mat_specs,
         ],
-        out_specs=pl.BlockSpec((rb, B5_ROW_NT // 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R, B5_ROW_NT // 4), jnp.uint32),
+        out_specs=pl.BlockSpec((rb, out_w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, out_w), jnp.uint32),
         interpret=interpret,
     )(lo, hi, *mats)
 

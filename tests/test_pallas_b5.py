@@ -101,3 +101,21 @@ def test_decode_b5_nt4_matches_oracle(rng):
     got = np.ascontiguousarray(nt4.reshape(-1)).view(np.uint8)
     want = oracle.bits_to_n2_lut(oracle.n_to_bits2_lut(s), s.size)
     assert np.array_equal(got, want)
+
+
+def test_decode_b5_nt4_padded_matches_oracle(rng):
+    """padded=True: slice g at lanes [112g, 112g+108), pads decode to 'AAAA'
+    (the tile-aligned 896-lane form that avoids XLA's result-relayout copy)."""
+    s = rng.choice(ALPHABET, size=2 * pk.B5_ROW_NT)
+    lo, hi = pk.encode_b5_planar(
+        jnp.asarray(s.reshape(2, pk.B5_ROW_NT)), interpret=True
+    )
+    out = np.asarray(pk.decode_b5_nt4_panels(lo, hi, padded=True, interpret=True))
+    assert out.shape == (2, pk.B5_NT4_PAD_LANES)
+    blocks = out.reshape(2, 8, 112)
+    got = np.ascontiguousarray(
+        np.ascontiguousarray(blocks[:, :, :108]).reshape(-1)
+    ).view(np.uint8)
+    want = oracle.bits_to_n2_lut(oracle.n_to_bits2_lut(s), s.size)
+    assert np.array_equal(got, want)
+    assert np.all(blocks[:, :, 108:] == 0x41414141)

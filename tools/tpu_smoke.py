@@ -83,6 +83,19 @@ def main() -> int:
     )
     u8_5 = np.asarray(jax.jit(pk.decode_b5_panels)(lo, hi))
     ok("pallas decode_b5 v1 (u8)", np.array_equal(u8_5.reshape(-1), want_seq5))
+    pad_5 = np.asarray(
+        jax.jit(lambda a, b: pk.decode_b5_nt4_panels(a, b, padded=True))(lo, hi)
+    )
+    data = np.ascontiguousarray(
+        pad_5.reshape(4, 8, 112)[:, :, :108]
+    ).reshape(4, 864)
+    ok(
+        "pallas decode_b5 nt4 padded",
+        np.array_equal(
+            np.ascontiguousarray(data.reshape(-1)).view(np.uint8), want_seq5
+        )
+        and np.all(pad_5.reshape(4, 8, 112)[:, :, 108:] == 0x41414141),
+    )
 
     # --- api surface (golden vectors + ragged roundtrips) --------------------
     for tier in ("oracle", "xla", "pallas"):

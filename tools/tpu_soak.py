@@ -40,6 +40,7 @@ def main(argv=None) -> int:
     enc2_mxu = jax.jit(pk.encode_2bit_nt4_mxu)
     enc5 = jax.jit(pk.encode_b5_planar)
     dec5_nt4 = jax.jit(pk.decode_b5_nt4_panels)
+    dec5_pad = jax.jit(lambda a, b: pk.decode_b5_nt4_panels(a, b, padded=True))
     dec5_u8 = jax.jit(pk.decode_b5_panels)
 
     shapes_2bit = [(8, 512), (13, 512), (100, 2048), (256, 1024), (32, 512 * 7)]
@@ -91,6 +92,15 @@ def main(argv=None) -> int:
             got = np.asarray(dec5_u8(lo, hi)).reshape(-1)
             if not np.array_equal(got, want_seq):
                 print(f"FAIL dec5[u8] R={R} round {rnd}", file=sys.stderr)
+                failures += 1
+            pad = np.asarray(dec5_pad(lo, hi)).reshape(R, 8, 112)
+            got = np.ascontiguousarray(
+                np.ascontiguousarray(pad[:, :, :108]).reshape(-1)
+            ).view(np.uint8)
+            if not np.array_equal(got, want_seq) or not np.all(
+                pad[:, :, 108:] == 0x41414141
+            ):
+                print(f"FAIL dec5[pad] R={R} round {rnd}", file=sys.stderr)
                 failures += 1
         print(
             f"round {rnd + 1}/{args.rounds} done ({time.time() - t0:.0f}s, "
