@@ -43,12 +43,18 @@ class CodecConfig:
     Attributes:
       tier: "xla" (whole-array fused), "pallas" (hand-tiled kernels) or
         "auto" (pallas on accelerators, xla on CPU).
-      encode_variant: packing strategy for the 2-bit encoder — "mul"
-        (multiply-as-bit-shuffle, analogue of reference src/n_to_bits.rs:213)
-        or "shift" (log-depth shift-OR tree, analogue of src/n_to_bits.rs:121).
-      decode_variant: "swar" (byte-parallel arithmetic, the fastest),
-        "shuffle" (packed-LUT variable shift, analogue of reference
-        src/n_to_bits.rs:265) or "select" (arithmetic select tree).
+      encode_variant: packing strategy for the 2-bit encoder —
+        "mul" (multiply-as-bit-shuffle, analogue of reference
+        src/n_to_bits.rs:213), "shift" (log-depth shift-OR tree,
+        src/n_to_bits.rs:121), "interleave" (even/odd plane split + fold,
+        the movemask analogue, src/n_to_bits.rs:172) or "mxu"
+        (constant-matrix byte gather on the MXU, the pext analogue,
+        src/n_to_bits.rs:80; pallas tier only).
+      decode_variant: "swar" (byte-parallel spread-multiplies, the pdep
+        descendant and the fastest, reference src/n_to_bits.rs:309),
+        "shuffle" (packed-LUT variable shift, src/n_to_bits.rs:265) or
+        "select" (arithmetic select tree, the clmul slot,
+        src/n_to_bits.rs:346).
       donate: donate input buffers to the compiled call (the allocation-honest
         analogue of the reference's alloc-included benchmarks).
     """
@@ -125,6 +131,11 @@ class TwoBitCodec(_CodecBase):
 
             self._encode = pk.jit_encode_2bit(self.config.encode_variant)
             self._decode = pk.jit_decode_2bit(self.config.decode_variant)
+        elif self.config.encode_variant == "mxu":
+            raise ValueError(
+                'encode_variant="mxu" is a Pallas-tier kernel; use '
+                'tier="pallas" (or "auto" on an accelerator)'
+            )
         else:
             self._encode = self._jit(
                 functools.partial(
@@ -150,9 +161,14 @@ class TwoBitCodec(_CodecBase):
     def encode_nt4(self, nt4: jax.Array) -> jax.Array:
         """Fast path: nt4 u32[R, C] (4 ASCII bytes/lane, a free host view of
         the byte stream) -> packed u8[R, C].  Skips the device-side bitcast
-        the u8[B, L] path needs; see ops/pallas_kernels.encode_2bit_nt4."""
+        the u8[B, L] path needs; see ops/pallas_kernels.encode_2bit_nt4.
+
+        With ``encode_variant="mxu"`` the output is packed u32 *words*
+        [R, C // 4] (the MXU pack emits whole words; C % 512 == 0)."""
         from ..ops import pallas_kernels as pk
 
+        if self.config.encode_variant == "mxu":
+            return pk.jit_encode_2bit_nt4_mxu()(nt4)
         return pk.jit_encode_2bit_nt4(self.config.encode_variant)(nt4)
 
     def decode_nt4(self, packed: jax.Array) -> jax.Array:

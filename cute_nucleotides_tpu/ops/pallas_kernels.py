@@ -103,7 +103,26 @@ def _pack4_shift(w: jax.Array) -> jax.Array:
     return (u | (u >> 12)) & jnp.uint32(0xFF)
 
 
-_PACK4 = {"mul": _pack4_mul, "shift": _pack4_shift}
+def _pack4_interleave(w: jax.Array) -> jax.Array:
+    """u32 lane of 4 ASCII nt -> packed byte via even/odd code interleave.
+
+    The TPU analogue of the reference's movemask encoder
+    (reference src/n_to_bits.rs:172-207): where AVX2 separates even/odd
+    bytes with ``unpacklo/hi_epi8`` and extracts one bit-plane per
+    ``movemask``, here the even codes (nt 0, 2) and odd codes (nt 1, 3) are
+    masked out of the lane as two sparse planes, the odd plane is slotted
+    two bits up, and one fold merges the 16-bit halves — a genuinely
+    different dataflow from the ``shift`` tree (which merges adjacent byte
+    pairs first) and the ``mul`` shuffle (one multiply).
+    """
+    e = (w >> 1) & jnp.uint32(0x00030003)   # codes of nt 0 and 2
+    o = (w >> 9) & jnp.uint32(0x00030003)   # codes of nt 1 and 3
+    m = e | (o << 2)                        # c0@0 c1@2 | c2@16 c3@18
+    return (m | (m >> 12)) & jnp.uint32(0xFF)
+
+
+_PACK4 = {"mul": _pack4_mul, "shift": _pack4_shift, "interleave": _pack4_interleave}
+ENCODE_2BIT_VARIANTS = ("mul", "shift", "interleave", "mxu")
 
 
 def _unpack4_shuffle(b: jax.Array) -> jax.Array:
@@ -249,7 +268,14 @@ def jit_decode_2bit_nt4(variant: str = "swar"):
 
 
 @functools.lru_cache(maxsize=None)
+def jit_encode_2bit_nt4_mxu():
+    return jax.jit(encode_2bit_nt4_mxu)
+
+
+@functools.lru_cache(maxsize=None)
 def jit_encode_2bit(variant: str = "mul"):
+    if variant == "mxu":
+        return jax.jit(encode_2bit_words_mxu)
     return jax.jit(functools.partial(encode_2bit_words, variant=variant))
 
 
@@ -526,6 +552,27 @@ def _encode_2bit_mxu_kernel(x_ref, m_ref, o_ref):
             preferred_element_type=jnp.float32,
         ).astype(jnp.int32).astype(jnp.uint32)
         o_ref[:, 128 * g : 128 * (g + 1)] = z[:, :128] | (z[:, 128:] << 16)
+
+
+def encode_2bit_words_mxu(x: jax.Array, *, interpret: bool = False) -> jax.Array:
+    """Drop-in words-API form of the MXU pack (variant ``"mxu"``):
+    u8[..., L] -> u32[..., L // 16].
+
+    Columns are padded to the kernel's 512-lane granularity with ``'A'``
+    lanes (0x41414141 -> packed 0, matching the reference's zero tail bits,
+    src/n_to_bits.rs:38-43) and the pad words sliced off after.
+    """
+    w, lead = _as_panels_u32(x)  # u32[R, L // 4]
+    R, C = w.shape
+    pad = (-C) % 512
+    if pad:
+        w = jnp.concatenate(
+            [w, jnp.full((R, pad), 0x41414141, jnp.uint32)], axis=1
+        )
+    words = encode_2bit_nt4_mxu(w, interpret=interpret)
+    if pad:
+        words = words[:, : C // 4]
+    return words.reshape(*lead, x.shape[-1] // 16)
 
 
 def encode_2bit_nt4_mxu(x: jax.Array, *, interpret: bool = False) -> jax.Array:

@@ -59,7 +59,7 @@ MUL_MAGIC = (1 << 5) | (1 << 11) | (1 << 17) | (1 << 23)
 DIV5_MUL, DIV5_SHIFT = 205, 10    # t//5  == (t*205) >> 10  for t < 1024
 DIV25_MUL, DIV25_SHIFT = 41, 10   # t//25 == (t*41)  >> 10  for t < 1024
 
-ENCODE_2BIT_VARIANTS = ("shift", "mul")
+ENCODE_2BIT_VARIANTS = ("shift", "mul", "interleave")
 DECODE_2BIT_VARIANTS = ("shuffle", "select", "swar")
 
 
@@ -93,6 +93,15 @@ def pack4_mul(w: jax.Array) -> jax.Array:
     return (t * jnp.uint32(MUL_MAGIC)) >> 24
 
 
+def pack4_interleave(w: jax.Array) -> jax.Array:
+    """u32 lane of 4 ASCII nt -> packed byte, even/odd interleave (the
+    movemask analogue; see pallas_kernels._pack4_interleave)."""
+    e = (w >> 1) & jnp.uint32(0x00030003)
+    o = (w >> 9) & jnp.uint32(0x00030003)
+    m = e | (o << 2)
+    return (m | (m >> 12)) & jnp.uint32(0xFF)
+
+
 def encode_2bit_words(x: jax.Array, variant: str = "mul") -> jax.Array:
     """Encode u8[..., L] (L % 16 == 0) to packed u32[..., L // 16].
 
@@ -102,7 +111,9 @@ def encode_2bit_words(x: jax.Array, variant: str = "mul") -> jax.Array:
     if x.shape[-1] % spec.NT_PER_U32_2BIT:
         raise ValueError(f"last dim {x.shape[-1]} not a multiple of 16")
     w = _bytes_to_u32(x)
-    packed = {"shift": pack4_shift, "mul": pack4_mul}[variant](w)
+    packed = {
+        "shift": pack4_shift, "mul": pack4_mul, "interleave": pack4_interleave
+    }[variant](w)
     return _bytes_to_u32(packed.astype(jnp.uint8))
 
 

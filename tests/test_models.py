@@ -22,7 +22,7 @@ def test_pad_batch_array(rng):
     assert batch.shape == (3, 64) and lengths.tolist() == [40, 40, 40]
 
 
-@pytest.mark.parametrize("variant", ["mul", "shift"])
+@pytest.mark.parametrize("variant", ["mul", "shift", "interleave"])
 def test_two_bit_codec_matches_oracle(rng, variant):
     codec = TwoBitCodec(tier="xla", encode_variant=variant)
     reads = [b"ACGTacgtUUGG" * 5, b"A" * 7, b"ttttGGGGccccAAAA" * 3]

@@ -21,7 +21,7 @@ def _rand_seq(rng, n, alphabet=ALPHABET):
     return rng.choice(alphabet, size=n)
 
 
-@pytest.mark.parametrize("variant", ["mul", "shift"])
+@pytest.mark.parametrize("variant", ["mul", "shift", "interleave"])
 def test_encode_2bit_nt4_matches_oracle(rng, variant):
     n = 4096 * 4  # (8, 512) panel
     s = _rand_seq(rng, n)
@@ -47,7 +47,7 @@ def test_decode_2bit_nt4_matches_oracle(rng, variant):
     assert np.array_equal(got, want)
 
 
-@pytest.mark.parametrize("variant", ["mul", "shift"])
+@pytest.mark.parametrize("variant", ["mul", "shift", "interleave"])
 def test_encode_2bit_words_batch(rng, variant):
     B, L = 4, 160
     batch = _rand_seq(rng, B * L).reshape(B, L)
@@ -89,3 +89,19 @@ def test_encode_2bit_mxu_variant(rng):
     words = np.asarray(pk.encode_2bit_nt4_mxu(w, interpret=True))
     got = spec.u32_pairs_to_u64(np.ascontiguousarray(words.reshape(-1)))
     assert np.array_equal(got, oracle.n_to_bits_lut(s))
+
+
+def test_encode_2bit_words_mxu_adapter(rng):
+    """The words-API form of the MXU pack: ragged C padded to 512 lanes."""
+    for L in (64, 2048, 8192, 2048 * 3):
+        s = rng.choice(
+            np.frombuffer(b"ACGTUacgtu", np.uint8), size=(3, L)
+        )
+        got = np.asarray(
+            pk.encode_2bit_words_mxu(jnp.asarray(s), interpret=True)
+        )
+        want = np.stack([oracle.n_to_bits_lut(row) for row in s])
+        assert np.array_equal(
+            spec.u32_pairs_to_u64(np.ascontiguousarray(got.reshape(-1))),
+            want.reshape(-1),
+        ), L

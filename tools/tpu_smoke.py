@@ -47,7 +47,7 @@ def main() -> int:
     s = rng.choice(np.frombuffer(b"ACGTUacgtu", np.uint8), size=64 * 2048 * 4)
     nt4 = jnp.asarray(s.view(np.uint32).reshape(64, 2048))
     want_w = oracle.n_to_bits_lut(s)
-    for variant in ("mul", "shift"):
+    for variant in ("mul", "shift", "interleave"):
         packed = np.asarray(jax.jit(lambda x, v=variant: pk.encode_2bit_nt4(x, v))(nt4))
         got = spec.u32_pairs_to_u64(np.ascontiguousarray(packed.reshape(-1)).view(np.uint32))
         ok(f"pallas encode_2bit[{variant}]", np.array_equal(got, want_w))

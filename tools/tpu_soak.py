@@ -35,7 +35,7 @@ def main(argv=None) -> int:
     alpha = np.frombuffer(b"ACGTUacgtu", np.uint8)
     alpha_n = np.frombuffer(b"ACGTUNacgtun", np.uint8)
 
-    enc2 = {v: jax.jit(lambda w, v=v: pk.encode_2bit_nt4(w, v)) for v in ("mul", "shift")}
+    enc2 = {v: jax.jit(lambda w, v=v: pk.encode_2bit_nt4(w, v)) for v in ("mul", "shift", "interleave")}
     dec2 = {v: jax.jit(lambda q, v=v: pk.decode_2bit_nt4(q, v)) for v in ("swar", "shuffle", "select")}
     enc2_mxu = jax.jit(pk.encode_2bit_nt4_mxu)
     enc5 = jax.jit(pk.encode_b5_planar)
