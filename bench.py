@@ -8,6 +8,23 @@ call), an on-device memcpy is the baseline, and the denominator is ASCII
 nucleotide bytes — the same convention as the reference's
 ``group.throughput(Bytes(40000))``.
 
+Row groups (mirroring the complete table of reference README.md:337-380):
+
+* device memcpy baseline (the criterion ``memcpy`` row)
+* 2-bit encode, all four Pallas variants (mul / shift / interleave / mxu)
+  and decode (swar / shuffle / select)
+* base-5 encode (interleaved + planar) and decode (nt4 + tile-padded)
+* XLA portability tier (reduced workload — it exists for CPUs/older chips)
+* packed-domain ops: k-mer histogram, revcomp, GC content, Hamming
+* host-native C++ oracle rows (the scalar-tier analogue, criterion's
+  1.8-2.0 GiB/s scalar rows)
+
+Each row reports throughput, the fraction of speed-of-light from the
+bytes-moved roofline (utils/profiling.Roofline — codec ops are memory
+bound, so SoL = HBM peak / bytes moved), and the dispatch latency
+(chain intercept; through a relayed backend this is dominated by the relay
+round-trip, reported honestly as such).
+
 Timing methodology: the execution stream is asynchronous end-to-end, and on
 relayed/tunneled TPU backends neither ``block_until_ready`` nor a readback of
 an *independent* result reliably covers queued work — and even a donated
@@ -16,7 +33,8 @@ the kernel runs).  Each measurement therefore runs a **dependent chain**
 whose carried state is updated *from the op's output* with one in-place
 dynamic-update-slice element (donated input, near-zero cost), and takes the
 slope between two chain lengths so the fixed dispatch+readback cost cancels:
-``t = (T(k_hi) - T(k_lo)) / (k_hi - k_lo)``.
+``t = (T(k_hi) - T(k_lo)) / (k_hi - k_lo)``; the intercept
+``T(k_lo) - t * k_lo`` is the dispatch latency.
 
 Prints a human table on stderr and exactly ONE JSON line on stdout:
 ``{"metric": ..., "value": ..., "unit": "GiB/s", "vs_baseline": ...}``
@@ -26,7 +44,6 @@ encode (n_to_bits_movemask, 28.962 GiB/s, reference README.md:349).
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import signal
@@ -35,10 +52,10 @@ import time
 
 import numpy as np
 
-#: include the (slow, portability-only) XLA-tier rows; default off so the
-#: harness finishes well inside driver timeouts even on a congested relay
+#: extra rows (full-size XLA tier, base-5 u8 decode) beyond the default set
 BENCH_FULL = os.environ.get("BENCH_FULL", "") == "1"
-
+#: soft wall-clock budget; optional row groups are skipped past this
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
 REF_BEST_ENCODE_GIBS = 28.962  # reference README.md:349 (n_to_bits_movemask)
 REF_MEMCPY_GIBS = 23.599       # reference README.md:351
@@ -51,44 +68,30 @@ REF_TABLE = {                  # reference README.md:346-377 (for context)
 ROWS = 32768
 NT_PER_ROW = 8192          # % 16 == 0 (2-bit block)
 NT_PER_ROW_B5 = 8208       # % 27 == 0 (base-5 block)
+XLA_SCALE = 8              # XLA-tier rows run at 1/8 workload
 CHAIN_LO = 8
 CHAIN_HI = 72
 TRIALS = 5
-
-
-def _chain_T(step, state, k):
-    t0 = time.perf_counter()
-    s = state
-    for _ in range(k):
-        s, r = step(s)
-    np.asarray(r.ravel()[:4])
-    return time.perf_counter() - t0, s
-
-
-def _bench_chain(step, state, trials=TRIALS):
-    """step: state -> (state, result), jitted, state donated, state depends
-    on result.  Returns the median per-trial slope seconds/link (each trial
-    pairs one short and one long chain so dispatch/readback jitter cancels
-    within the trial)."""
-    state, r = step(state)
-    np.asarray(r.ravel()[:4])  # compile + warm
-    slopes = []
-    for _ in range(trials):
-        t_lo, state = _chain_T(step, state, CHAIN_LO)
-        t_hi, state = _chain_T(step, state, CHAIN_HI)
-        slopes.append(max((t_hi - t_lo) / (CHAIN_HI - CHAIN_LO), 1e-9))
-    return float(np.median(slopes))
+KMER_K = 8
+KMER_WORDS = 1 << 20       # 16.8 Mnt slice for the k-mer rows
 
 
 def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from cute_nucleotides_tpu.ops import pallas_kernels as pk, xla
+    from cute_nucleotides_tpu.ops import kmer, pallas_kernels as pk, seqops, xla
+    from cute_nucleotides_tpu.ops.distance import hamming_packed
+    from cute_nucleotides_tpu.utils import profiling
 
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
+    hbm_gibs = profiling.HBM_GIBS.get("v5e", 763.0)
+    for gen, bw in profiling.HBM_GIBS.items():
+        if gen in str(dev).lower().replace(" lite", "e").replace("v5e0", "v5e"):
+            hbm_gibs = bw
 
+    t_start = time.time()
     rng = np.random.default_rng(0xC0DEC)
     alphabet = np.frombuffer(b"ACGTUacgtu", np.uint8)
     alphabet_n = np.frombuffer(b"ACGTUNacgtun", np.uint8)
@@ -96,18 +99,15 @@ def main() -> int:
     nt_bytes = ROWS * NT_PER_ROW
     host_u8 = rng.choice(alphabet, size=(ROWS, NT_PER_ROW))
     host_nt4 = host_u8.reshape(ROWS, -1).view(np.uint32)
-    nt_bytes_b5 = ROWS * NT_PER_ROW_B5
 
     results: dict[str, float] = {}
+    sol: dict[str, float] = {}
+    latency_ms: dict[str, float] = {}
 
     def emit_headline():
         candidates = [
-            results.get(k, 0.0)
-            for k in (
-                "encode_2bit_pallas_mul",
-                "encode_2bit_pallas_shift",
-                "encode_2bit_xla_mul",
-            )
+            results.get(f"encode_2bit_pallas_{v}", 0.0)
+            for v in ("mul", "shift", "interleave", "mxu")
         ]
         best_encode = max(candidates) if any(candidates) else 0.0
         memcpy = results.get("memcpy_device", 0.0)
@@ -123,6 +123,10 @@ def main() -> int:
                     "vs_reference_memcpy": round(best_encode / REF_MEMCPY_GIBS, 2),
                     "chips": 1,
                     "detail": {k: round(v, 3) for k, v in results.items()},
+                    "sol_frac": {k: round(v, 3) for k, v in sol.items()},
+                    "dispatch_latency_ms": {
+                        k: round(v, 2) for k, v in latency_ms.items()
+                    },
                 }
             ),
             flush=True,
@@ -135,17 +139,49 @@ def main() -> int:
 
     signal.signal(signal.SIGTERM, on_term)
 
-    def run(name, step, state, denom):
+    def _measure(step, state, k_lo, k_hi, trials):
+        """Median (slope_seconds, intercept_seconds) over paired chains."""
+        state, r = step(state)
+        np.asarray(r.ravel()[:4])  # compile + warm
+        slopes, intercepts = [], []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            s = state
+            for _ in range(k_lo):
+                s, r = step(s)
+            np.asarray(r.ravel()[:4])
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(k_hi):
+                s, r = step(s)
+            np.asarray(r.ravel()[:4])
+            t_hi = time.perf_counter() - t0
+            state = s
+            slope = max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+            slopes.append(slope)
+            intercepts.append(max(t_lo - slope * k_lo, 0.0))
+        return float(np.median(slopes)), float(np.median(intercepts))
+
+    def run(name, step, state, denom, roofline=None, k_lo=CHAIN_LO,
+            k_hi=CHAIN_HI, trials=TRIALS):
         # a single failing row must not prevent the headline JSON line
         try:
-            dt = _bench_chain(step, state)
+            dt, lat = _measure(step, state, k_lo, k_hi, trials)
         except Exception as e:  # pragma: no cover
-            print(f"{name:28s} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+            print(f"{name:30s} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
             results[name] = 0.0
             return 0.0
         gibs = denom / dt / 2**30
         results[name] = gibs
-        print(f"{name:28s} {dt * 1e3:9.3f} ms   {gibs:9.2f} GiB/s", file=sys.stderr)
+        latency_ms[name] = lat * 1e3
+        extra = ""
+        if roofline is not None:
+            sol[name] = roofline.efficiency(dt, hbm_gibs)
+            extra = f"  {sol[name] * 100:5.1f}% SoL"
+        print(
+            f"{name:30s} {dt * 1e3:9.3f} ms   {gibs:9.2f} GiB/s{extra}",
+            file=sys.stderr,
+        )
         return gibs
 
     def chained(fn):
@@ -154,8 +190,8 @@ def main() -> int:
 
         def step(s):
             r = fn(s)
-            patch = r[:1, :1].astype(s.dtype)
-            return jax.lax.dynamic_update_slice(s, patch, (0, 0)), r
+            patch = r.ravel()[0].astype(s.dtype).reshape((1,) * s.ndim)
+            return jax.lax.dynamic_update_slice(s, patch, (0,) * s.ndim), r
 
         return jax.jit(step, donate_argnums=0)
 
@@ -165,119 +201,213 @@ def main() -> int:
         def step(s):
             a, b = s
             r = fn(a, b)
-            patch = r[:1, :1].astype(a.dtype)
-            return (jax.lax.dynamic_update_slice(a, patch, (0, 0)), b), r
+            patch = r.ravel()[0].astype(a.dtype).reshape((1,) * a.ndim)
+            return (jax.lax.dynamic_update_slice(a, patch, (0,) * a.ndim), b), r
 
         return jax.jit(step, donate_argnums=0)
+
+    R = profiling.Roofline
 
     # --- baselines -----------------------------------------------------------
     # memcpy chains naturally: output feeds the next copy (read N, write N)
     memcpy_step = jax.jit(lambda s: (s + jnp.uint8(0),) * 2, donate_argnums=0)
-    run("memcpy_device", lambda s: memcpy_step(s), jnp.asarray(host_u8), nt_bytes)
+    run("memcpy_device", lambda s: memcpy_step(s), jnp.asarray(host_u8),
+        nt_bytes, R(nt_bytes, nt_bytes))
 
-    # --- 2-bit codec ---------------------------------------------------------
-    run(
-        "encode_2bit_pallas_mul",
-        chained(lambda x: pk.encode_2bit_nt4(x, "mul")),
-        jnp.asarray(host_nt4),
-        nt_bytes,
-    )
-    run(
-        "encode_2bit_pallas_shift",
-        chained(lambda x: pk.encode_2bit_nt4(x, "shift")),
-        jnp.asarray(host_nt4),
-        nt_bytes,
-    )
-    if BENCH_FULL:
+    # --- 2-bit codec (Pallas, the production tier) ---------------------------
+    enc_roof = profiling.encode_2bit_roofline(nt_bytes)
+    for v in ("mul", "shift", "interleave"):
         run(
-            "encode_2bit_xla_mul",
-            chained(lambda x: xla.encode_2bit_words(x, "mul")),
-            jnp.asarray(host_u8),
+            f"encode_2bit_pallas_{v}",
+            chained(lambda x, v=v: pk.encode_2bit_nt4(x, v)),
+            jnp.asarray(host_nt4),
             nt_bytes,
+            enc_roof,
         )
+    run(
+        "encode_2bit_pallas_mxu",
+        chained(pk.encode_2bit_nt4_mxu),
+        jnp.asarray(host_nt4),
+        nt_bytes,
+        enc_roof,
+    )
 
     packed_np = np.asarray(
         jax.jit(lambda w: pk.encode_2bit_nt4(w, "mul"))(jnp.asarray(host_nt4))
     )
-    run(
-        "decode_2bit_pallas_shuffle",
-        chained(lambda p: pk.decode_2bit_nt4(p, "shuffle")),
-        jnp.asarray(packed_np),
-        nt_bytes,
-    )
-    run(
-        "decode_2bit_pallas_swar",
-        chained(lambda p: pk.decode_2bit_nt4(p, "swar")),
-        jnp.asarray(packed_np),
-        nt_bytes,
-    )
-    if BENCH_FULL:
-        words_np = packed_np.reshape(ROWS, -1).view(np.uint32)
+    dec_roof = profiling.decode_2bit_roofline(nt_bytes)
+    for v in ("swar", "shuffle", "select"):
         run(
-            "decode_2bit_xla_shuffle",
-            chained(lambda w: xla.decode_2bit_bytes(w, "shuffle")),
-            jnp.asarray(words_np),
+            f"decode_2bit_pallas_{v}",
+            chained(lambda p, v=v: pk.decode_2bit_nt4(p, v)),
+            jnp.asarray(packed_np),
             nt_bytes,
+            dec_roof,
         )
 
     # --- base-5 codec --------------------------------------------------------
     rows_b5 = (ROWS * NT_PER_ROW_B5) // pk.B5_ROW_NT
     host_b5 = rng.choice(alphabet_n, size=(rows_b5, pk.B5_ROW_NT))
-    nt_b5_panels = rows_b5 * pk.B5_ROW_NT
+    nt_b5 = rows_b5 * pk.B5_ROW_NT
     run(
         "encode_b5_pallas",
         chained(pk.encode_b5_panels_v2),
         jnp.asarray(host_b5),
-        nt_b5_panels,
+        nt_b5,
+        profiling.encode_b5_roofline(nt_b5),
     )
     run(
         "encode_b5_pallas_planar",
         chained(lambda x: pk.encode_b5_planar(x)[0]),
         jnp.asarray(host_b5),
-        nt_b5_panels,
+        nt_b5,
+        profiling.encode_b5_roofline(nt_b5),
     )
     w_b5 = np.asarray(jax.jit(pk.encode_b5_panels_v2)(jnp.asarray(host_b5)))
     lo = np.ascontiguousarray(w_b5.reshape(-1, 2)[:, 0]).reshape(rows_b5, 128)
     hi = np.ascontiguousarray(w_b5.reshape(-1, 2)[:, 1]).reshape(rows_b5, 128)
     run(
-        "decode_b5_pallas",
-        chained2(pk.decode_b5_panels),
-        (jnp.asarray(lo), jnp.asarray(hi)),
-        nt_b5_panels,
-    )
-    run(
         "decode_b5_pallas_nt4",
         chained2(pk.decode_b5_nt4_panels),
         (jnp.asarray(lo), jnp.asarray(hi)),
-        nt_b5_panels,
+        nt_b5,
+        profiling.decode_b5_roofline(nt_b5),
     )
     run(
         "decode_b5_pallas_nt4_padded",
         chained2(lambda a, b: pk.decode_b5_nt4_panels(a, b, padded=True)),
         (jnp.asarray(lo), jnp.asarray(hi)),
-        nt_b5_panels,
+        nt_b5,
+        R(8 * (nt_b5 // 27), nt_b5 * pk.B5_NT4_PAD_LANES * 4 // pk.B5_ROW_NT),
     )
     if BENCH_FULL:
-        x_b5 = rng.choice(alphabet_n, size=(ROWS, NT_PER_ROW_B5))
+        run(
+            "decode_b5_pallas_u8",
+            chained2(pk.decode_b5_panels),
+            (jnp.asarray(lo), jnp.asarray(hi)),
+            nt_b5,
+            profiling.decode_b5_roofline(nt_b5),
+        )
+
+    # --- XLA portability tier (reduced workload by default) ------------------
+    if time.time() - t_start < BUDGET_S:
+        xrows = ROWS if BENCH_FULL else ROWS // XLA_SCALE
+        x_u8 = host_u8[:xrows]
+        x_nt = xrows * NT_PER_ROW
+        xk = dict(k_lo=4, k_hi=20, trials=3) if not BENCH_FULL else {}
+        run(
+            "encode_2bit_xla_mul",
+            chained(lambda x: xla.encode_2bit_words(x, "mul")),
+            jnp.asarray(x_u8),
+            x_nt,
+            profiling.encode_2bit_roofline(x_nt),
+            **xk,
+        )
+        x_words = packed_np[:xrows].reshape(xrows, -1).view(np.uint32)
+        run(
+            "decode_2bit_xla_shuffle",
+            chained(lambda w: xla.decode_2bit_bytes(w, "shuffle")),
+            jnp.asarray(x_words),
+            x_nt,
+            profiling.decode_2bit_roofline(x_nt),
+            **xk,
+        )
+        xrows5 = rows_b5 if BENCH_FULL else rows_b5 // XLA_SCALE
+        xb5 = host_b5[:xrows5]
+        x_nt5 = xrows5 * pk.B5_ROW_NT
         run(
             "encode_b5_xla",
             chained(xla.encode_b5_words),
-            jnp.asarray(x_b5),
-            nt_bytes_b5,
+            jnp.asarray(xb5),
+            x_nt5,
+            profiling.encode_b5_roofline(x_nt5),
+            **xk,
         )
-        words_b5 = np.asarray(jax.jit(xla.encode_b5_words)(jnp.asarray(x_b5)))
+        words_b5x = np.asarray(
+            jax.jit(xla.encode_b5_words)(jnp.asarray(xb5))
+        )
         run(
             "decode_b5_xla",
             chained(xla.decode_b5_bytes),
-            jnp.asarray(words_b5),
-            nt_bytes_b5,
+            jnp.asarray(words_b5x),
+            x_nt5,
+            profiling.decode_b5_roofline(x_nt5),
+            **xk,
         )
+
+    # --- packed-domain ops ---------------------------------------------------
+    if time.time() - t_start < BUDGET_S:
+        words_flat = packed_np.reshape(-1).view(np.uint32)
+        kwords = words_flat[:KMER_WORDS]
+        klen = 16 * KMER_WORDS
+        run(
+            "kmer_histogram_k8",
+            chained(
+                lambda w: kmer.kmer_histogram(w, length=klen, k=KMER_K)
+            ),
+            jnp.asarray(kwords),
+            klen,
+            R(4 * KMER_WORDS, 4 * 4**KMER_K),
+            k_lo=4, k_hi=20, trials=3,
+        )
+        run(
+            "revcomp_packed",
+            chained(lambda w: seqops.revcomp_packed(w, 16 * words_flat.size)),
+            jnp.asarray(words_flat),
+            16 * words_flat.size,
+            R(4 * words_flat.size, 4 * words_flat.size),
+        )
+        run(
+            "gc_content_packed",
+            chained(seqops.gc_content_packed),
+            jnp.asarray(words_flat),
+            16 * words_flat.size,
+            R(4 * words_flat.size, 4),
+        )
+        wa = packed_np.reshape(ROWS, -1).view(np.uint32)
+        run(
+            "hamming_packed",
+            chained2(hamming_packed),
+            (jnp.asarray(wa), jnp.asarray(np.roll(wa, 1, axis=0))),
+            16 * wa.size,  # nt compared (reads both streams: 0.5 B/nt)
+            R(8 * wa.size, 4 * ROWS),
+        )
+
+    # --- host-native C++ oracle (the scalar-tier rows) -----------------------
+    if time.time() - t_start < BUDGET_S:
+        from cute_nucleotides_tpu.ops import native
+
+        if native.available():
+            hb = host_u8[:4096].reshape(-1)  # 32 Mnt
+
+            def host_row(name, fn, denom):
+                times = []
+                fn()  # warm
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    fn()
+                    times.append(time.perf_counter() - t0)
+                dt = float(np.median(times))
+                results[name] = denom / dt / 2**30
+                latency_ms[name] = 0.0
+                print(
+                    f"{name:30s} {dt * 1e3:9.3f} ms   {results[name]:9.2f} GiB/s",
+                    file=sys.stderr,
+                )
+
+            host_row("host_memcpy", lambda: native.memcpy(hb), hb.size)
+            host_row("host_oracle_encode", lambda: native.n_to_bits(hb), hb.size)
+            hw = native.n_to_bits(hb)
+            host_row(
+                "host_oracle_decode",
+                lambda: native.bits_to_n(hw, hb.size),
+                hb.size,
+            )
 
     # --- headline ------------------------------------------------------------
     best_encode = max(
-        results.get("encode_2bit_pallas_mul", 0.0),
-        results.get("encode_2bit_pallas_shift", 0.0),
-        results.get("encode_2bit_xla_mul", 0.0),
+        results.get(f"encode_2bit_pallas_{v}", 0.0)
+        for v in ("mul", "shift", "interleave", "mxu")
     )
     memcpy = results.get("memcpy_device", 0.0)
     if memcpy:
@@ -285,6 +415,16 @@ def main() -> int:
             f"\nbest 2-bit encode: {best_encode:.2f} GiB/s "
             f"({best_encode / memcpy:.2f}x device memcpy; reference best "
             f"{REF_BEST_ENCODE_GIBS} GiB/s = {REF_BEST_ENCODE_GIBS / REF_MEMCPY_GIBS:.2f}x its memcpy)",
+            file=sys.stderr,
+        )
+        b5d = max(
+            results.get("decode_b5_pallas_nt4_padded", 0.0),
+            results.get("decode_b5_pallas_nt4", 0.0),
+        )
+        print(
+            f"base-5 decode: {b5d:.2f} GiB/s ({b5d / memcpy:.2f}x device "
+            f"memcpy; reference {REF_TABLE['decode_b5']} = "
+            f"{REF_TABLE['decode_b5'] / REF_MEMCPY_GIBS:.2f}x its memcpy)",
             file=sys.stderr,
         )
     emit_headline()
