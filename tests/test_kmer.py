@@ -83,3 +83,58 @@ def test_kmer_errors():
         kmer.kmer_codes(w, 3, 5)
     with pytest.raises(ValueError):
         kmer.kmer_codes(w, 40, 4)
+
+
+@pytest.mark.parametrize("k", [1, 4, 6, 8])
+def test_kmer_histogram_pallas_matches_scatter(rng, k):
+    """The Pallas planar-extraction + MXU histogram == the scatter path,
+    including ragged lengths (tail positions masked to bin 0 + corrected)."""
+    for L in (k, 100, 16 * 512, 16 * 513 + 5, 40000):
+        if L - k + 1 <= 0:
+            continue
+        seq = rng.choice(np.frombuffer(b"ACGTacgtu", np.uint8), L)
+        w = _packed(seq)
+        want = np.asarray(kmer._kmer_histogram_scatter(w, L, k))
+        got = np.asarray(kmer._kmer_histogram_pallas(w, L, k))
+        assert np.array_equal(got, want), (L, k)
+        wantc = np.asarray(
+            kmer._kmer_histogram_scatter(w, L, k, canonical=True)
+        )
+        gotc = np.asarray(kmer._kmer_histogram_pallas(w, L, k, canonical=True))
+        assert np.array_equal(gotc, wantc), (L, k, "canonical")
+
+
+def test_kmer_codes_planar_is_position_permutation(rng):
+    """Planar kernel output at col W*s + w of row r == the XLA code at
+    position 16*(r*W + w) + s (bit-exact, full funnel across word bounds)."""
+    k, W = 8, 512
+    L = 40000
+    seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), L)
+    w32 = np.asarray(_packed(seq))
+    want = np.asarray(kmer.kmer_codes(jnp.asarray(w32), L, k))
+    rows = -(-w32.size // W)
+    pad = rows * W - w32.size
+    flat = np.concatenate([w32, np.zeros(pad, np.uint32)])
+    nxt = np.concatenate([w32[1:], np.zeros(pad + 1, np.uint32)])
+    planar = np.asarray(
+        kmer.kmer_codes_planar(
+            jnp.asarray(flat.reshape(rows, W)),
+            jnp.asarray(nxt.reshape(rows, W)),
+            k,
+        )
+    )
+    pos = (
+        16 * (np.arange(rows)[:, None, None] * W + np.arange(W)[None, None, :])
+        + np.arange(16)[None, :, None]
+    )
+    reordered = np.empty(16 * rows * W, np.int32)
+    reordered[pos.reshape(-1)] = planar.reshape(rows, 16, W).reshape(-1)
+    assert np.array_equal(reordered[: want.size], want)
+
+
+def test_kmer_histogram_dispatcher():
+    w = jnp.zeros(64, jnp.uint32)  # 1024 'A's
+    h8 = np.asarray(kmer.kmer_histogram(w, 1024, 8))   # pallas path
+    assert h8[0] == 1024 - 8 + 1 and h8[1:].sum() == 0
+    h9 = np.asarray(kmer.kmer_histogram(w, 1024, 9))   # scatter path
+    assert h9[0] == 1024 - 9 + 1 and h9[1:].sum() == 0

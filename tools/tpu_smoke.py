@@ -131,6 +131,18 @@ def main() -> int:
     small = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(4, 64))
     d = np.asarray(distance.pairwise_hamming(jnp.asarray(small)))
     ok("pairwise_hamming diag", (np.diag(d) == 0).all())
+    from cute_nucleotides_tpu.ops import kmer
+
+    kl = 40000
+    ks = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=kl)
+    kw = jnp.asarray(spec.u64_to_u32_pairs(oracle.n_to_bits_lut(ks)).reshape(-1))
+    ok(
+        "kmer_histogram mxu == scatter",
+        np.array_equal(
+            np.asarray(kmer._kmer_histogram_pallas(kw, kl, 8)),
+            np.asarray(kmer._kmer_histogram_scatter(kw, kl, 8)),
+        ),
+    )
 
     print(f"TPU SMOKE PASS ({checks} checks)", file=sys.stderr)
     print('{"tpu_smoke": "PASS", "checks": %d}' % checks)

@@ -102,6 +102,21 @@ def main(argv=None) -> int:
             ):
                 print(f"FAIL dec5[pad] R={R} round {rnd}", file=sys.stderr)
                 failures += 1
+        # --- k-mer MXU histogram vs scatter ---------------------------------
+        from cute_nucleotides_tpu.ops import kmer
+
+        kl = int(rng.integers(1000, 60000))
+        kk = int(rng.integers(1, 9))
+        ks = rng.choice(alpha, size=kl)
+        kw = jnp.asarray(
+            spec.u64_to_u32_pairs(oracle.n_to_bits_lut(ks)).reshape(-1)
+        )
+        if not np.array_equal(
+            np.asarray(kmer._kmer_histogram_pallas(kw, kl, kk)),
+            np.asarray(kmer._kmer_histogram_scatter(kw, kl, kk)),
+        ):
+            print(f"FAIL kmer L={kl} k={kk} round {rnd}", file=sys.stderr)
+            failures += 1
         print(
             f"round {rnd + 1}/{args.rounds} done ({time.time() - t0:.0f}s, "
             f"{failures} failures)",
