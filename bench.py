@@ -81,7 +81,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from cute_nucleotides_tpu.ops import kmer, pallas_kernels as pk, seqops, xla
-    from cute_nucleotides_tpu.ops.distance import hamming_packed
+    from cute_nucleotides_tpu.ops.distance import hamming_packed, pairwise_hamming
     from cute_nucleotides_tpu.utils import profiling
 
     dev = jax.devices()[0]
@@ -371,6 +371,17 @@ def main() -> int:
             (jnp.asarray(wa), jnp.asarray(np.roll(wa, 1, axis=0))),
             16 * wa.size,  # nt compared (reads both streams: 0.5 B/nt)
             R(8 * wa.size, 4 * ROWS),
+        )
+        # all-pairs distances, B=4096 x L=8192 (int8 MXU, compute-bound:
+        # B^2 * 4L MACs; the GiB/s column is input-bytes and NOT the story)
+        ph_B = 4096
+        run(
+            "pairwise_hamming_4096",
+            chained(pairwise_hamming),
+            jnp.asarray(host_u8[:ph_B]),
+            ph_B * NT_PER_ROW,
+            R(ph_B * NT_PER_ROW, 4 * ph_B * ph_B),
+            k_lo=2, k_hi=10, trials=3,
         )
 
     # --- host-native C++ oracle (the scalar-tier rows) -----------------------

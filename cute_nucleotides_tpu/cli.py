@@ -131,19 +131,45 @@ def cmd_encode(args) -> int:
     return 0
 
 
+def _write_fasta(out, name: bytes, data: bytes) -> None:
+    out.write(b">" + name + b"\n")
+    for i in range(0, len(data), 80):
+        out.write(data[i : i + 80] + b"\n")
+
+
 def cmd_decode(args) -> int:
     from . import api
+    from .ops import spec
 
     codec, entries = read_nup(args.input)
-    fn = api.bits_to_n if codec == "2bit" else api.bits_to_n2
     out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
     try:
-        for name, length, words in entries:
-            seq = fn(words, length, tier=args.tier)
-            out.write(b">" + name + b"\n")
-            data = bytes(seq)
-            for i in range(0, len(data), 80):
-                out.write(data[i : i + 80] + b"\n")
+        if args.batch:
+            # production path, symmetric to `encode --batch`: fixed-shape
+            # device batches (row count and word width bucketed so compile
+            # count stays bounded), per-record truncation host-side
+            import jax.numpy as jnp
+
+            from .models import Base5Codec, TwoBitCodec
+
+            codec_cls = TwoBitCodec if codec == "2bit" else Base5Codec
+            cd = codec_cls(tier="auto" if args.tier == "auto" else args.tier)
+            for start in range(0, len(entries), args.batch):
+                chunk = entries[start : start + args.batch]
+                wmax = max((e[2].size for e in chunk), default=1)
+                bucket = 1 << max(wmax - 1, 0).bit_length()
+                mat = np.zeros((args.batch, bucket), dtype="<u8")
+                for i, (_, _, words) in enumerate(chunk):
+                    mat[i, : words.size] = words
+                w32 = spec.u64_to_u32_pairs(mat).reshape(args.batch, 2 * bucket)
+                dec = np.asarray(cd.decode(jnp.asarray(w32)))
+                for i, (name, length, _) in enumerate(chunk):
+                    _write_fasta(out, name, bytes(dec[i, :length]))
+        else:
+            fn = api.bits_to_n if codec == "2bit" else api.bits_to_n2
+            for name, length, words in entries:
+                seq = fn(words, length, tier=args.tier)
+                _write_fasta(out, name, bytes(seq))
     finally:
         if out is not sys.stdout.buffer:
             out.close()
@@ -278,6 +304,11 @@ def main(argv=None) -> int:
     pd.add_argument("input")
     pd.add_argument("output", nargs="?", default="-")
     pd.add_argument("--tier", default="xla")
+    pd.add_argument(
+        "--batch", type=int, default=0, metavar="N",
+        help="decode in fixed-shape device batches of N records "
+             "(the production path, symmetric to `encode --batch`)",
+    )
     pd.set_defaults(fn=cmd_decode)
 
     pp = sub.add_parser("parity", help="randomized oracle parity gate")

@@ -12,10 +12,15 @@ we do better than the sketch in both density and speed:
 * **Byte domain** (:func:`hamming_seqs`): case- and T/U-insensitive compare
   via the ASCII 2-bit property (``(b >> 1) & 3``).
 * **All-pairs** (:func:`pairwise_hamming`): distances between every pair of
-  reads in a batch as ONE MXU matmul over one-hot planes —
+  reads in a batch as MXU matmuls over one-hot planes —
   ``matches = A @ A^T`` with ``A[b, 4*pos + code] = 1`` — the TPU-native
-  formulation (compute lives on the systolic array, exact in f32 for
-  ``L < 2^24``), which no scalar/SIMD CPU sketch can match at batch scale.
+  formulation (compute lives on the systolic array), which no scalar/SIMD
+  CPU sketch can match at batch scale.  The one-hot planes are int8 and the
+  accumulation int32 (exact for ``L < 2^31``), built chunk-by-chunk over the
+  length axis so peak memory is ``B * 4*chunk`` int8 regardless of L —
+  usable at B >= 4096, L in the tens of thousands.
+  :func:`pairwise_hamming_packed` does the same straight from 2-bit packed
+  words (0.25 bytes/nt read, no decode pass).
 """
 
 from __future__ import annotations
@@ -25,7 +30,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["hamming_packed", "hamming_seqs", "pairwise_hamming"]
+__all__ = [
+    "hamming_packed",
+    "hamming_seqs",
+    "pairwise_hamming",
+    "pairwise_hamming_packed",
+]
 
 
 def _fold2(x: jax.Array) -> jax.Array:
@@ -51,22 +61,60 @@ def hamming_seqs(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.sum((_fold2(a) != _fold2(b)).astype(jnp.int32), axis=-1)
 
 
-def _one_hot_planes(reads: jax.Array) -> jax.Array:
-    """u8[B, L] -> bf16[B, 4L] one-hot over the 2-bit code per position."""
-    codes = _fold2(reads).astype(jnp.int32)  # [B, L]
-    oh = jax.nn.one_hot(codes, 4, dtype=jnp.bfloat16)  # [B, L, 4]
-    return oh.reshape(reads.shape[0], reads.shape[1] * 4)
+def _pairwise_from_codes(codes: jax.Array, chunk: int) -> jax.Array:
+    """i32 codes [B, L] (values 0..3) -> all-pairs match counts i32[B, B].
+
+    Chunked over L: each chunk builds a ``(B, 4*chunk)`` int8 one-hot and
+    accumulates ``A @ A^T`` in int32 on the MXU — exact 0/1 sums, bounded
+    VMEM/HBM footprint, no f32 rounding ceiling.
+    """
+    B, L = codes.shape
+    pad = (-L) % chunk
+    if pad:
+        codes = jnp.concatenate(
+            [codes, jnp.zeros((B, pad), codes.dtype)], axis=1
+        )
+    nchunks = codes.shape[1] // chunk
+
+    def body(i, acc):
+        c = jax.lax.dynamic_slice_in_dim(codes, i * chunk, chunk, axis=1)
+        oh = jax.nn.one_hot(c, 4, dtype=jnp.int8).reshape(B, 4 * chunk)
+        return acc + jax.lax.dot_general(
+            oh, oh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
+
+    acc0 = jnp.zeros((B, B), jnp.int32)
+    matches = jax.lax.fori_loop(0, nchunks, body, acc0)
+    # pad positions match in every pair: matches_pad = matches + pad, and
+    # d = L - matches = (L + pad) - matches_pad, so subtract on padded L
+    return matches - pad
 
 
-@jax.jit
-def pairwise_hamming(reads: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def pairwise_hamming(reads: jax.Array, *, chunk: int = 2048) -> jax.Array:
     """All-pairs nt Hamming distances for a batch: u8[B, L] -> i32[B, B].
 
-    One MXU matmul: matching positions are the dot product of one-hot code
-    planes; distance = L - matches.  Exact (f32 accumulation of 0/1
-    products) for ``L < 2**24``.
+    Matching positions are the dot product of int8 one-hot code planes,
+    accumulated chunk-by-chunk on the MXU; distance = L - matches.  Exact
+    (i32 accumulation of 0/1 products) for ``L < 2**31``.
     """
     L = reads.shape[1]
-    a = _one_hot_planes(reads)
-    matches = jnp.dot(a, a.T, preferred_element_type=jnp.float32)
-    return (L - matches).astype(jnp.int32)
+    codes = _fold2(reads).astype(jnp.int32)
+    return L - _pairwise_from_codes(codes, chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def pairwise_hamming_packed(
+    words: jax.Array, *, chunk: int = 2048
+) -> jax.Array:
+    """All-pairs distances straight from packed words: u32[B, W] -> i32[B, B].
+
+    Reads 0.25 bytes/nt (no decode pass); trailing padding must match
+    across reads (e.g. all 'A'-padded), as for :func:`hamming_packed`.
+    Distances count all ``16 * W`` positions including any shared padding
+    (equal padding contributes zero distance).
+    """
+    B, W = words.shape
+    shifts = jnp.arange(16, dtype=jnp.uint32) * 2
+    codes = ((words[:, :, None] >> shifts[None, None, :]) & 3).astype(jnp.int32)
+    return 16 * W - _pairwise_from_codes(codes.reshape(B, 16 * W), chunk)

@@ -96,3 +96,23 @@ def test_cli_stats(tmp_path, capsys):
     assert abs(out["gc_fraction"] - 12 / 18) < 1e-6
     assert out["top_kmers"][0]["count"] >= 3
     assert all(len(t["kmer"]) == 2 for t in out["top_kmers"])
+
+
+@pytest.mark.parametrize("codec", ["2bit", "base5"])
+def test_cli_decode_batch_mode(tmp_path, codec):
+    """decode --batch == per-record decode, ragged lengths + both codecs."""
+    rng = np.random.default_rng(7)
+    alpha = b"ACGTN" if codec == "base5" else b"ACGT"
+    seqs = [
+        bytes(rng.choice(np.frombuffer(alpha, np.uint8), n))
+        for n in (1, 27, 100, 33, 5)
+    ]
+    fa = tmp_path / "in.fa"
+    fa.write_bytes(b"".join(b">r%d\n%s\n" % (i, s) for i, s in enumerate(seqs)))
+    nup = str(tmp_path / "x.nup")
+    assert cli.main(["encode", str(fa), nup, "--codec", codec]) == 0
+    ref_fa = str(tmp_path / "ref.fa")
+    got_fa = str(tmp_path / "got.fa")
+    assert cli.main(["decode", nup, ref_fa]) == 0
+    assert cli.main(["decode", nup, got_fa, "--batch", "3"]) == 0
+    assert open(got_fa, "rb").read() == open(ref_fa, "rb").read()

@@ -43,3 +43,31 @@ def test_pairwise_hamming(rng):
         for j in range(B):
             assert got[i, j] == _np_hamming(batch[i], batch[j]), (i, j)
     assert (np.diag(got) == 0).all()
+
+
+def test_pairwise_hamming_chunked_and_packed(rng):
+    """Chunked int8 path == naive; packed variant agrees on padded batch."""
+    from cute_nucleotides_tpu.ops import oracle, spec
+
+    B, L = 12, 100  # L not a chunk multiple
+    reads = rng.choice(np.frombuffer(b"ACGTUacgtu", np.uint8), size=(B, L))
+    d = np.asarray(distance.pairwise_hamming(jnp.asarray(reads), chunk=64))
+    folded = (reads >> 1) & 3
+    want = (folded[:, None, :] != folded[None, :, :]).sum(-1)
+    assert np.array_equal(d, want)
+
+    # packed: pad to 32-nt blocks with 'A' (identical padding cancels)
+    pad = (-L) % 32
+    padded = np.concatenate(
+        [reads, np.full((B, pad), ord("A"), np.uint8)], axis=1
+    )
+    words = np.stack(
+        [
+            spec.u64_to_u32_pairs(oracle.n_to_bits_lut(r)).reshape(-1)
+            for r in padded
+        ]
+    )
+    dp = np.asarray(
+        distance.pairwise_hamming_packed(jnp.asarray(words), chunk=64)
+    )
+    assert np.array_equal(dp, want)
