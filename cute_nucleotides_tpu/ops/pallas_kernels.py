@@ -57,13 +57,21 @@ from . import spec, xla
 #: so keep one copy well under half of that.
 VMEM_BUDGET = 3 * 1024 * 1024
 
+#: the 2-bit encoder reads wide (4 B/lane) and writes narrow (1 B/lane), so
+#: a larger block amortizes grid/DMA overhead without hitting the scoped
+#: limit — measured +18% (531 -> 627 GiB/s at C=2048) at a 512-row block;
+#: the write-heavy decoder REGRESSES past 256 rows, so only encode uses this
+ENC_VMEM_BUDGET = 6 * 1024 * 1024
 
-def _row_block(lanes: int, bytes_per_lane: int, rows: int) -> int:
+
+def _row_block(
+    lanes: int, bytes_per_lane: int, rows: int, budget: int = VMEM_BUDGET
+) -> int:
     """Pick a row-block size: multiple of 8, within VMEM budget.
 
     ``bytes_per_lane`` counts input + output bytes per lane-column.
     """
-    max_rows = max(VMEM_BUDGET // max(lanes * bytes_per_lane, 1), 8)
+    max_rows = max(budget // max(lanes * bytes_per_lane, 1), 8)
     rb = 1 << (max_rows.bit_length() - 1)
     rb = min(rb, 1024)
     rb = max(rb, 8)
@@ -191,7 +199,7 @@ def encode_2bit_nt4(x: jax.Array, variant: str = "mul", *, interpret: bool = Fal
         raise TypeError(f"expected u32[R, C] nt4 input, got {x.dtype}{x.shape}")
     interpret = _auto_interpret(interpret)
     R, C = x.shape
-    rb = _row_block(C, 4 + 1, R)
+    rb = _row_block(C, 4 + 1, R, ENC_VMEM_BUDGET)
     return pl.pallas_call(
         _encode_2bit_kernel(variant),
         grid=(_cdiv(R, rb),),
