@@ -143,3 +143,99 @@ class StreamingEncoder:
         agg["host_id"] = self.host_id
         agg["num_hosts"] = self.num_hosts
         return agg
+
+
+class StreamingDecoder:
+    """Pod-wide streaming decode pipeline: packed entries -> ASCII reads.
+
+    The mirror of :class:`StreamingEncoder` for the read-back direction:
+    consumes an iterable of ``(name, length, words)`` entries (the `.nup`
+    container's record format — u64 packed words plus the explicit
+    nucleotide count the reference's decoders require,
+    reference src/n_to_bits.rs:51), batches them into fixed device shapes
+    (word width bucketed to a power of two so the number of compiled
+    programs stays logarithmic), decodes data-parallel over the host-local
+    mesh, and hands each record's exact-length bytes to ``sink``.
+
+    Delivery is at-least-once with a manifest, exactly as for the encoder
+    (sinks must be idempotent per record name).
+    """
+
+    def __init__(self, config: StreamConfig | None = None, **overrides):
+        if config is None:
+            config = StreamConfig(**overrides)
+        elif overrides:
+            config = dataclasses.replace(config, **overrides)
+        self.config = config
+        self.host_id = jax.process_index()
+        self.num_hosts = jax.process_count()
+        self.mesh = mesh_lib.make_mesh(devices=jax.local_devices())
+        self.sharded = data_parallel.ShardedCodec(
+            config.codec,
+            mesh=self.mesh,
+            variant=config.variant,
+            tier=config.tier,
+        )
+        self.per_word = 32 if config.codec == "2bit" else 27
+        self.logger = metrics_lib.ThroughputLogger(
+            name=f"stream-decode-h{self.host_id}", log_every=config.log_every
+        )
+        self.manifest = (
+            ckpt_lib.Manifest(config.manifest_path)
+            if config.manifest_path
+            else None
+        )
+
+    def run(
+        self,
+        entries: Iterable[tuple[bytes, int, np.ndarray]],
+        sink: Callable[[bytes, bytes], None],
+    ) -> dict:
+        """Decode this host's shard of ``entries``; ``sink(name, seq)`` gets
+        each record's exact-length ASCII bytes.  Returns aggregate metrics."""
+        from ..ops import spec
+
+        cfg = self.config
+        skip = self.manifest.batches_done(self.host_id) if self.manifest else 0
+        mine = (
+            e for i, e in enumerate(entries) if i % self.num_hosts == self.host_id
+        )
+        batch_idx = 0
+        chunk: list[tuple[bytes, int, np.ndarray]] = []
+        self.logger.start()
+
+        def flush(chunk):
+            nonlocal batch_idx
+            if not chunk:
+                return
+            if batch_idx >= skip:
+                wmax = max(e[2].size for e in chunk)
+                bucket = 1 << max(wmax - 1, 0).bit_length()
+                mat = np.zeros((cfg.batch_size, bucket), dtype="<u8")
+                for i, (_, _, words) in enumerate(chunk):
+                    mat[i, : words.size] = words
+                w32 = spec.u64_to_u32_pairs(mat).reshape(
+                    cfg.batch_size, 2 * bucket
+                )
+                x = jax.device_put(w32, self.sharded.batch_sharding)
+                dec = np.asarray(self.sharded.decode(x))
+                for i, (name, length, _) in enumerate(chunk):
+                    sink(name, bytes(dec[i, :length]))
+                self.logger.batch_done(
+                    nt=sum(e[1] for e in chunk), reads=len(chunk)
+                )
+                if self.manifest:
+                    self.manifest.advance(self.host_id, 1, len(chunk))
+                    self.manifest.save()
+            batch_idx += 1
+
+        for entry in mine:
+            chunk.append(entry)
+            if len(chunk) == cfg.batch_size:
+                flush(chunk)
+                chunk = []
+        flush(chunk)
+        agg = self.logger.aggregate()
+        agg["host_id"] = self.host_id
+        agg["num_hosts"] = self.num_hosts
+        return agg

@@ -220,3 +220,51 @@ def test_streaming_crash_resume_no_loss_no_dup(tmp_path):
     )
     flat = sorted(i for batch in delivered for i in batch)
     assert flat == list(range(20)), flat  # exactly once each
+
+
+def test_streaming_decoder_roundtrip(tmp_path):
+    """StreamingDecoder mirrors StreamingEncoder: packed entries stream back
+    to exact-length reads, with manifest crash-resume (at-least-once)."""
+    from cute_nucleotides_tpu.ops import oracle
+    from cute_nucleotides_tpu.parallel import runtime
+
+    rng = np.random.default_rng(3)
+    seqs = [
+        bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), n))
+        for n in (1, 33, 100, 64, 31, 7, 200, 16, 42, 5)
+    ]
+    entries = [
+        (b"r%d" % i, len(s), oracle.n_to_bits_lut(np.frombuffer(s, np.uint8)))
+        for i, s in enumerate(seqs)
+    ]
+    got = {}
+    dec = runtime.StreamingDecoder(batch_size=8, max_len=256)
+    agg = dec.run(entries, sink=lambda name, seq: got.__setitem__(name, seq))
+    assert got == {b"r%d" % i: s for i, s in enumerate(seqs)}
+    assert agg["total_reads"] == len(seqs)
+
+    # crash after the first durable batch -> resume skips it, no loss
+    manifest = str(tmp_path / "d.json")
+    seen = []
+
+    class Boom(Exception):
+        pass
+
+    def crashing(name, seq):
+        if len(seen) == 8:
+            raise Boom()
+        seen.append(name)
+
+    dec2 = runtime.StreamingDecoder(
+        batch_size=8, max_len=256, manifest_path=manifest
+    )
+    with pytest.raises(Boom):
+        dec2.run(entries, sink=crashing)
+    dec3 = runtime.StreamingDecoder(
+        batch_size=8, max_len=256, manifest_path=manifest
+    )
+    got2 = {}
+    dec3.run(entries, sink=lambda name, seq: got2.__setitem__(name, seq))
+    # batch 0 was durably recorded; resume delivers only the remainder
+    assert set(got2) == {b"r8", b"r9"}
+    assert got2[b"r9"] == seqs[9]
