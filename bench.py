@@ -280,6 +280,14 @@ def main() -> int:
         nt_b5,
         R(8 * (nt_b5 // 27), nt_b5 * pk.B5_NT4_PAD_LANES * 4 // pk.B5_ROW_NT),
     )
+    # the API-shape decode: interleaved u32 pairs in (the u64 stream as-is)
+    run(
+        "decode_b5_pallas_interleaved",
+        chained(pk.decode_b5_interleaved_panels),
+        jnp.asarray(w_b5.reshape(rows_b5, 2 * pk.B5_ROW_WORDS)),
+        nt_b5,
+        R(8 * (nt_b5 // 27), nt_b5 * pk.B5_NT4_PAD_LANES * 4 // pk.B5_ROW_NT),
+    )
     if BENCH_FULL:
         run(
             "decode_b5_pallas_u8",

@@ -166,11 +166,24 @@ def bits_to_n2(bits, length: int, *, tier: str = "xla") -> np.ndarray:
     if bucket != bits.size:
         bits = np.concatenate([bits, np.zeros(bucket - bits.size, np.uint64)])
     if tier == "pallas":
-        from .ops import pallas_kernels
+        # fast path: the interleaved-panel kernel reads the u64 stream's u32
+        # pairs directly (no device planarize pass) and emits tile-padded
+        # panels (no device relayout); the de-pad is one host memcpy pass
+        from .ops import pallas_kernels as pk
 
-        fn = pallas_kernels.jit_decode_b5()
-    else:
-        fn = _jit_decode_b5()
+        w32 = spec.u64_to_u32_pairs(bits).reshape(-1)
+        rows = spec.cdiv(bits.size, pk.B5_ROW_WORDS)
+        if rows * 2 * pk.B5_ROW_WORDS != w32.size:
+            w32 = np.concatenate(
+                [w32, np.zeros(rows * 2 * pk.B5_ROW_WORDS - w32.size, np.uint32)]
+            )
+        panels = np.asarray(
+            pk.jit_decode_b5_interleaved()(
+                jnp.asarray(w32.reshape(rows, 2 * pk.B5_ROW_WORDS))
+            )
+        )
+        return pk.depad_nt4_host(panels)[:length]
+    fn = _jit_decode_b5()
     w32 = jnp.asarray(spec.u64_to_u32_pairs(bits).reshape(-1))
     out = np.asarray(fn(w32))
     return out[:length]

@@ -87,6 +87,8 @@ def load() -> ctypes.CDLL | None:
         lib.cutenuc_bits_to_n2.restype = None
         lib.cutenuc_memcpy.argtypes = [u8p, ctypes.c_size_t, u8p]
         lib.cutenuc_memcpy.restype = None
+        lib.cutenuc_depad_nt4.argtypes = [u8p, ctypes.c_size_t, u8p]
+        lib.cutenuc_depad_nt4.restype = None
         lib.cutenuc_find_invalid.argtypes = [u8p, ctypes.c_size_t, ctypes.c_int]
         lib.cutenuc_find_invalid.restype = ctypes.c_longlong
         _lib = lib

@@ -136,6 +136,17 @@ void cutenuc_memcpy(const uint8_t* src, size_t len, uint8_t* dst) {
   std::memcpy(dst, src, len);
 }
 
+// De-pad the TPU decoder's tile-aligned nt4 panels: each row is 8 slices of
+// 448 bytes (112 u32 lanes) whose first 432 bytes are nucleotide data (the
+// 4 pad lanes exist so the kernel result stays 128-lane aligned on device;
+// see ops/pallas_kernels.decode_b5_interleaved_panels).  One memcpy per
+// 432-byte run — ~15x NumPy's strided element loop.
+void cutenuc_depad_nt4(const uint8_t* panels, size_t rows, uint8_t* out) {
+  for (size_t i = 0; i < rows * 8; ++i) {
+    std::memcpy(out + i * 432, panels + i * 448, 432);
+  }
+}
+
 // Validation pass: returns the index of the first byte outside the accepted
 // alphabet, or (size_t)-1 if all bytes are valid.  alphabet_mask bit i set
 // means ASCII-ish class i is allowed; we accept {A,C,G,T,U} upper/lower and,

@@ -477,6 +477,41 @@ def decode_b5_panels(lo: jax.Array, hi: jax.Array, *, interpret: bool = False) -
     )(lo, hi, *mats)
 
 
+def depad_nt4_host(panels: np.ndarray) -> np.ndarray:
+    """Host-side de-pad: (R, 896) u32 padded nt4 panels -> flat u8 stream.
+
+    Each 112-u32 slice contributes its first 432 bytes; the host does in
+    one memcpy-speed pass what would cost the device an extra HBM
+    round-trip.  Uses the native C++ helper when available (one memcpy per
+    432-byte run), else a u32-granular NumPy strided copy.
+    """
+    panels = np.ascontiguousarray(panels)
+    R = panels.shape[0]
+    from . import native as native_ops
+
+    if native_ops.available():
+        import ctypes
+
+        lib = native_ops._lib()
+        out = np.empty(R * B5_SLICES * 432, np.uint8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.cutenuc_depad_nt4(
+            panels.view(np.uint8).ctypes.data_as(u8p),
+            R,
+            out.ctypes.data_as(u8p),
+        )
+        return out
+    v = panels.reshape(R, B5_SLICES, 112)
+    out32 = np.empty((R, B5_SLICES, 108), np.uint32)
+    np.copyto(out32, v[:, :, :108])
+    return out32.view(np.uint8).reshape(-1)
+
+
+@functools.lru_cache(maxsize=None)
+def jit_decode_b5_interleaved():
+    return jax.jit(decode_b5_interleaved_panels)
+
+
 def decode_b5_bytes_pallas(words: jax.Array, *, interpret: bool = False) -> jax.Array:
     """Drop-in Pallas analogue of :func:`..ops.xla.decode_b5_bytes`:
     u32[..., 2*W] -> u8[..., 27*W].
@@ -743,6 +778,106 @@ def _swar_digits_to_chars(s: jax.Array) -> jax.Array:
 
 #: padded nt4 panel width: 8 slices x 112 lanes (112 = 108 data + 4 pad)
 B5_NT4_PAD_LANES = 8 * 112
+
+
+@functools.lru_cache(maxsize=None)
+def _b5_dec_mats_inter():
+    """PA/PB byte-split expansion matrices for the INTERLEAVED word layout.
+
+    Identical math to :func:`_b5_dec_mats`, but the input rows index the
+    byte planes of a ``(rb, 32)`` interleaved slice (lane ``2w`` = lo u32 of
+    word ``w``, ``2w+1`` = hi) split as ``[x & 0xFFFF, x >> 16]`` halves and
+    then lo/hi bytes — the whole de-interleave is absorbed into constant
+    row indices, costing nothing (XLA's strided-slice de-interleave pass
+    measured 4x the decode kernel itself).
+    """
+    def row(a: int, w: int, hibyte: int) -> int:
+        # half a of word w: a in {0,2} -> (x & 0xFFFF) piece, {1,3} -> x>>16;
+        # lo u32 holds halves 0-1 at lane 2w, hi u32 halves 2-3 at 2w+1
+        piece = a % 2          # 0: & 0xFFFF, 1: >> 16
+        lane = 2 * w + (a // 2)
+        return 64 * hibyte + 32 * piece + lane
+
+    pa = np.zeros((128, B5_SLICE_WORDS * B5_TPAD), np.float32)
+    pb = np.zeros((128, B5_SLICE_WORDS * B5_TPAD), np.float32)
+    for w in range(B5_SLICE_WORDS):
+        for j in range(9):
+            a = _B5_TRIP_HALF[j]
+            pa[row(a, w, 0), B5_TPAD * w + j] = 1.0
+            pa[row(a, w, 1), B5_TPAD * w + j] = 256.0
+            if _B5_TRIP_SHIFT[j] > 9:
+                pb[row(a + 1, w, 0), B5_TPAD * w + j] = 1.0
+                pb[row(a + 1, w, 1), B5_TPAD * w + j] = 256.0
+    return (
+        np.asarray(pa, dtype=jnp.bfloat16),
+        np.asarray(pb, dtype=jnp.bfloat16),
+    )
+
+
+def _decode_b5_inter_kernel(x_ref, pa_ref, pb_ref, s_ref, o_ref):
+    """Interleaved u32[rb, 256] words -> padded nt4 u32[rb, 896]."""
+    x = x_ref[:]
+    rb = x.shape[0]
+    svec = _b5_trip_shift_vec((rb, B5_SLICE_WORDS * B5_TPAD))
+    m16 = jnp.uint32(0xFFFF)
+    m8 = jnp.uint32(0xFF)
+    for g in range(B5_SLICES):
+        xg = jax.lax.slice(x, (0, 32 * g), (rb, 32 * (g + 1)))
+        h = [xg & m16, xg >> 16]
+        planes = jnp.concatenate(
+            [p & m8 for p in h] + [p >> 8 for p in h], axis=1
+        ).astype(jnp.int32).astype(jnp.bfloat16)
+        a = jnp.dot(planes, pa_ref[:], preferred_element_type=jnp.float32)
+        b = jnp.dot(planes, pb_ref[:], preferred_element_type=jnp.float32)
+        t = ((a.astype(jnp.int32) >> svec)
+             | (b.astype(jnp.int32) << (16 - svec))) & 0x7F
+        q5 = (t * 205) >> 10
+        q25 = (t * 41) >> 10
+        digs = jnp.concatenate(
+            [t - 5 * q5, q5 - 5 * q25, q25], axis=1
+        ).astype(jnp.int8)
+        zv = jnp.dot(digs, s_ref[:], preferred_element_type=jnp.int32)
+        hp = (zv & 7) | ((zv >> 3) << 8)
+        pd = (
+            jax.lax.slice(hp, (0, 0), (rb, 112))
+            | (jax.lax.slice(hp, (0, 128), (rb, 240)) << 16)
+        ).astype(jnp.uint32)
+        o_ref[:, 112 * g : 112 * (g + 1)] = _swar_digits_to_chars(pd)
+
+
+def decode_b5_interleaved_panels(
+    words: jax.Array, *, interpret: bool = False, row_block: int = 256
+) -> jax.Array:
+    """Decode INTERLEAVED u32[R, 256] word panels -> padded nt4 u32[R, 896].
+
+    Input row = 128 consecutive u64 words as their little-endian u32 pairs —
+    exactly the reference's packed stream tiled 256 lanes per row, no
+    planarization pass needed.  Output slice ``g`` occupies lanes
+    ``[112 g, 112 g + 108)``; the 4 pad lanes decode as ``'AAAA'`` (see
+    :func:`decode_b5_nt4_panels` on why 896 lanes: XLA's result-relayout
+    copy).  This is the fast path behind :func:`decode_b5_bytes_pallas`.
+    """
+    if words.dtype != jnp.uint32 or words.ndim != 2 or words.shape[1] != 2 * B5_ROW_WORDS:
+        raise TypeError(f"expected u32[R, {2 * B5_ROW_WORDS}], got {words.dtype}{words.shape}")
+    interpret = _auto_interpret(interpret)
+    R = words.shape[0]
+    rb = min(row_block, max(8, -(-R // 8) * 8))
+    mats = (*_b5_dec_mats_inter(), _b5_dec_scatter_pairs_i8())
+    mat_specs = [
+        pl.BlockSpec(m.shape, lambda i: (0,) * m.ndim, memory_space=pltpu.VMEM)
+        for m in mats
+    ]
+    return pl.pallas_call(
+        _decode_b5_inter_kernel,
+        grid=(_cdiv(R, rb),),
+        in_specs=[
+            pl.BlockSpec((rb, 2 * B5_ROW_WORDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *mat_specs,
+        ],
+        out_specs=pl.BlockSpec((rb, B5_NT4_PAD_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, B5_NT4_PAD_LANES), jnp.uint32),
+        interpret=interpret,
+    )(words, *mats)
 
 
 def _decode_b5_nt4_kernel(padded: bool):

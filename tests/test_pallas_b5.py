@@ -119,3 +119,17 @@ def test_decode_b5_nt4_padded_matches_oracle(rng):
     want = oracle.bits_to_n2_lut(oracle.n_to_bits2_lut(s), s.size)
     assert np.array_equal(got, want)
     assert np.all(blocks[:, :, 108:] == 0x41414141)
+
+
+def test_decode_b5_interleaved_matches_oracle(rng):
+    """The interleaved-input kernel: u64 stream's u32 pairs in directly, no
+    planarize pass; de-interleave lives in the gather matrices' row order."""
+    s = rng.choice(ALPHABET, size=3 * pk.B5_ROW_NT)
+    words = oracle.n_to_bits2_lut(s)  # u64[384]
+    inter = np.ascontiguousarray(words).view("<u4").reshape(3, 256)
+    out = np.asarray(
+        pk.decode_b5_interleaved_panels(jnp.asarray(inter), interpret=True)
+    )
+    got = pk.depad_nt4_host(out)
+    want = oracle.bits_to_n2_lut(words, s.size)
+    assert np.array_equal(got, want)

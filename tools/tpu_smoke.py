@@ -96,6 +96,12 @@ def main() -> int:
         )
         and np.all(pad_5.reshape(4, 8, 112)[:, :, 108:] == 0x41414141),
     )
+    inter = jnp.asarray(np.ascontiguousarray(want5).view("<u4").reshape(4, 256))
+    out_i = np.asarray(jax.jit(pk.decode_b5_interleaved_panels)(inter))
+    ok(
+        "pallas decode_b5 interleaved",
+        np.array_equal(pk.depad_nt4_host(out_i), want_seq5),
+    )
 
     # --- api surface (golden vectors + ragged roundtrips) --------------------
     for tier in ("oracle", "xla", "pallas"):

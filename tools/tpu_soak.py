@@ -41,6 +41,7 @@ def main(argv=None) -> int:
     enc5 = jax.jit(pk.encode_b5_planar)
     dec5_nt4 = jax.jit(pk.decode_b5_nt4_panels)
     dec5_pad = jax.jit(lambda a, b: pk.decode_b5_nt4_panels(a, b, padded=True))
+    dec5_inter = jax.jit(pk.decode_b5_interleaved_panels)
     dec5_u8 = jax.jit(pk.decode_b5_panels)
 
     shapes_2bit = [(8, 512), (13, 512), (100, 2048), (256, 1024), (32, 512 * 7)]
@@ -101,6 +102,13 @@ def main(argv=None) -> int:
                 pad[:, :, 108:] == 0x41414141
             ):
                 print(f"FAIL dec5[pad] R={R} round {rnd}", file=sys.stderr)
+                failures += 1
+            inter = jnp.asarray(
+                np.ascontiguousarray(want_w).view("<u4").reshape(R, 256)
+            )
+            got = pk.depad_nt4_host(np.asarray(dec5_inter(inter)))
+            if not np.array_equal(got, want_seq):
+                print(f"FAIL dec5[inter] R={R} round {rnd}", file=sys.stderr)
                 failures += 1
         # --- k-mer MXU histogram vs scatter ---------------------------------
         from cute_nucleotides_tpu.ops import kmer
