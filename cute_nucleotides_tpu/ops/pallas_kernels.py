@@ -724,11 +724,80 @@ def encode_b5_planar(x: jax.Array, *, interpret: bool = False):
     )(x, m)
 
 
+@functools.lru_cache(maxsize=None)
+def _b5_enc_mat_inter():
+    """digits (3456,) -> duplicated g-chunks (512,) for interleaved output.
+
+    Column blocks P = [0, 256) and Q = [256, 512): ``P[2w] = g0(w),
+    P[2w+1] = g1(w), Q[2w] = g1(w), Q[2w+1] = g2(w)`` — each g-chunk is
+    emitted twice (constants are free) so the lane-local splice
+    ``even: P | (Q & 0x7FF) << 21;  odd: (P >> 11) | (Q << 10)`` produces
+    the (lo, hi) u32 pair of word ``w`` at lanes ``2w, 2w+1`` — the
+    reference's interleaved u64 stream directly, with no XLA re-interleave
+    pass (which cost ~22% of the interleaved encode path)."""
+    m = np.zeros((B5_ROW_NT, 2 * B5_ROW_U32), np.float32)
+    for w in range(B5_ROW_WORDS):
+        for j in range(9):
+            c = j // 3
+            for k in range(3):
+                coef = (1, 5, 25)[k] * (1 << (7 * (j - 3 * c)))
+                row = 27 * w + 3 * j + k
+                if c == 0:
+                    m[row, 2 * w] = coef                 # P even: g0
+                elif c == 1:
+                    m[row, 2 * w + 1] = coef             # P odd: g1
+                    m[row, 256 + 2 * w] = coef           # Q even: g1
+                else:
+                    m[row, 256 + 2 * w + 1] = coef       # Q odd: g2
+    return np.asarray(m, dtype=jnp.bfloat16)
+
+
+def _encode_b5_inter_kernel(x_ref, m_ref, o_ref):
+    x = x_ref[:].astype(jnp.int32)
+    idx = x & 7
+    digits = (jnp.int32(spec.DIGIT_LUT8_U32) >> (idx << 2)) & 0xF
+    d = digits.astype(jnp.bfloat16)
+    z = jnp.dot(
+        d, m_ref[:], preferred_element_type=jnp.float32
+    ).astype(jnp.int32).astype(jnp.uint32)
+    rb = z.shape[0]
+    p = jax.lax.slice(z, (0, 0), (rb, B5_ROW_U32))
+    q = jax.lax.slice(z, (0, B5_ROW_U32), (rb, 2 * B5_ROW_U32))
+    odd = (
+        jax.lax.broadcasted_iota(jnp.int32, (rb, B5_ROW_U32), 1) & 1
+    ) == 1
+    o_ref[:] = jnp.where(
+        odd, (p >> 11) | (q << 10), p | ((q & jnp.uint32(0x7FF)) << 21)
+    )
+
+
 def encode_b5_panels_v2(x: jax.Array, *, interpret: bool = False) -> jax.Array:
-    """Interleaved-stream wrapper over :func:`encode_b5_planar` (one XLA
-    pass over the packed side re-interleaves the planes)."""
-    lo, hi = encode_b5_planar(x, interpret=interpret)
-    return jnp.stack([lo, hi], axis=-1).reshape(x.shape[0], B5_ROW_U32)
+    """Encode u8[R, 3456] nt panels -> interleaved u32[R, 256] word stream.
+
+    Lane pair ``(2w, 2w+1)`` is the little-endian u32 pair of u64 word
+    ``128 r + w`` of the reference's base-5 stream
+    (src/n_to_bits2.rs:44-53) — emitted directly by the kernel via a
+    duplicated-column g-chunk matmul + parity select (see
+    :func:`_b5_enc_mat_inter`); prefer :func:`encode_b5_planar` when the
+    consumer is the planar decoder.
+    """
+    if x.dtype != jnp.uint8 or x.ndim != 2 or x.shape[1] != B5_ROW_NT:
+        raise TypeError(f"expected u8[R, {B5_ROW_NT}], got {x.dtype}{x.shape}")
+    interpret = _auto_interpret(interpret)
+    R = x.shape[0]
+    rb = min(256, max(8, -(-R // 8) * 8))
+    m = _b5_enc_mat_inter()
+    return pl.pallas_call(
+        _encode_b5_inter_kernel,
+        grid=(_cdiv(R, rb),),
+        in_specs=[
+            pl.BlockSpec((rb, B5_ROW_NT), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rb, B5_ROW_U32), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, B5_ROW_U32), jnp.uint32),
+        interpret=interpret,
+    )(x, m)
 
 
 # ---------------------------------------------------------------------------
