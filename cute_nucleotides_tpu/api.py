@@ -52,6 +52,18 @@ def _pad_to(a: np.ndarray, block: int, fill: int = ord("A")) -> np.ndarray:
     return np.concatenate([a, np.full(target - a.size, fill, dtype=np.uint8)])
 
 
+def _as_rows(flat: np.ndarray, max_lanes: int = 8192) -> np.ndarray:
+    """Tile a flat (power-of-two-bucketed) stream into panel rows.
+
+    Keeps lane width <= ``max_lanes`` so VMEM blocks stay bounded for
+    arbitrarily long single sequences.
+    """
+    if flat.size <= max_lanes:
+        return flat.reshape(1, -1)
+    assert flat.size % max_lanes == 0, flat.size
+    return flat.reshape(-1, max_lanes)
+
+
 @functools.lru_cache(maxsize=None)
 def _jit_encode_2bit(variant: str):
     return jax.jit(functools.partial(xla.encode_2bit_words, variant=variant))
@@ -99,6 +111,17 @@ def n_to_bits(seq, *, tier: str = "xla", variant: str = "mul") -> np.ndarray:
     x = _pad_to(n, spec.NT_PER_WORD_2BIT)
     if x.size == 0:
         return np.zeros(0, dtype=np.uint64)
+    if tier == "pallas" and variant != "mxu":
+        # fast path: the host byte stream IS the nt4 u32 stream (free view),
+        # and the kernel's u8 output IS the packed word stream — both device
+        # bitcast/relayout passes of the words form vanish
+        from .ops import pallas_kernels as pk
+
+        nt4 = _as_rows(np.ascontiguousarray(x).view("<u4"))
+        packed = np.asarray(pk.jit_encode_2bit_nt4(variant)(jnp.asarray(nt4)))
+        return np.ascontiguousarray(packed.reshape(-1)).view("<u8")[
+            : spec.num_words_2bit(n.size)
+        ]
     w32 = np.asarray(_encode_fn_2bit(tier, variant)(jnp.asarray(x)))
     return spec.u32_pairs_to_u64(w32)[: spec.num_words_2bit(n.size)]
 
@@ -121,6 +144,14 @@ def bits_to_n(bits, length: int, *, tier: str = "xla", variant: str = "swar") ->
     bucket = 1 << (bits.size - 1).bit_length()
     if bucket != bits.size:
         bits = np.concatenate([bits, np.zeros(bucket - bits.size, np.uint64)])
+    if tier == "pallas":
+        # fast path: the packed word stream IS the kernel's u8 input (free
+        # view) and the nt4 u32 output IS the byte stream (free view)
+        from .ops import pallas_kernels as pk
+
+        p = _as_rows(np.ascontiguousarray(bits).view(np.uint8))
+        nt4 = np.asarray(pk.jit_decode_2bit_nt4(variant)(jnp.asarray(p)))
+        return np.ascontiguousarray(nt4.reshape(-1)).view(np.uint8)[:length]
     w32 = jnp.asarray(spec.u64_to_u32_pairs(bits).reshape(-1))
     out = np.asarray(_decode_fn_2bit(tier, variant)(w32))
     return out[:length]
@@ -138,11 +169,22 @@ def n_to_bits2(seq, *, tier: str = "xla") -> np.ndarray:
     if x.size == 0:
         return np.zeros(0, dtype=np.uint64)
     if tier == "pallas":
-        from .ops import pallas_kernels
+        # fast path: pad to whole kernel panels host-side; the interleaved
+        # u32 output IS the u64 stream (free view) — no device reshapes
+        from .ops import pallas_kernels as pk
 
-        fn = pallas_kernels.jit_encode_b5()
-    else:
-        fn = _jit_encode_b5()
+        rows = spec.cdiv(x.size, pk.B5_ROW_NT)
+        if rows * pk.B5_ROW_NT != x.size:
+            x = np.concatenate(
+                [x, np.full(rows * pk.B5_ROW_NT - x.size, ord("A"), np.uint8)]
+            )
+        out = np.asarray(
+            pk.jit_encode_b5_panels()(jnp.asarray(x.reshape(rows, pk.B5_ROW_NT)))
+        )
+        return np.ascontiguousarray(out.reshape(-1)).view("<u8")[
+            : spec.num_words_b5(n.size)
+        ]
+    fn = _jit_encode_b5()
     w32 = np.asarray(fn(jnp.asarray(x)))
     return spec.u32_pairs_to_u64(w32)[: spec.num_words_b5(n.size)]
 

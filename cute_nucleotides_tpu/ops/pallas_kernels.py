@@ -512,6 +512,11 @@ def jit_decode_b5_interleaved():
     return jax.jit(decode_b5_interleaved_panels)
 
 
+@functools.lru_cache(maxsize=None)
+def jit_encode_b5_panels():
+    return jax.jit(encode_b5_panels_v2)
+
+
 def decode_b5_bytes_pallas(words: jax.Array, *, interpret: bool = False) -> jax.Array:
     """Drop-in Pallas analogue of :func:`..ops.xla.decode_b5_bytes`:
     u32[..., 2*W] -> u8[..., 27*W].
