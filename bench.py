@@ -70,8 +70,8 @@ NT_PER_ROW = 8192          # % 16 == 0 (2-bit block)
 NT_PER_ROW_B5 = 8208       # % 27 == 0 (base-5 block)
 XLA_SCALE = 8              # XLA-tier rows run at 1/8 workload
 CHAIN_LO = 8
-CHAIN_HI = 72
-TRIALS = 5
+CHAIN_HI = 40
+TRIALS = 3
 KMER_K = 8
 KMER_WORDS = 1 << 20       # 16.8 Mnt slice for the k-mer rows
 
@@ -162,11 +162,63 @@ def main() -> int:
             intercepts.append(max(t_lo - slope * k_lo, 0.0))
         return float(np.median(slopes)), float(np.median(intercepts))
 
+    import glob as globlib
+    import gzip
+
+    trace_dir = os.environ.get("BENCH_TRACE_DIR", "/tmp/bench_traces")
+
+    def _device_duration(step, state, name, iters=6):
+        """Median on-device duration of one jitted step, from the profiler.
+
+        The chain-slope method is the fallback; the profiler's per-module
+        ``device_duration_ps`` is ground truth when available (verified to
+        match chain slopes for the codec kernels on this relay), and is
+        immune to the host-side anomalies that occasionally yield
+        impossible (>100% of HBM peak) slopes for small-output ops.
+        """
+        import json as jsonlib
+
+        d = f"{trace_dir}/{name}"
+        with jax.profiler.trace(d):
+            s = state
+            r = None
+            for _ in range(iters):
+                s, r = step(s)
+            np.asarray(r.ravel()[:4])
+        paths = sorted(globlib.glob(f"{d}/plugins/profile/*/*.trace.json.gz"))
+        if not paths:
+            return None, s
+        with gzip.open(paths[-1]) as fh:
+            data = jsonlib.load(fh)
+        # top-level module executions carry device_duration_ps; the step
+        # module is the one that ran `iters` times (readback helpers run once)
+        by_name: dict[str, list[float]] = {}
+        for e in data.get("traceEvents", []):
+            if (
+                e.get("ph") == "X"
+                and e.get("args", {}).get("device_duration_ps")
+                and e.get("name", "").startswith("jit_")
+            ):
+                by_name.setdefault(e["name"].split("(")[0], []).append(
+                    e["dur"] * 1e-6
+                )
+        if not by_name:
+            return None, s
+        durs = max(by_name.values(), key=len)
+        if len(durs) < max(2, iters - 2):
+            return None, s
+        return float(np.median(durs)), s
+
     def run(name, step, state, denom, roofline=None, k_lo=CHAIN_LO,
             k_hi=CHAIN_HI, trials=TRIALS):
         # a single failing row must not prevent the headline JSON line
         try:
-            dt, lat = _measure(step, state, k_lo, k_hi, trials)
+            # warm/compile, then profile for device truth
+            state, r = step(state)
+            np.asarray(r.ravel()[:4])
+            dt_dev, state = _device_duration(step, state, name)
+            dt_chain, lat = _measure(step, state, k_lo, k_hi, trials)
+            dt = dt_dev if dt_dev is not None else dt_chain
         except Exception as e:  # pragma: no cover
             print(f"{name:30s} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
             results[name] = 0.0
@@ -174,10 +226,10 @@ def main() -> int:
         gibs = denom / dt / 2**30
         results[name] = gibs
         latency_ms[name] = lat * 1e3
-        extra = ""
+        extra = "" if dt_dev is not None else "  [chain]"
         if roofline is not None:
             sol[name] = roofline.efficiency(dt, hbm_gibs)
-            extra = f"  {sol[name] * 100:5.1f}% SoL"
+            extra = f"  {sol[name] * 100:5.1f}% SoL" + extra
         print(
             f"{name:30s} {dt * 1e3:9.3f} ms   {gibs:9.2f} GiB/s{extra}",
             file=sys.stderr,
@@ -437,6 +489,7 @@ def main() -> int:
             file=sys.stderr,
         )
         b5d = max(
+            results.get("decode_b5_pallas_interleaved", 0.0),
             results.get("decode_b5_pallas_nt4_padded", 0.0),
             results.get("decode_b5_pallas_nt4", 0.0),
         )
