@@ -24,6 +24,63 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+def parse_device_durations(log_dir: str) -> dict[str, list[float]]:
+    """Parse a :func:`trace` capture into per-module device durations.
+
+    Returns ``{module_name: [seconds, ...]}`` for every XLA module
+    execution (events carrying ``device_duration_ps``) in the newest
+    capture under ``log_dir``.  This is the ground-truth timing source:
+    host-side wall clocks (even dependent-chain slopes) can mis-measure
+    through relayed backends, while the device's own durations cannot.
+    ``bench.py`` builds its table from these.
+    """
+    import glob
+    import gzip
+    import json
+
+    paths = sorted(glob.glob(f"{log_dir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        return {}
+    with gzip.open(paths[-1]) as fh:
+        data = json.load(fh)
+    out: dict[str, list[float]] = {}
+    for e in data.get("traceEvents", []):
+        if (
+            e.get("ph") == "X"
+            and e.get("args", {}).get("device_duration_ps")
+            and e.get("name", "").startswith("jit_")
+        ):
+            out.setdefault(e["name"].split("(")[0], []).append(e["dur"] * 1e-6)
+    return out
+
+
+def measure_device_seconds(fn, *args, iters: int = 6, log_dir: str = "/tmp/cn_prof"):
+    """Median on-device seconds per call of a jitted ``fn`` (profiler-based).
+
+    Runs ``fn(*args)`` once to warm/compile, then ``iters`` times under a
+    trace and returns the median device duration of the most-executed
+    module (one-shot readback helpers run fewer times and are ignored).
+    Returns ``None`` when the backend produced no device events.
+    """
+    import jax
+
+    r = fn(*args)
+    jax.block_until_ready(r)
+    with trace(log_dir):
+        for _ in range(iters):
+            r = fn(*args)
+        jax.block_until_ready(r)
+    by_name = parse_device_durations(log_dir)
+    if not by_name:
+        return None
+    import statistics
+
+    durs = max(by_name.values(), key=len)
+    if len(durs) < 2:
+        return None
+    return float(statistics.median(durs))
+
+
 #: published peak HBM bandwidth per chip, GiB/s (for roofline estimates)
 HBM_GIBS = {
     "v4": 1130.0,

