@@ -730,19 +730,32 @@ def encode_b5_planar(x: jax.Array, *, interpret: bool = False):
     )(x, m)
 
 
+#: encode group: 4 slices = 64 words = half a kernel row per matmul, the
+#: smallest grouping whose P/Q column blocks are exactly 128-lane aligned
+#: (words x 2 interleaved chunk lanes = 128)
+B5_ENC_GRP_NT = 1728
+B5_ENC_GRP_U32 = 128
+
+
 @functools.lru_cache(maxsize=None)
 def _b5_enc_mat_inter():
-    """digits (3456,) -> duplicated g-chunks (512,) for interleaved output.
+    """digits (1728,) -> duplicated g-chunks (256,) for one encode GROUP.
 
-    Column blocks P = [0, 256) and Q = [256, 512): ``P[2w] = g0(w),
+    Column blocks P = [0, 128) and Q = [128, 256): ``P[2w] = g0(w),
     P[2w+1] = g1(w), Q[2w] = g1(w), Q[2w+1] = g2(w)`` — each g-chunk is
     emitted twice (constants are free) so the lane-local splice
     ``even: P | (Q & 0x7FF) << 21;  odd: (P >> 11) | (Q << 10)`` produces
     the (lo, hi) u32 pair of word ``w`` at lanes ``2w, 2w+1`` — the
     reference's interleaved u64 stream directly, with no XLA re-interleave
-    pass (which cost ~22% of the interleaved encode path)."""
-    m = np.zeros((B5_ROW_NT, 2 * B5_ROW_U32), np.float32)
-    for w in range(B5_ROW_WORDS):
+    pass (which cost ~22% of the interleaved encode path).
+
+    Grouping at 64 words (K = 1728, the smallest with 128-aligned P/Q
+    blocks) instead of one whole-row matmul (K = 3456, 512 cols) halves
+    the dense MXU work of the block-diagonal matrix, and the 2-group loop
+    pipelines MXU against the splice: 156 -> 285 GiB/s measured.
+    """
+    m = np.zeros((B5_ENC_GRP_NT, 2 * B5_ENC_GRP_U32), np.float32)
+    for w in range(B5_ENC_GRP_NT // 27):
         for j in range(9):
             c = j // 3
             for k in range(3):
@@ -752,9 +765,9 @@ def _b5_enc_mat_inter():
                     m[row, 2 * w] = coef                 # P even: g0
                 elif c == 1:
                     m[row, 2 * w + 1] = coef             # P odd: g1
-                    m[row, 256 + 2 * w] = coef           # Q even: g1
+                    m[row, 128 + 2 * w] = coef           # Q even: g1
                 else:
-                    m[row, 256 + 2 * w + 1] = coef       # Q odd: g2
+                    m[row, 128 + 2 * w + 1] = coef       # Q odd: g2
     return np.asarray(m, dtype=jnp.bfloat16)
 
 
@@ -762,19 +775,22 @@ def _encode_b5_inter_kernel(x_ref, m_ref, o_ref):
     x = x_ref[:].astype(jnp.int32)
     idx = x & 7
     digits = (jnp.int32(spec.DIGIT_LUT8_U32) >> (idx << 2)) & 0xF
-    d = digits.astype(jnp.bfloat16)
-    z = jnp.dot(
-        d, m_ref[:], preferred_element_type=jnp.float32
-    ).astype(jnp.int32).astype(jnp.uint32)
-    rb = z.shape[0]
-    p = jax.lax.slice(z, (0, 0), (rb, B5_ROW_U32))
-    q = jax.lax.slice(z, (0, B5_ROW_U32), (rb, 2 * B5_ROW_U32))
+    rb = digits.shape[0]
     odd = (
-        jax.lax.broadcasted_iota(jnp.int32, (rb, B5_ROW_U32), 1) & 1
+        jax.lax.broadcasted_iota(jnp.int32, (rb, B5_ENC_GRP_U32), 1) & 1
     ) == 1
-    o_ref[:] = jnp.where(
-        odd, (p >> 11) | (q << 10), p | ((q & jnp.uint32(0x7FF)) << 21)
-    )
+    for g in range(B5_ROW_NT // B5_ENC_GRP_NT):
+        d = jax.lax.slice(
+            digits, (0, B5_ENC_GRP_NT * g), (rb, B5_ENC_GRP_NT * (g + 1))
+        ).astype(jnp.bfloat16)
+        z = jnp.dot(
+            d, m_ref[:], preferred_element_type=jnp.float32
+        ).astype(jnp.int32).astype(jnp.uint32)
+        p = jax.lax.slice(z, (0, 0), (rb, B5_ENC_GRP_U32))
+        q = jax.lax.slice(z, (0, B5_ENC_GRP_U32), (rb, 2 * B5_ENC_GRP_U32))
+        o_ref[:, B5_ENC_GRP_U32 * g : B5_ENC_GRP_U32 * (g + 1)] = jnp.where(
+            odd, (p >> 11) | (q << 10), p | ((q & jnp.uint32(0x7FF)) << 21)
+        )
 
 
 def encode_b5_panels_v2(x: jax.Array, *, interpret: bool = False) -> jax.Array:
