@@ -283,6 +283,14 @@ def main() -> int:
         nt_bytes,
         enc_roof,
     )
+    # fused encode + validity flag (vs paying a second HBM read to validate)
+    run(
+        "encode_2bit_pallas_checked",
+        chained(lambda x: pk.encode_2bit_nt4_checked(x, "mul")[0]),
+        jnp.asarray(host_nt4),
+        nt_bytes,
+        enc_roof,
+    )
 
     packed_np = np.asarray(
         jax.jit(lambda w: pk.encode_2bit_nt4(w, "mul"))(jnp.asarray(host_nt4))
@@ -311,6 +319,13 @@ def main() -> int:
     run(
         "encode_b5_pallas_planar",
         chained(lambda x: pk.encode_b5_planar(x)[0]),
+        jnp.asarray(host_b5),
+        nt_b5,
+        profiling.encode_b5_roofline(nt_b5),
+    )
+    run(
+        "encode_b5_pallas_checked",
+        chained(lambda x: pk.encode_b5_panels_checked(x)[0]),
         jnp.asarray(host_b5),
         nt_b5,
         profiling.encode_b5_roofline(nt_b5),

@@ -80,7 +80,7 @@ def cmd_encode(args) -> int:
     records = list(io_lib.open_reads(args.input))
     names, words_list, lengths = [], [], []
     total_nt = 0
-    if args.validate:
+    if args.validate and not args.batch:
         for rec in records:
             bad = native.find_invalid(rec.seq, allow_n=args.codec == "base5")
             if bad >= 0:
@@ -107,7 +107,27 @@ def cmd_encode(args) -> int:
             block=codec.block,
         )
         for b in stream:
-            out = np.asarray(codec.encode(jnp.asarray(b.reads)))
+            if args.validate:
+                # device-fused check rides the encode's single HBM read;
+                # the host oracle diagnoses only flagged batches (rare path)
+                out_dev, bad = codec.encode_checked(jnp.asarray(b.reads))
+                out = np.asarray(out_dev)
+                if bool(np.any(np.asarray(bad))):
+                    for row in range(b.count):
+                        seq = bytes(b.reads[row, : int(b.lengths[row])])
+                        pos = native.find_invalid(
+                            seq, allow_n=args.codec == "base5"
+                        )
+                        if pos >= 0:
+                            rec = records[len(words_list) + row]
+                            print(
+                                f"error: invalid byte {seq[pos]!r} at {pos} "
+                                f"in {rec.name.decode(errors='replace')}",
+                                file=sys.stderr,
+                            )
+                            return 1
+            else:
+                out = np.asarray(codec.encode(jnp.asarray(b.reads)))
             for row in range(b.count):
                 n = int(b.lengths[row])
                 rec_words = spec.u32_pairs_to_u64(out[row])[: words_for(n)]

@@ -154,6 +154,27 @@ class TwoBitCodec(_CodecBase):
         """u8[..., L] -> u32[..., L//16]; L must be a multiple of 16."""
         return self._encode(reads)
 
+    def encode_checked(self, reads: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Encode + per-row validity flag: u8[..., L] ->
+        (u32[..., L//16], bool[...]).
+
+        Flag row r is True iff it contains a byte outside {A,C,G,T,U}
+        (either case).  On the pallas tier the check is FUSED into the
+        encode kernel (one HBM read, ~13% encode tax vs 2.3x for a separate
+        validate pass); elsewhere it composes encode with
+        :func:`..ops.validate.valid_mask` in one jit.  Diagnose flagged
+        rows with :func:`..ops.validate.first_invalid`.
+        """
+        if self.tier == "pallas" and self.config.encode_variant != "mxu":
+            from ..ops import pallas_kernels as pk
+
+            return pk.jit_encode_2bit_checked(self.config.encode_variant)(reads)
+        from ..ops import validate
+
+        return self.encode(reads), jax.jit(
+            lambda x: jnp.any(~validate.valid_mask(x), axis=-1)
+        )(reads)
+
     def decode(self, words: jax.Array) -> jax.Array:
         """u32[..., W] -> u8[..., 16*W] (full blocks; caller truncates)."""
         return self._decode(words)
@@ -208,6 +229,26 @@ class Base5Codec(_CodecBase):
     def encode(self, reads: jax.Array) -> jax.Array:
         """u8[..., L] -> u32[..., 2*(L//27)]; L must be a multiple of 27."""
         return self._encode(reads)
+
+    def encode_checked(self, reads: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Encode + validity flag: u8[..., L] -> (u32[..., 2*(L//27)],
+        bool scalar).
+
+        The flag is True iff ANY byte is outside {A,C,G,T,U,N} (either
+        case) — scalar (not per row) because base-5 kernel panels straddle
+        input rows.  Fused into the encode kernel on the pallas tier;
+        composed with :func:`..ops.validate.valid_mask` elsewhere.
+        Diagnose with :func:`..ops.validate.first_invalid`.
+        """
+        if self.tier == "pallas":
+            from ..ops import pallas_kernels as pk
+
+            return pk.jit_encode_b5_checked()(reads)
+        from ..ops import validate
+
+        return self.encode(reads), jax.jit(
+            lambda x: jnp.any(~validate.valid_mask(x, allow_n=True))
+        )(reads)
 
     def decode(self, words: jax.Array) -> jax.Array:
         """u32[..., 2*W] -> u8[..., 27*W] (full blocks; caller truncates)."""

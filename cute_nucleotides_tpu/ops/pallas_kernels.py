@@ -228,6 +228,106 @@ def decode_2bit_nt4(p: jax.Array, variant: str = "swar", *, interpret: bool = Fa
 
 
 # ---------------------------------------------------------------------------
+# Fused encode + validation (SURVEY §5: validation as an optional KERNEL pass)
+# ---------------------------------------------------------------------------
+# The standalone ``ops.validate`` pass re-reads the whole input from HBM; for
+# memory-bound encodes that doubles the traffic.  These variants compute a
+# per-row invalidity flag inside the encode kernel for ~12 extra VPU ops per
+# lane: reconstruct the ASCII char the 2-bit code would DECODE to (the SWAR
+# decode trick) and XOR against the case-folded input — a byte is valid iff
+# it round-trips, except 'U' (0x55) whose single low-bit difference from 'T'
+# (0x54) is forgiven by masking bit 0 on code==2 bytes.  Exact for all 256
+# byte values.  Diagnosis (count / first position) stays in
+# :mod:`..ops.validate` and only runs on flagged rows.
+
+def _invalid_bits_nt4(w: jax.Array) -> jax.Array:
+    """u32 nt4 lane -> u32 with nonzero bits exactly at bytes not in
+    {A,C,G,T,U} (either case)."""
+    v = w & jnp.uint32(0xDFDFDFDF)                 # fold case
+    s = (w >> 1) & jnp.uint32(0x03030303)          # 2-bit codes per byte
+    e = (s >> 1) & (~s) & jnp.uint32(0x01010101)   # [code == 2] per byte
+    exp = jnp.uint32(0x41414141) + (s << 1) + e * jnp.uint32(15)
+    return (v ^ exp) & ~e
+
+
+def _encode_2bit_checked_kernel(variant: str):
+    pack4 = _PACK4[variant]
+
+    def kernel(x_ref, o_ref, b_ref):
+        w = x_ref[:]
+        o_ref[:] = pack4(w).astype(jnp.uint8)
+        bad = _invalid_bits_nt4(w)
+        rb, C = w.shape
+        acc = jax.lax.slice(bad, (0, 0), (rb, 128))
+        for g in range(1, C // 128):
+            acc = acc | jax.lax.slice(bad, (0, 128 * g), (rb, 128 * (g + 1)))
+        b_ref[:] = acc
+
+    return kernel
+
+
+def encode_2bit_nt4_checked(
+    x: jax.Array, variant: str = "mul", *, interpret: bool = False
+) -> tuple[jax.Array, jax.Array]:
+    """Fused encode + validity: nt4 u32[R, C] -> (packed u8[R, C],
+    badplane u32[R, 128]); C % 128 == 0.
+
+    Any nonzero bit in ``badplane[r]`` means row ``r`` contains a byte
+    outside {A,C,G,T,U} (either case); ``jnp.any(badplane != 0, axis=-1)``
+    is the per-row flag.  Single HBM read — the separate
+    :func:`..ops.validate.count_invalid` pass costs a second one.
+    """
+    if x.dtype != jnp.uint32 or x.ndim != 2 or x.shape[1] % 128:
+        raise TypeError(f"expected u32[R, 128k] nt4 input, got {x.dtype}{x.shape}")
+    interpret = _auto_interpret(interpret)
+    R, C = x.shape
+    # the validity temporaries (~2 extra u32 planes) push the 512-row block
+    # of ENC_VMEM_BUDGET past the 16 MiB scoped-VMEM limit; stay at the
+    # standard budget (256-row blocks at C=2048)
+    rb = _row_block(C, 4 + 1, R)
+    return pl.pallas_call(
+        _encode_2bit_checked_kernel(variant),
+        grid=(_cdiv(R, rb),),
+        in_specs=[pl.BlockSpec((rb, C), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((rb, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, C), jnp.uint8),
+            jax.ShapeDtypeStruct((R, 128), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(x)
+
+
+def encode_2bit_words_checked(
+    x: jax.Array, variant: str = "mul", *, interpret: bool = False
+) -> tuple[jax.Array, jax.Array]:
+    """Fused words-API encode + per-row validity flag:
+    u8[..., L] -> (u32[..., L // 16], bool[...]).
+
+    Lanes are padded to the 128-lane check granularity with ``'A'`` (valid,
+    packs to zero) and pad words sliced off, as the mxu encoder does.
+    """
+    w, lead = _as_panels_u32(x)
+    R, C = w.shape
+    pad = (-C) % 128
+    if pad:
+        w = jnp.concatenate(
+            [w, jnp.full((R, pad), 0x41414141, jnp.uint32)], axis=1
+        )
+    packed, badplane = encode_2bit_nt4_checked(w, variant, interpret=interpret)
+    if pad:
+        packed = packed[:, :C]
+    words = jax.lax.bitcast_convert_type(
+        packed.reshape(R, C // 4, 4), jnp.uint32
+    )
+    bad = jnp.any(badplane != 0, axis=-1)
+    return words.reshape(*lead, x.shape[-1] // 16), bad.reshape(lead)
+
+
+# ---------------------------------------------------------------------------
 # Shape adapters: (..., L) byte-stream API  <->  nt4 panels
 # ---------------------------------------------------------------------------
 
@@ -290,6 +390,16 @@ def jit_encode_2bit(variant: str = "mul"):
 @functools.lru_cache(maxsize=None)
 def jit_decode_2bit(variant: str = "swar"):
     return jax.jit(functools.partial(decode_2bit_bytes, variant=variant))
+
+
+@functools.lru_cache(maxsize=None)
+def jit_encode_2bit_checked(variant: str = "mul"):
+    return jax.jit(functools.partial(encode_2bit_words_checked, variant=variant))
+
+
+@functools.lru_cache(maxsize=None)
+def jit_encode_b5_checked():
+    return jax.jit(encode_b5_words_checked)
 
 
 def encode_2bit(variant: str = "mul"):
@@ -771,11 +881,22 @@ def _b5_enc_mat_inter():
     return np.asarray(m, dtype=jnp.bfloat16)
 
 
-def _encode_b5_inter_kernel(x_ref, m_ref, o_ref):
+def _encode_b5_inter_kernel_impl(x_ref, m_ref, o_ref, b_ref=None):
     x = x_ref[:].astype(jnp.int32)
     idx = x & 7
     digits = (jnp.int32(spec.DIGIT_LUT8_U32) >> (idx << 2)) & 0xF
     rb = digits.shape[0]
+    if b_ref is not None:
+        # fused validity (see _invalid_bits_nt4; here per i32 byte-lane):
+        # valid iff the case-folded byte equals the char its DIGIT decodes
+        # to, forgiving U's low-bit difference from T on digit==2 lanes
+        v = x & 0xDF
+        exp = _digits_to_chars(digits)
+        bad = (v ^ exp) & ~jnp.where(digits == 2, 1, 0)
+        acc = jax.lax.slice(bad, (0, 0), (rb, 128))
+        for g in range(1, B5_ROW_NT // 128):
+            acc = acc | jax.lax.slice(bad, (0, 128 * g), (rb, 128 * (g + 1)))
+        b_ref[:] = acc.astype(jnp.uint32)
     odd = (
         jax.lax.broadcasted_iota(jnp.int32, (rb, B5_ENC_GRP_U32), 1) & 1
     ) == 1
@@ -791,6 +912,14 @@ def _encode_b5_inter_kernel(x_ref, m_ref, o_ref):
         o_ref[:, B5_ENC_GRP_U32 * g : B5_ENC_GRP_U32 * (g + 1)] = jnp.where(
             odd, (p >> 11) | (q << 10), p | ((q & jnp.uint32(0x7FF)) << 21)
         )
+
+
+def _encode_b5_inter_kernel(x_ref, m_ref, o_ref):
+    _encode_b5_inter_kernel_impl(x_ref, m_ref, o_ref)
+
+
+def _encode_b5_inter_checked_kernel(x_ref, m_ref, o_ref, b_ref):
+    _encode_b5_inter_kernel_impl(x_ref, m_ref, o_ref, b_ref)
 
 
 def encode_b5_panels_v2(x: jax.Array, *, interpret: bool = False) -> jax.Array:
@@ -820,6 +949,70 @@ def encode_b5_panels_v2(x: jax.Array, *, interpret: bool = False) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct((R, B5_ROW_U32), jnp.uint32),
         interpret=interpret,
     )(x, m)
+
+
+def encode_b5_panels_checked(
+    x: jax.Array, *, interpret: bool = False
+) -> tuple[jax.Array, jax.Array]:
+    """Fused base-5 encode + validity: u8[R, 3456] ->
+    (interleaved u32[R, 256], badplane u32[R, 128]).
+
+    Any nonzero bit in ``badplane[r]`` means row ``r`` has a byte outside
+    {A,C,G,T,U,N} (either case).  The check rides the encode's single HBM
+    read; the kernel is MXU-bound, so the extra VPU work is nearly free.
+    """
+    if x.dtype != jnp.uint8 or x.ndim != 2 or x.shape[1] != B5_ROW_NT:
+        raise TypeError(f"expected u8[R, {B5_ROW_NT}], got {x.dtype}{x.shape}")
+    interpret = _auto_interpret(interpret)
+    R = x.shape[0]
+    rb = min(256, max(8, -(-R // 8) * 8))
+    m = _b5_enc_mat_inter()
+    return pl.pallas_call(
+        _encode_b5_inter_checked_kernel,
+        grid=(_cdiv(R, rb),),
+        in_specs=[
+            pl.BlockSpec((rb, B5_ROW_NT), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rb, B5_ROW_U32), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, B5_ROW_U32), jnp.uint32),
+            jax.ShapeDtypeStruct((R, 128), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(x, m)
+
+
+def encode_b5_words_checked(
+    x: jax.Array, *, interpret: bool = False
+) -> tuple[jax.Array, jax.Array]:
+    """Fused words-API base-5 encode + validity flag:
+    u8[..., L] (L % 27 == 0) -> (u32[..., 2*(L//27)], bool scalar).
+
+    The flag is True iff ANY input byte is outside {A,C,G,T,U,N} (either
+    case); panel padding is ``'A'`` (valid).  On a flagged batch, diagnose
+    with :func:`..ops.validate.first_invalid` (the rare path).  Mirrors
+    :func:`encode_b5_words_pallas`.
+    """
+    L = x.shape[-1]
+    if L % spec.NT_PER_WORD_B5:
+        raise ValueError(f"last dim {L} not a multiple of 27")
+    lead = x.shape[:-1]
+    n = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    total = n * L
+    rows = _cdiv(max(total, 1), B5_ROW_NT)
+    flat = x.reshape(-1)
+    pad = rows * B5_ROW_NT - total
+    if pad:
+        flat = jnp.concatenate([flat, jnp.full(pad, ord("A"), jnp.uint8)])
+    out, badplane = encode_b5_panels_checked(
+        flat.reshape(rows, B5_ROW_NT), interpret=interpret
+    )
+    words = out.reshape(-1)[: n * (2 * (L // 27))]
+    return words.reshape(*lead, 2 * (L // 27)), jnp.any(badplane != 0)
 
 
 # ---------------------------------------------------------------------------

@@ -116,3 +116,26 @@ def test_cli_decode_batch_mode(tmp_path, codec):
     assert cli.main(["decode", nup, ref_fa]) == 0
     assert cli.main(["decode", nup, got_fa, "--batch", "3"]) == 0
     assert open(got_fa, "rb").read() == open(ref_fa, "rb").read()
+
+
+def test_cli_validate_batch_rejects(tmp_path, capsys):
+    fa = tmp_path / "bad.fa"
+    fa.write_bytes(b">a\nACGTACGT\n>b\nACGTXCGT\n")
+    rc = cli.main(
+        ["encode", str(fa), str(tmp_path / "o.nup"), "--validate",
+         "--batch", "2", "--tier", "xla"]
+    )
+    assert rc == 1
+    assert "invalid byte" in capsys.readouterr().err
+
+
+def test_cli_validate_batch_accepts(tmp_path, capsys):
+    fa = tmp_path / "ok.fa"
+    fa.write_bytes(b">a\nACGTacgtUU\n>b\nGGGGCCCC\n")
+    nup = str(tmp_path / "o.nup")
+    rc = cli.main(
+        ["encode", str(fa), nup, "--validate", "--batch", "2", "--tier", "xla"]
+    )
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip())
+    assert info["records"] == 2

@@ -81,3 +81,27 @@ def test_nt4_fast_path_roundtrip(rng):
         bytes(s).upper().replace(b"U", b"T"), np.uint8
     ).view(np.uint32).reshape(8, 512)
     assert np.array_equal(back, want)
+
+
+@pytest.mark.parametrize("tier", ["pallas", "xla"])
+def test_twobit_encode_checked(tier, rng):
+    codec = TwoBitCodec(tier=tier)
+    s = rng.choice(np.frombuffer(b"ACGTUacgtu", np.uint8), size=(4, 512))
+    words, bad = codec.encode_checked(jnp.asarray(s))
+    assert np.array_equal(np.asarray(words), np.asarray(codec.encode(jnp.asarray(s))))
+    assert not np.asarray(bad).any()
+    s[2, 100] = ord("N")  # invalid for the 2-bit alphabet
+    _, bad = codec.encode_checked(jnp.asarray(s))
+    assert list(np.asarray(bad)) == [False, False, True, False]
+
+
+@pytest.mark.parametrize("tier", ["pallas", "xla"])
+def test_base5_encode_checked(tier, rng):
+    codec = Base5Codec(tier=tier)
+    s = rng.choice(np.frombuffer(b"ACGTUNacgtun", np.uint8), size=(4, 27 * 19))
+    words, bad = codec.encode_checked(jnp.asarray(s))
+    assert np.array_equal(np.asarray(words), np.asarray(codec.encode(jnp.asarray(s))))
+    assert not bool(np.any(np.asarray(bad)))
+    s[1, 3] = ord("X")
+    _, bad = codec.encode_checked(jnp.asarray(s))
+    assert bool(np.any(np.asarray(bad)))

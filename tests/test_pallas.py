@@ -105,3 +105,49 @@ def test_encode_2bit_words_mxu_adapter(rng):
             spec.u32_pairs_to_u64(np.ascontiguousarray(got.reshape(-1))),
             want.reshape(-1),
         ), L
+
+
+def test_encode_2bit_checked_valid_input(rng):
+    n = 4096 * 4
+    s = _rand_seq(rng, n)
+    w = jnp.asarray(s.view(np.uint32).reshape(8, 512))
+    packed, badplane = pk.encode_2bit_nt4_checked(w, "mul", interpret=True)
+    ref = np.asarray(pk.encode_2bit_nt4(w, "mul", interpret=True))
+    assert np.array_equal(np.asarray(packed), ref)
+    assert not np.asarray(badplane).any()
+
+
+@pytest.mark.parametrize("bad_byte", [ord("N"), ord("X"), 0, 0x80, 0xFF, ord("B")])
+def test_encode_2bit_checked_flags_bad_rows(rng, bad_byte):
+    n = 4096 * 4
+    s = _rand_seq(rng, n).reshape(8, -1)
+    s[3, 777] = bad_byte
+    s[6, 0] = bad_byte
+    w = jnp.asarray(np.ascontiguousarray(s).view(np.uint32))
+    _, badplane = pk.encode_2bit_nt4_checked(w, "mul", interpret=True)
+    flags = np.asarray(badplane).any(axis=-1)
+    assert list(np.nonzero(flags)[0]) == [3, 6]
+
+
+def test_encode_2bit_checked_all_bytes_exact(rng):
+    # every byte value 0..255 in every of the 4 byte positions
+    s = np.full((8, 512 * 4), ord("A"), np.uint8)
+    vals = np.arange(256, dtype=np.uint8)
+    valid = np.frombuffer(b"ACGTUacgtu", np.uint8)
+    for pos in range(4):
+        s[pos % 8, pos * 256 : (pos + 1) * 256] = vals
+    w = jnp.asarray(np.ascontiguousarray(s).view(np.uint32))
+    _, badplane = pk.encode_2bit_nt4_checked(w, "mul", interpret=True)
+    bad_lanes = np.asarray(badplane)
+    # recompute expected per-row flags with the plain python definition
+    want = np.array([np.any(~np.isin(row, valid)) for row in s])
+    assert np.array_equal(bad_lanes.any(axis=-1), want)
+
+
+def test_encode_2bit_words_checked_flags(rng):
+    s = _rand_seq(rng, 3 * 1024).reshape(3, 1024)
+    s[1, 500] = ord("Z")
+    words, bad = pk.encode_2bit_words_checked(jnp.asarray(s), "mul", interpret=True)
+    ref = np.asarray(pk.encode_2bit_words(jnp.asarray(s), "mul", interpret=True))
+    assert np.array_equal(np.asarray(words), ref)
+    assert list(np.asarray(bad)) == [False, True, False]

@@ -133,3 +133,33 @@ def test_decode_b5_interleaved_matches_oracle(rng):
     got = pk.depad_nt4_host(out)
     want = oracle.bits_to_n2_lut(words, s.size)
     assert np.array_equal(got, want)
+
+
+def test_encode_b5_checked_parity_and_flags(rng):
+    import jax.numpy as jnp
+    R = 16
+    alpha = np.frombuffer(b"ATCGNatcgnu", dtype=np.uint8)
+    x = rng.choice(alpha, size=(R, pk.B5_ROW_NT)).astype(np.uint8)
+    xd = jnp.asarray(x)
+    out, badplane = pk.encode_b5_panels_checked(xd, interpret=True)
+    ref = np.asarray(pk.encode_b5_panels_v2(xd, interpret=True))
+    assert np.array_equal(np.asarray(out), ref)
+    assert not np.asarray(badplane).any()
+    # poison a few rows with bytes that alias valid digits via &7
+    for r, c, b in [(0, 0, ord("F")), (5, 3455, 0x00), (9, 1000, 0xC1), (12, 7, ord("Q"))]:
+        x[r, c] = b
+    _, badplane = pk.encode_b5_panels_checked(jnp.asarray(x), interpret=True)
+    flags = np.asarray(badplane).any(axis=-1)
+    assert list(np.nonzero(flags)[0]) == [0, 5, 9, 12]
+
+
+def test_encode_b5_words_checked_scalar_flag(rng):
+    import jax.numpy as jnp
+    s = rng.choice(np.frombuffer(b"ATCGN", np.uint8), size=27 * 100)
+    words, bad = pk.encode_b5_words_checked(jnp.asarray(s), interpret=True)
+    ref = np.asarray(pk.encode_b5_words_pallas(jnp.asarray(s), interpret=True))
+    assert np.array_equal(np.asarray(words), ref)
+    assert not bool(bad)
+    s[1234] = ord("E")
+    _, bad = pk.encode_b5_words_checked(jnp.asarray(s), interpret=True)
+    assert bool(bad)

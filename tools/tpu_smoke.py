@@ -58,6 +58,24 @@ def main() -> int:
             spec.u32_pairs_to_u64(np.ascontiguousarray(words_mxu.reshape(-1))), want_w
         ),
     )
+    pk_chk, bad2 = jax.jit(lambda x: pk.encode_2bit_nt4_checked(x, "mul"))(nt4)
+    s_bad = s.reshape(64, -1).copy()
+    s_bad[7, 123] = ord("N")  # invalid in the 2-bit alphabet
+    _, bad2x = jax.jit(lambda x: pk.encode_2bit_nt4_checked(x, "mul"))(
+        jnp.asarray(np.ascontiguousarray(s_bad).view(np.uint32))
+    )
+    flags = np.asarray(bad2x).any(axis=-1)
+    ok(
+        "pallas encode_2bit checked (parity + flag)",
+        np.array_equal(
+            spec.u32_pairs_to_u64(
+                np.ascontiguousarray(np.asarray(pk_chk).reshape(-1)).view(np.uint32)
+            ),
+            want_w,
+        )
+        and not np.asarray(bad2).any()
+        and list(np.nonzero(flags)[0]) == [7],
+    )
     p = jnp.asarray(spec.u64_to_u32_pairs(want_w).reshape(-1).view(np.uint8).reshape(64, 2048))
     want_seq = oracle.bits_to_n_lut(want_w, s.size)
     for variant in ("swar", "shuffle", "select"):
@@ -73,6 +91,16 @@ def main() -> int:
     ok(
         "pallas encode_b5 v2",
         np.array_equal(spec.u32_pairs_to_u64(np.ascontiguousarray(got5.reshape(-1))), want5),
+    )
+    chk5, bad5 = jax.jit(pk.encode_b5_panels_checked)(x5)
+    s5_bad = s5.reshape(4, -1).copy()
+    s5_bad[2, 17] = ord("X")
+    _, bad5x = jax.jit(pk.encode_b5_panels_checked)(jnp.asarray(s5_bad))
+    ok(
+        "pallas encode_b5 checked (parity + flag)",
+        np.array_equal(np.asarray(chk5), got5)
+        and not np.asarray(bad5).any()
+        and np.asarray(bad5x).any(),
     )
     lo, hi = jax.jit(pk.encode_b5_planar)(x5)
     want_seq5 = oracle.bits_to_n2_lut(want5, s5.size)
