@@ -378,10 +378,26 @@ def main() -> int:
             profiling.encode_2bit_roofline(x_nt),
             **xk,
         )
+        run(
+            "encode_2bit_xla_dot",
+            chained(lambda x: xla.encode_2bit_words(x, "dot")),
+            jnp.asarray(x_u8),
+            x_nt,
+            profiling.encode_2bit_roofline(x_nt),
+            **xk,
+        )
         x_words = packed_np[:xrows].reshape(xrows, -1).view(np.uint32)
         run(
             "decode_2bit_xla_shuffle",
             chained(lambda w: xla.decode_2bit_bytes(w, "shuffle")),
+            jnp.asarray(x_words),
+            x_nt,
+            profiling.decode_2bit_roofline(x_nt),
+            **xk,
+        )
+        run(
+            "decode_2bit_xla_broadcast",
+            chained(lambda w: xla.decode_2bit_bytes(w, "broadcast")),
             jnp.asarray(x_words),
             x_nt,
             profiling.decode_2bit_roofline(x_nt),

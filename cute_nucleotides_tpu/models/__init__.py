@@ -47,14 +47,17 @@ class CodecConfig:
         "mul" (multiply-as-bit-shuffle, analogue of reference
         src/n_to_bits.rs:213), "shift" (log-depth shift-OR tree,
         src/n_to_bits.rs:121), "interleave" (even/odd plane split + fold,
-        the movemask analogue, src/n_to_bits.rs:172) or "mxu"
+        the movemask analogue, src/n_to_bits.rs:172), "mxu"
         (constant-matrix byte gather on the MXU, the pext analogue,
-        src/n_to_bits.rs:80; pallas tier only).
+        src/n_to_bits.rs:80; pallas tier only) or "dot" (bitcast-free
+        weighted small-dot packing, the maddubs-as-dot idea; xla tier
+        only, its fastest form there).
       decode_variant: "swar" (byte-parallel spread-multiplies, the pdep
         descendant and the fastest, reference src/n_to_bits.rs:309),
-        "shuffle" (packed-LUT variable shift, src/n_to_bits.rs:265) or
+        "shuffle" (packed-LUT variable shift, src/n_to_bits.rs:265),
         "select" (arithmetic select tree, the clmul slot,
-        src/n_to_bits.rs:346).
+        src/n_to_bits.rs:346) or "broadcast" (bitcast-free field
+        broadcast; xla tier only, its fastest form there).
       donate: donate input buffers to the compiled call (the allocation-honest
         analogue of the reference's alloc-included benchmarks).
     """

