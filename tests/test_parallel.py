@@ -135,3 +135,42 @@ def test_data_parallel_pallas_tier(rng):
         batch.tobytes().upper().replace(b"U", b"T"), dtype=np.uint8
     ).reshape(B, L)
     assert np.array_equal(back, want)
+
+
+def test_checked_encode_in_shard_map(rng):
+    """The fused encode+validate kernel composes with data-parallel
+    shard_map: per-shard flags reduce to a global any() via psum."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from cute_nucleotides_tpu.ops import pallas_kernels as pk
+
+    B, L = 16, 512
+    batch = rng.choice(ALPHABET, size=(B, L))
+    batch[5, 100] = ord("X")
+    m = parallel.make_mesh()
+
+    def shard_fn(x):
+        words, bad = pk.encode_2bit_words_checked(x, "mul")
+        return words, jax.lax.psum(
+            bad.any().astype(jnp.int32), mesh_lib.DATA_AXIS
+        )
+
+    fn = shard_map(
+        shard_fn,
+        mesh=m,
+        in_specs=P(mesh_lib.DATA_AXIS, None),
+        out_specs=(P(mesh_lib.DATA_AXIS, None), P()),
+        check_vma=False,
+    )
+    words, nbad = jax.jit(fn)(jnp.asarray(batch))
+    assert int(nbad) == 1
+    for b in range(B):
+        assert np.array_equal(
+            spec.u32_pairs_to_u64(np.asarray(words[b])),
+            oracle.n_to_bits_lut(
+                np.where(batch[b] == ord("X"), ord("A"), batch[b])
+            )
+            if b == 5
+            else oracle.n_to_bits_lut(batch[b]),
+        )
