@@ -431,6 +431,18 @@ def main() -> int:
         words_flat = packed_np.reshape(-1).view(np.uint32)
         kwords = words_flat[:KMER_WORDS]
         klen = 16 * KMER_WORDS
+        # k-mer EXTRACTION alone (funnel-shift kernel; output 16 codes/word
+        # dominates traffic: 4 B in + 64 B out per input word)
+        kw2d = words_flat[:KMER_WORDS].reshape(-1, 128)  # 64 MiB output/step
+        knxt = np.roll(kw2d.reshape(-1), -1).reshape(kw2d.shape)
+        run(
+            "kmer_codes_k15",
+            chained2(lambda w, n: kmer.kmer_codes_planar(w, n, 15)),
+            (jnp.asarray(kw2d), jnp.asarray(knxt)),
+            16 * kw2d.size,
+            R(8 * kw2d.size, 64 * kw2d.size),
+            k_lo=4, k_hi=20, trials=3,
+        )
         run(
             "kmer_histogram_k8",
             chained(
