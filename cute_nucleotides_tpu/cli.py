@@ -162,6 +162,26 @@ def cmd_decode(args) -> int:
     from .ops import spec
 
     codec, entries = read_nup(args.input)
+    if getattr(args, "verify_stream", False) and codec == "base5":
+        # cheap whole-stream integrity scan before decode: base-5 words
+        # waste 3 of 128 triplet codes + the pad bit, so corruption is
+        # detectable (the 2-bit stream has no invalid states)
+        import jax.numpy as jnp
+
+        from .ops import seqops
+
+        for name, _, words in entries:
+            w32 = spec.u64_to_u32_pairs(
+                np.ascontiguousarray(words)
+            ).reshape(-1)
+            bad = int(seqops.first_invalid_word_b5(jnp.asarray(w32)))
+            if bad >= 0:
+                print(
+                    f"error: corrupt base-5 word {bad} in record "
+                    f"{name.decode(errors='replace')}",
+                    file=sys.stderr,
+                )
+                return 1
     out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
     try:
         if args.batch:
@@ -324,6 +344,11 @@ def main(argv=None) -> int:
     pd.add_argument("input")
     pd.add_argument("output", nargs="?", default="-")
     pd.add_argument("--tier", default="xla")
+    pd.add_argument(
+        "--verify-stream",
+        action="store_true",
+        help="scan base-5 streams for corrupt words before decoding",
+    )
     pd.add_argument(
         "--batch", type=int, default=0, metavar="N",
         help="decode in fixed-shape device batches of N records "

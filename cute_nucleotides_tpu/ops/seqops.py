@@ -29,6 +29,9 @@ __all__ = [
     "revcomp_packed",
     "gc_content_packed",
     "gc_content_bytes",
+    "gc_content_packed_b5",
+    "n_count_packed_b5",
+    "first_invalid_word_b5",
 ]
 
 
@@ -129,3 +132,85 @@ def gc_content_bytes(reads: jax.Array) -> jax.Array:
     code = (reads >> 1) & jnp.uint8(3)
     # C=01, G=11 have bit0 set; but T/U (10) and A (00) do not
     return jnp.sum((code & 1).astype(jnp.int32), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Base-5 packed-domain ops
+# ---------------------------------------------------------------------------
+# The same packed-domain principle extends to the base-5 stream (u32 pairs,
+# 9 x 7-bit triplets per u64 word, reference src/n_to_bits2.rs:44-53): a
+# triplet value t = a + 5b + 25c yields its digits with the exact
+# multiply-shift divisions, and the digit space shares the 2-bit code's
+# lucky bit: C (1) and G (3) are exactly the digits with bit 0 set while
+# A (0), T (2), N (4) are not — so GC content is (digit & 1) summed, and
+# encoder padding (digit 0) again contributes nothing.
+
+
+def _b5_triplets(words: jax.Array) -> jax.Array:
+    """Packed u32[..., 2W] -> triplet values i32[..., W, 9] (t < 125 for
+    valid streams)."""
+    if words.shape[-1] % 2:
+        raise ValueError("base-5 packed stream must have even u32 count")
+    W = words.shape[-1] // 2
+    pair = words.reshape(*words.shape[:-1], W, 2)
+    lo, hi = pair[..., 0], pair[..., 1]
+    m7 = jnp.uint32(0x7F)
+    return jnp.stack(
+        [
+            lo & m7,
+            (lo >> 7) & m7,
+            (lo >> 14) & m7,
+            (lo >> 21) & m7,
+            ((lo >> 28) | (hi << 4)) & m7,
+            (hi >> 3) & m7,
+            (hi >> 10) & m7,
+            (hi >> 17) & m7,
+            (hi >> 24) & m7,
+        ],
+        axis=-1,
+    ).astype(jnp.int32)
+
+
+def _b5_digits(t: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Triplet values -> (a, b, c) digit planes (exact multiply-shift /5, /25
+    on the 7-bit domain; reference src/n_to_bits2.rs:241-247)."""
+    q5 = (t * 205) >> 10
+    q25 = (t * 41) >> 10
+    return t - 5 * q5, q5 - 5 * q25, q25
+
+
+def gc_content_packed_b5(words: jax.Array) -> jax.Array:
+    """Count of C+G nucleotides per base-5 stream: u32[..., 2W] -> i32[...].
+
+    Digits C (1) and G (3) are exactly those with bit 0 set (A=0, T=2, N=4
+    are even), so the count is ``sum((digit & 1))``; 'A' padding counts 0,
+    ragged tails need no masking.
+    """
+    a, b, c = _b5_digits(_b5_triplets(words))
+    return jnp.sum((a & 1) + (b & 1) + (c & 1), axis=(-2, -1))
+
+
+def n_count_packed_b5(words: jax.Array) -> jax.Array:
+    """Count of N nucleotides per base-5 stream: u32[..., 2W] -> i32[...].
+
+    N is digit 4, the only digit with bit 2 set: ``sum(digit >> 2)``.
+    """
+    a, b, c = _b5_digits(_b5_triplets(words))
+    return jnp.sum((a >> 2) + (b >> 2) + (c >> 2), axis=(-2, -1))
+
+
+def first_invalid_word_b5(words: jax.Array) -> jax.Array:
+    """Stream-integrity check: index of the first corrupt u64 word of a
+    base-5 stream (any triplet value >= 125, or pad bit 63 set), else -1.
+
+    The 2-bit stream has no invalid states (every bit pattern decodes), but
+    base-5 words waste 3 of 128 triplet codes and 1 bit — a cheap
+    whole-stream scan catches container corruption before decode
+    (u32[..., 2W] -> i32[...]).
+    """
+    t = _b5_triplets(words)
+    W = t.shape[-2]
+    hi = words.reshape(*words.shape[:-1], W, 2)[..., 1]
+    bad = jnp.any(t >= 125, axis=-1) | ((hi >> 31) != 0)
+    idx = jnp.argmax(bad, axis=-1)
+    return jnp.where(jnp.any(bad, axis=-1), idx, -1).astype(jnp.int32)

@@ -139,3 +139,21 @@ def test_cli_validate_batch_accepts(tmp_path, capsys):
     assert rc == 0
     info = json.loads(capsys.readouterr().out.strip())
     assert info["records"] == 2
+
+
+def test_cli_decode_verify_stream(tmp_path, capsys):
+    fa = tmp_path / "in.fa"
+    fa.write_bytes(b">a\nACGTNACGTNACGTNACGTNACGTNAC\n")
+    nup = str(tmp_path / "o.nup")
+    assert cli.main(["encode", str(fa), nup, "--codec", "base5", "--tier", "oracle"]) == 0
+    capsys.readouterr()
+    out_fa = str(tmp_path / "out.fa")
+    assert cli.main(["decode", nup, out_fa, "--verify-stream", "--tier", "oracle"]) == 0
+    # corrupt the stream: set an out-of-range triplet value in the payload
+    blob = bytearray(open(nup, "rb").read())
+    blob[-8] = 125  # lowest 7 bits of the first (only) word -> invalid
+    bad_nup = str(tmp_path / "bad.nup")
+    open(bad_nup, "wb").write(bytes(blob))
+    rc = cli.main(["decode", bad_nup, out_fa, "--verify-stream", "--tier", "oracle"])
+    assert rc == 1
+    assert "corrupt base-5 word 0" in capsys.readouterr().err

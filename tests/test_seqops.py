@@ -48,3 +48,39 @@ def test_gc_content_batched(rng):
     got = np.asarray(seqops.gc_content_packed(words))
     want = [(row == ord("C")).sum() + (row == ord("G")).sum() for row in batch]
     assert got.tolist() == want
+
+
+@pytest.mark.parametrize("n", [1, 26, 27, 28, 54, 1000])
+def test_gc_content_packed_b5(rng, n):
+    s = rng.choice(np.frombuffer(b"ACGTUNacgtun", np.uint8), size=n)
+    up = bytes(s).upper()
+    want_gc = sum(1 for c in up if c in b"CG")
+    want_n = up.count(ord("N"))
+    w = jnp.asarray(spec.u64_to_u32_pairs(oracle.n_to_bits2_lut(s)).reshape(-1))
+    assert int(seqops.gc_content_packed_b5(w)) == want_gc
+    assert int(seqops.n_count_packed_b5(w)) == want_n
+
+
+def test_b5_packed_counts_batched(rng):
+    batch = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=(4, 54))
+    words = jax.jit(xla.encode_b5_words)(jnp.asarray(batch))
+    got_gc = np.asarray(seqops.gc_content_packed_b5(words))
+    got_n = np.asarray(seqops.n_count_packed_b5(words))
+    for b in range(4):
+        assert got_gc[b] == ((batch[b] == ord("C")) | (batch[b] == ord("G"))).sum()
+        assert got_n[b] == (batch[b] == ord("N")).sum()
+
+
+def test_first_invalid_word_b5(rng):
+    s = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=27 * 10)
+    w64 = oracle.n_to_bits2_lut(s)
+    w = spec.u64_to_u32_pairs(w64).reshape(-1)
+    assert int(seqops.first_invalid_word_b5(jnp.asarray(w))) == -1
+    # corrupt word 4 with an out-of-range triplet value (125 at offset 0)
+    bad = w.copy()
+    bad[8] = (bad[8] & ~np.uint32(0x7F)) | np.uint32(125)
+    assert int(seqops.first_invalid_word_b5(jnp.asarray(bad))) == 4
+    # pad bit 63 set flags too
+    bad2 = w.copy()
+    bad2[2 * 7 + 1] |= np.uint32(1 << 31)
+    assert int(seqops.first_invalid_word_b5(jnp.asarray(bad2))) == 7
