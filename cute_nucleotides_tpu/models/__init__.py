@@ -36,6 +36,27 @@ def _default_tier() -> str:
     return "pallas" if platform not in ("cpu",) else "xla"
 
 
+#: variants that exist on exactly one tier (guarded with a clear error at
+#: codec construction instead of a KeyError at first call)
+_PALLAS_ONLY_ENCODE = ("mxu",)
+_XLA_ONLY_ENCODE = ("dot",)
+_XLA_ONLY_DECODE = ("broadcast",)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_any_invalid_rows():
+    from ..ops import validate
+
+    return jax.jit(lambda x: jnp.any(~validate.valid_mask(x), axis=-1))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_any_invalid_scalar_n():
+    from ..ops import validate
+
+    return jax.jit(lambda x: jnp.any(~validate.valid_mask(x, allow_n=True)))
+
+
 @dataclasses.dataclass(frozen=True)
 class CodecConfig:
     """Typed configuration (the config system the reference lacks; SURVEY §5).
@@ -130,14 +151,25 @@ class TwoBitCodec(_CodecBase):
     def __init__(self, config: CodecConfig | None = None, **overrides):
         super().__init__(config, **overrides)
         if self.tier == "pallas":
+            if self.config.encode_variant in _XLA_ONLY_ENCODE:
+                raise ValueError(
+                    f'encode_variant="{self.config.encode_variant}" is an '
+                    'XLA-tier formulation; use tier="xla"'
+                )
+            if self.config.decode_variant in _XLA_ONLY_DECODE:
+                raise ValueError(
+                    f'decode_variant="{self.config.decode_variant}" is an '
+                    'XLA-tier formulation; use tier="xla"'
+                )
             from ..ops import pallas_kernels as pk
 
             self._encode = pk.jit_encode_2bit(self.config.encode_variant)
             self._decode = pk.jit_decode_2bit(self.config.decode_variant)
-        elif self.config.encode_variant == "mxu":
+        elif self.config.encode_variant in _PALLAS_ONLY_ENCODE:
             raise ValueError(
-                'encode_variant="mxu" is a Pallas-tier kernel; use '
-                'tier="pallas" (or "auto" on an accelerator)'
+                f'encode_variant="{self.config.encode_variant}" is a '
+                'Pallas-tier kernel; use tier="pallas" (or "auto" on an '
+                'accelerator)'
             )
         else:
             self._encode = self._jit(
@@ -165,18 +197,15 @@ class TwoBitCodec(_CodecBase):
         (either case).  On the pallas tier the check is FUSED into the
         encode kernel (one HBM read, ~13% encode tax vs 2.3x for a separate
         validate pass); elsewhere it composes encode with
-        :func:`..ops.validate.valid_mask` in one jit.  Diagnose flagged
+        a cached jitted :func:`..ops.validate.valid_mask` pass (a second
+        HBM read).  Diagnose flagged
         rows with :func:`..ops.validate.first_invalid`.
         """
         if self.tier == "pallas" and self.config.encode_variant != "mxu":
             from ..ops import pallas_kernels as pk
 
             return pk.jit_encode_2bit_checked(self.config.encode_variant)(reads)
-        from ..ops import validate
-
-        return self.encode(reads), jax.jit(
-            lambda x: jnp.any(~validate.valid_mask(x), axis=-1)
-        )(reads)
+        return self.encode(reads), _jit_any_invalid_rows()(reads)
 
     def decode(self, words: jax.Array) -> jax.Array:
         """u32[..., W] -> u8[..., 16*W] (full blocks; caller truncates)."""
@@ -247,11 +276,7 @@ class Base5Codec(_CodecBase):
             from ..ops import pallas_kernels as pk
 
             return pk.jit_encode_b5_checked()(reads)
-        from ..ops import validate
-
-        return self.encode(reads), jax.jit(
-            lambda x: jnp.any(~validate.valid_mask(x, allow_n=True))
-        )(reads)
+        return self.encode(reads), _jit_any_invalid_scalar_n()(reads)
 
     def decode(self, words: jax.Array) -> jax.Array:
         """u32[..., 2*W] -> u8[..., 27*W] (full blocks; caller truncates)."""

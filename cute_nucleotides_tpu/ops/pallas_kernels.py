@@ -446,14 +446,10 @@ B5_SLICE_WORDS = 16
 B5_TPAD = 16              # t-lanes per word (9 used, padded to 16)
 
 
-def encode_b5_words_pallas(x: jax.Array, *, interpret: bool = False) -> jax.Array:
-    """Drop-in Pallas analogue of :func:`..ops.xla.encode_b5_words`:
-    u8[..., L] -> u32[..., 2*(L//27)], L % 27 == 0.
-
-    Rows are independent streams, but because L % 27 == 0 their word
-    boundaries survive flattening, so the whole batch is encoded as one
-    padded panel stream and re-split.
-    """
+def _encode_b5_words_impl(x: jax.Array, checked: bool, interpret: bool):
+    """Shared words-API scaffolding: flatten to padded panels, encode,
+    re-split.  Panel padding is ``'A'`` (digit 0 — the reference's tail
+    semantics, and valid for the checked variant's flag)."""
     L = x.shape[-1]
     if L % spec.NT_PER_WORD_B5:
         raise ValueError(f"last dim {L} not a multiple of 27")
@@ -464,10 +460,27 @@ def encode_b5_words_pallas(x: jax.Array, *, interpret: bool = False) -> jax.Arra
     flat = x.reshape(-1)
     pad = rows * B5_ROW_NT - total
     if pad:
-        flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.uint8)])
-    out = encode_b5_panels_v2(flat.reshape(rows, B5_ROW_NT), interpret=interpret)
-    words = out.reshape(-1)[: n * (2 * (L // 27))]
-    return words.reshape(*lead, 2 * (L // 27))
+        flat = jnp.concatenate([flat, jnp.full(pad, ord("A"), jnp.uint8)])
+    panels = flat.reshape(rows, B5_ROW_NT)
+    if checked:
+        out, badplane = encode_b5_panels_checked(panels, interpret=interpret)
+    else:
+        out = encode_b5_panels_v2(panels, interpret=interpret)
+    words = out.reshape(-1)[: n * (2 * (L // 27))].reshape(*lead, 2 * (L // 27))
+    if checked:
+        return words, jnp.any(badplane != 0)
+    return words
+
+
+def encode_b5_words_pallas(x: jax.Array, *, interpret: bool = False) -> jax.Array:
+    """Drop-in Pallas analogue of :func:`..ops.xla.encode_b5_words`:
+    u8[..., L] -> u32[..., 2*(L//27)], L % 27 == 0.
+
+    Rows are independent streams, but because L % 27 == 0 their word
+    boundaries survive flattening, so the whole batch is encoded as one
+    padded panel stream and re-split.
+    """
+    return _encode_b5_words_impl(x, checked=False, interpret=interpret)
 
 
 # --- base-5 decode -----------------------------------------------------------
@@ -932,21 +945,41 @@ def encode_b5_panels_v2(x: jax.Array, *, interpret: bool = False) -> jax.Array:
     :func:`_b5_enc_mat_inter`); prefer :func:`encode_b5_planar` when the
     consumer is the planar decoder.
     """
+    return _encode_b5_panels_call(x, checked=False, interpret=interpret)
+
+
+def _encode_b5_panels_call(x: jax.Array, checked: bool, interpret: bool):
+    """Shared pallas_call setup for the interleaved panel encoder (with or
+    without the fused validity badplane output)."""
     if x.dtype != jnp.uint8 or x.ndim != 2 or x.shape[1] != B5_ROW_NT:
         raise TypeError(f"expected u8[R, {B5_ROW_NT}], got {x.dtype}{x.shape}")
     interpret = _auto_interpret(interpret)
     R = x.shape[0]
     rb = min(256, max(8, -(-R // 8) * 8))
     m = _b5_enc_mat_inter()
+    words_spec = pl.BlockSpec(
+        (rb, B5_ROW_U32), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    words_shape = jax.ShapeDtypeStruct((R, B5_ROW_U32), jnp.uint32)
+    if checked:
+        kernel = _encode_b5_inter_checked_kernel
+        out_specs = [
+            words_spec,
+            pl.BlockSpec((rb, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [words_shape, jax.ShapeDtypeStruct((R, 128), jnp.uint32)]
+    else:
+        kernel = _encode_b5_inter_kernel
+        out_specs, out_shape = words_spec, words_shape
     return pl.pallas_call(
-        _encode_b5_inter_kernel,
+        kernel,
         grid=(_cdiv(R, rb),),
         in_specs=[
             pl.BlockSpec((rb, B5_ROW_NT), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rb, B5_ROW_U32), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R, B5_ROW_U32), jnp.uint32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(x, m)
 
@@ -959,31 +992,9 @@ def encode_b5_panels_checked(
 
     Any nonzero bit in ``badplane[r]`` means row ``r`` has a byte outside
     {A,C,G,T,U,N} (either case).  The check rides the encode's single HBM
-    read; the kernel is MXU-bound, so the extra VPU work is nearly free.
+    read (one pass; a separate validate pass costs a second).
     """
-    if x.dtype != jnp.uint8 or x.ndim != 2 or x.shape[1] != B5_ROW_NT:
-        raise TypeError(f"expected u8[R, {B5_ROW_NT}], got {x.dtype}{x.shape}")
-    interpret = _auto_interpret(interpret)
-    R = x.shape[0]
-    rb = min(256, max(8, -(-R // 8) * 8))
-    m = _b5_enc_mat_inter()
-    return pl.pallas_call(
-        _encode_b5_inter_checked_kernel,
-        grid=(_cdiv(R, rb),),
-        in_specs=[
-            pl.BlockSpec((rb, B5_ROW_NT), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((rb, B5_ROW_U32), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((R, B5_ROW_U32), jnp.uint32),
-            jax.ShapeDtypeStruct((R, 128), jnp.uint32),
-        ],
-        interpret=interpret,
-    )(x, m)
+    return _encode_b5_panels_call(x, checked=True, interpret=interpret)
 
 
 def encode_b5_words_checked(
@@ -997,22 +1008,7 @@ def encode_b5_words_checked(
     with :func:`..ops.validate.first_invalid` (the rare path).  Mirrors
     :func:`encode_b5_words_pallas`.
     """
-    L = x.shape[-1]
-    if L % spec.NT_PER_WORD_B5:
-        raise ValueError(f"last dim {L} not a multiple of 27")
-    lead = x.shape[:-1]
-    n = int(np.prod(lead, dtype=np.int64)) if lead else 1
-    total = n * L
-    rows = _cdiv(max(total, 1), B5_ROW_NT)
-    flat = x.reshape(-1)
-    pad = rows * B5_ROW_NT - total
-    if pad:
-        flat = jnp.concatenate([flat, jnp.full(pad, ord("A"), jnp.uint8)])
-    out, badplane = encode_b5_panels_checked(
-        flat.reshape(rows, B5_ROW_NT), interpret=interpret
-    )
-    words = out.reshape(-1)[: n * (2 * (L // 27))]
-    return words.reshape(*lead, 2 * (L // 27)), jnp.any(badplane != 0)
+    return _encode_b5_words_impl(x, checked=True, interpret=interpret)
 
 
 # ---------------------------------------------------------------------------

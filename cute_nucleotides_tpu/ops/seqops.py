@@ -208,6 +208,8 @@ def first_invalid_word_b5(words: jax.Array) -> jax.Array:
     whole-stream scan catches container corruption before decode
     (u32[..., 2W] -> i32[...]).
     """
+    if words.shape[-1] == 0:
+        return jnp.full(words.shape[:-1], -1, jnp.int32)
     t = _b5_triplets(words)
     W = t.shape[-2]
     hi = words.reshape(*words.shape[:-1], W, 2)[..., 1]

@@ -105,3 +105,19 @@ def test_base5_encode_checked(tier, rng):
     s[1, 3] = ord("X")
     _, bad = codec.encode_checked(jnp.asarray(s))
     assert bool(np.any(np.asarray(bad)))
+
+
+def test_tier_exclusive_variants_raise_clearly():
+    with pytest.raises(ValueError, match="XLA-tier"):
+        TwoBitCodec(tier="pallas", encode_variant="dot")
+    with pytest.raises(ValueError, match="XLA-tier"):
+        TwoBitCodec(tier="pallas", decode_variant="broadcast")
+    with pytest.raises(ValueError, match="Pallas-tier"):
+        TwoBitCodec(tier="xla", encode_variant="mxu")
+
+
+def test_encode_checked_fallback_jit_is_cached():
+    from cute_nucleotides_tpu import models as m
+
+    assert m._jit_any_invalid_rows() is m._jit_any_invalid_rows()
+    assert m._jit_any_invalid_scalar_n() is m._jit_any_invalid_scalar_n()

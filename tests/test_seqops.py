@@ -84,3 +84,7 @@ def test_first_invalid_word_b5(rng):
     bad2 = w.copy()
     bad2[2 * 7 + 1] |= np.uint32(1 << 31)
     assert int(seqops.first_invalid_word_b5(jnp.asarray(bad2))) == 7
+
+
+def test_first_invalid_word_b5_empty():
+    assert int(seqops.first_invalid_word_b5(jnp.zeros(0, jnp.uint32))) == -1
