@@ -162,9 +162,6 @@ def main() -> int:
             intercepts.append(max(t_lo - slope * k_lo, 0.0))
         return float(np.median(slopes)), float(np.median(intercepts))
 
-    import glob as globlib
-    import gzip
-
     trace_dir = os.environ.get("BENCH_TRACE_DIR", "/tmp/bench_traces")
 
     def _device_duration(step, state, name, iters=6):
@@ -176,8 +173,6 @@ def main() -> int:
         immune to the host-side anomalies that occasionally yield
         impossible (>100% of HBM peak) slopes for small-output ops.
         """
-        import json as jsonlib
-
         d = f"{trace_dir}/{name}"
         with jax.profiler.trace(d):
             s = state
@@ -185,23 +180,9 @@ def main() -> int:
             for _ in range(iters):
                 s, r = step(s)
             np.asarray(r.ravel()[:4])
-        paths = sorted(globlib.glob(f"{d}/plugins/profile/*/*.trace.json.gz"))
-        if not paths:
-            return None, s
-        with gzip.open(paths[-1]) as fh:
-            data = jsonlib.load(fh)
         # top-level module executions carry device_duration_ps; the step
         # module is the one that ran `iters` times (readback helpers run once)
-        by_name: dict[str, list[float]] = {}
-        for e in data.get("traceEvents", []):
-            if (
-                e.get("ph") == "X"
-                and e.get("args", {}).get("device_duration_ps")
-                and e.get("name", "").startswith("jit_")
-            ):
-                by_name.setdefault(e["name"].split("(")[0], []).append(
-                    e["dur"] * 1e-6
-                )
+        by_name = profiling.parse_device_durations(d)
         if not by_name:
             return None, s
         durs = max(by_name.values(), key=len)

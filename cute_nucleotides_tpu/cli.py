@@ -98,7 +98,7 @@ def cmd_encode(args) -> int:
         from .models import Base5Codec, TwoBitCodec
 
         codec_cls = TwoBitCodec if args.codec == "2bit" else Base5Codec
-        codec = codec_cls(tier="auto" if args.tier == "auto" else args.tier)
+        codec = codec_cls(tier=args.tier)
         words_for = (
             spec.num_words_2bit if args.codec == "2bit" else spec.num_words_b5
         )
@@ -192,16 +192,13 @@ def cmd_decode(args) -> int:
 
             from .models import Base5Codec, TwoBitCodec
 
+            from .utils import io as io_lib
+
             codec_cls = TwoBitCodec if codec == "2bit" else Base5Codec
-            cd = codec_cls(tier="auto" if args.tier == "auto" else args.tier)
+            cd = codec_cls(tier=args.tier)
             for start in range(0, len(entries), args.batch):
                 chunk = entries[start : start + args.batch]
-                wmax = max((e[2].size for e in chunk), default=1)
-                bucket = 1 << max(wmax - 1, 0).bit_length()
-                mat = np.zeros((args.batch, bucket), dtype="<u8")
-                for i, (_, _, words) in enumerate(chunk):
-                    mat[i, : words.size] = words
-                w32 = spec.u64_to_u32_pairs(mat).reshape(args.batch, 2 * bucket)
+                w32 = io_lib.pack_words_batch(chunk, args.batch)
                 dec = np.asarray(cd.decode(jnp.asarray(w32)))
                 for i, (name, length, _) in enumerate(chunk):
                     _write_fasta(out, name, bytes(dec[i, :length]))

@@ -580,7 +580,7 @@ def decode_b5_panels(lo: jax.Array, hi: jax.Array, *, interpret: bool = False) -
         raise TypeError(f"expected u32[R, {B5_ROW_WORDS}] planes, got {lo.shape}/{hi.shape}")
     interpret = _auto_interpret(interpret)
     R = lo.shape[0]
-    rb = min(256, max(8, R))
+    rb = min(256, max(8, -(-R // 8) * 8))
     mats = _b5_dec_mats()
     mat_specs = [
         pl.BlockSpec(m.shape, lambda i: (0,) * m.ndim, memory_space=pltpu.VMEM)
@@ -609,6 +609,14 @@ def depad_nt4_host(panels: np.ndarray) -> np.ndarray:
     432-byte run), else a u32-granular NumPy strided copy.
     """
     panels = np.ascontiguousarray(panels)
+    if panels.ndim != 2 or panels.shape[1] != B5_NT4_PAD_LANES:
+        # guard BEFORE the native call: a wrong-width array (e.g. the
+        # unpadded 864-lane decoder output) would otherwise be read out of
+        # bounds by the C helper, while the NumPy fallback merely raises
+        raise TypeError(
+            f"expected padded nt4 panels (R, {B5_NT4_PAD_LANES}), "
+            f"got {panels.shape}"
+        )
     R = panels.shape[0]
     from . import native as native_ops
 
@@ -832,7 +840,7 @@ def encode_b5_planar(x: jax.Array, *, interpret: bool = False):
         raise TypeError(f"expected u8[R, {B5_ROW_NT}], got {x.dtype}{x.shape}")
     interpret = _auto_interpret(interpret)
     R = x.shape[0]
-    rb = min(256, max(8, R))
+    rb = min(256, max(8, -(-R // 8) * 8))
     m = _b5_enc_mat_v2()
     return pl.pallas_call(
         _encode_b5_v2_kernel,

@@ -209,14 +209,7 @@ class StreamingDecoder:
             if not chunk:
                 return
             if batch_idx >= skip:
-                wmax = max(e[2].size for e in chunk)
-                bucket = 1 << max(wmax - 1, 0).bit_length()
-                mat = np.zeros((cfg.batch_size, bucket), dtype="<u8")
-                for i, (_, _, words) in enumerate(chunk):
-                    mat[i, : words.size] = words
-                w32 = spec.u64_to_u32_pairs(mat).reshape(
-                    cfg.batch_size, 2 * bucket
-                )
+                w32 = io_lib.pack_words_batch(chunk, cfg.batch_size)
                 x = jax.device_put(w32, self.sharded.batch_sharding)
                 dec = np.asarray(self.sharded.decode(x))
                 for i, (name, length, _) in enumerate(chunk):

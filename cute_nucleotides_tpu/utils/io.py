@@ -165,3 +165,26 @@ class BatchStream:
         if row and emitted >= self.skip:
             reads[row:] = ord("A")
             yield flush(row)
+
+
+def pack_words_batch(
+    chunk: list[tuple[bytes, int, np.ndarray]], batch_size: int
+) -> np.ndarray:
+    """Pack ``(name, length, u64-words)`` entries into one fixed-shape
+    device batch: u32[batch_size, 2 * bucket] (little-endian u32 pairs).
+
+    The word width buckets to the next power of two so the number of
+    compiled decode programs stays logarithmic in record length; short
+    records zero-pad (tail words decode to 'A' runs that the caller's
+    per-record ``length`` truncation drops).  Shared by the CLI decode
+    batch path and the streaming decoder — their batching must stay
+    bit-identical.
+    """
+    from ..ops import spec
+
+    wmax = max((e[2].size for e in chunk), default=1)
+    bucket = 1 << max(wmax - 1, 0).bit_length()
+    mat = np.zeros((batch_size, bucket), dtype="<u8")
+    for i, (_, _, words) in enumerate(chunk):
+        mat[i, : words.size] = words
+    return spec.u64_to_u32_pairs(mat).reshape(batch_size, 2 * bucket)

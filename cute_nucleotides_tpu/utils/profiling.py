@@ -45,12 +45,13 @@ def parse_device_durations(log_dir: str) -> dict[str, list[float]]:
         data = json.load(fh)
     out: dict[str, list[float]] = {}
     for e in data.get("traceEvents", []):
-        if (
-            e.get("ph") == "X"
-            and e.get("args", {}).get("device_duration_ps")
-            and e.get("name", "").startswith("jit_")
-        ):
-            out.setdefault(e["name"].split("(")[0], []).append(e["dur"] * 1e-6)
+        dd = e.get("args", {}).get("device_duration_ps")
+        if e.get("ph") == "X" and dd and e.get("name", "").startswith("jit_"):
+            # record the DEVICE-BUSY duration the event carries, not the
+            # event's wall span (which includes inter-kernel idle time)
+            out.setdefault(e["name"].split("(")[0], []).append(
+                float(dd) * 1e-12
+            )
     return out
 
 

@@ -17,6 +17,7 @@ Run on any backend:
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from cute_nucleotides_tpu.models import TwoBitCodec
@@ -46,9 +47,15 @@ assert rc_ascii == fwd_ascii.translate(comp)[::-1]
 print(f"revcomp(read 0): {rc_ascii[:32].decode()}...")
 
 # --- k-mer spectrum (Pallas extraction + MXU histogram) --------------------
+# reads are independent sequences: histogram each row separately and sum,
+# so windows never span a read boundary (flattening the batch would count
+# (B-1)*(k-1) phantom k-mers joining the tail of one read to the head of
+# the next)
 k = 8
-flat = jnp.asarray(np.ascontiguousarray(np.asarray(words)).reshape(-1))
-hist = np.asarray(kmer.kmer_histogram(flat, B * L, k))
+per_read = jax.jit(lambda w: kmer.kmer_histogram(w, length=L, k=k))
+hist = np.zeros(4 ** k, np.int64)
+for b in range(B):
+    hist += np.asarray(per_read(jnp.asarray(words[b]).reshape(-1)))
 top = np.argsort(hist)[::-1][:5]
 
 
