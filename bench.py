@@ -441,12 +441,31 @@ def main() -> int:
             16 * words_flat.size,
             R(4 * words_flat.size, 4 * words_flat.size),
         )
+        # ragged length: exercises the funnel-shift path (real reads are
+        # rarely word-aligned); the 2-pass rewrite shows up here
+        run(
+            "revcomp_packed_ragged",
+            chained(
+                lambda w: seqops.revcomp_packed(w, 16 * words_flat.size - 7)
+            ),
+            jnp.asarray(words_flat),
+            16 * words_flat.size,
+            R(4 * words_flat.size, 4 * words_flat.size),
+        )
         run(
             "gc_content_packed",
             chained(seqops.gc_content_packed),
             jnp.asarray(words_flat),
             16 * words_flat.size,
             R(4 * words_flat.size, 4),
+        )
+        wb5_flat = w_b5.reshape(-1)
+        run(
+            "gc_content_packed_b5",
+            chained(lambda w: seqops.gc_content_packed_b5(w)[None]),
+            jnp.asarray(wb5_flat),
+            (wb5_flat.size // 2) * 27,
+            R(4 * wb5_flat.size, 4),
         )
         wa = packed_np.reshape(ROWS, -1).view(np.uint32)
         run(

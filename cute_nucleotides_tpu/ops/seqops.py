@@ -146,37 +146,52 @@ def gc_content_bytes(reads: jax.Array) -> jax.Array:
 # encoder padding (digit 0) again contributes nothing.
 
 
-def _b5_triplets(words: jax.Array) -> jax.Array:
-    """Packed u32[..., 2W] -> triplet values i32[..., W, 9] (t < 125 for
-    valid streams)."""
-    if words.shape[-1] % 2:
-        raise ValueError("base-5 packed stream must have even u32 count")
-    W = words.shape[-1] // 2
-    pair = words.reshape(*words.shape[:-1], W, 2)
-    lo, hi = pair[..., 0], pair[..., 1]
-    m7 = jnp.uint32(0x7F)
-    return jnp.stack(
-        [
-            lo & m7,
-            (lo >> 7) & m7,
-            (lo >> 14) & m7,
-            (lo >> 21) & m7,
-            ((lo >> 28) | (hi << 4)) & m7,
-            (hi >> 3) & m7,
-            (hi >> 10) & m7,
-            (hi >> 17) & m7,
-            (hi >> 24) & m7,
-        ],
-        axis=-1,
-    ).astype(jnp.int32)
-
-
 def _b5_digits(t: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Triplet values -> (a, b, c) digit planes (exact multiply-shift /5, /25
     on the 7-bit domain; reference src/n_to_bits2.rs:241-247)."""
     q5 = (t * 205) >> 10
     q25 = (t * 41) >> 10
     return t - 5 * q5, q5 - 5 * q25, q25
+
+
+def _b5_digit_class_sum(words: jax.Array, per_digit) -> jax.Array:
+    """Sum ``per_digit(d)`` over every digit of a base-5 stream in ONE
+    memory pass over the flat interleaved u32 array.
+
+    Avoids BOTH prior formulations' cliffs: a (W, 2) reshape + strided
+    lo/hi slicing relayouts the whole stream (94% of the op, ~13 GiB/s
+    measured), and a (W, 9) triplet stack is layout-hostile.  Instead each
+    lane is processed in place: an even lane (lo half) owns triplets 0-4
+    (t4's high bits come from the NEXT lane — a parameter multi-tap, which
+    XLA fuses without materializing), an odd lane (hi half) owns triplets
+    5-8; a lane-parity mask selects which contribution counts.
+    """
+    if words.shape[-1] % 2:
+        raise ValueError("base-5 packed stream must have even u32 count")
+    m7 = jnp.uint32(0x7F)
+    nxt = jnp.concatenate(
+        [
+            words[..., 1:],
+            jnp.zeros((*words.shape[:-1], 1), jnp.uint32),
+        ],
+        axis=-1,
+    )
+
+    def trip_sum(ts):
+        acc = jnp.zeros(ts[0].shape, jnp.int32)
+        for t in ts:
+            a, b, c = _b5_digits(t.astype(jnp.int32))
+            acc = acc + per_digit(a) + per_digit(b) + per_digit(c)
+        return acc
+
+    x = words
+    even = trip_sum(
+        [(x >> (7 * j)) & m7 for j in range(4)]
+        + [((x >> 28) | (nxt << 4)) & m7]
+    )
+    odd = trip_sum([(x >> s) & m7 for s in (3, 10, 17, 24)])
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.sum(jnp.where((lane & 1) == 0, even, odd), axis=-1)
 
 
 def gc_content_packed_b5(words: jax.Array) -> jax.Array:
@@ -186,8 +201,7 @@ def gc_content_packed_b5(words: jax.Array) -> jax.Array:
     are even), so the count is ``sum((digit & 1))``; 'A' padding counts 0,
     ragged tails need no masking.
     """
-    a, b, c = _b5_digits(_b5_triplets(words))
-    return jnp.sum((a & 1) + (b & 1) + (c & 1), axis=(-2, -1))
+    return _b5_digit_class_sum(words, lambda d: d & 1)
 
 
 def n_count_packed_b5(words: jax.Array) -> jax.Array:
@@ -195,8 +209,7 @@ def n_count_packed_b5(words: jax.Array) -> jax.Array:
 
     N is digit 4, the only digit with bit 2 set: ``sum(digit >> 2)``.
     """
-    a, b, c = _b5_digits(_b5_triplets(words))
-    return jnp.sum((a >> 2) + (b >> 2) + (c >> 2), axis=(-2, -1))
+    return _b5_digit_class_sum(words, lambda d: d >> 2)
 
 
 def first_invalid_word_b5(words: jax.Array) -> jax.Array:
@@ -206,13 +219,26 @@ def first_invalid_word_b5(words: jax.Array) -> jax.Array:
     The 2-bit stream has no invalid states (every bit pattern decodes), but
     base-5 words waste 3 of 128 triplet codes and 1 bit — a cheap
     whole-stream scan catches container corruption before decode
-    (u32[..., 2W] -> i32[...]).
+    (u32[..., 2W] -> i32[...]).  Same single-pass lane-parity formulation
+    as :func:`_b5_digit_class_sum`.
     """
+    if words.shape[-1] % 2:
+        raise ValueError("base-5 packed stream must have even u32 count")
     if words.shape[-1] == 0:
         return jnp.full(words.shape[:-1], -1, jnp.int32)
-    t = _b5_triplets(words)
-    W = t.shape[-2]
-    hi = words.reshape(*words.shape[:-1], W, 2)[..., 1]
-    bad = jnp.any(t >= 125, axis=-1) | ((hi >> 31) != 0)
-    idx = jnp.argmax(bad, axis=-1)
+    m7 = jnp.uint32(0x7F)
+    x = words
+    nxt = jnp.concatenate(
+        [x[..., 1:], jnp.zeros((*x.shape[:-1], 1), jnp.uint32)], axis=-1
+    )
+    bad_even = jnp.zeros(x.shape, bool)
+    for j in range(4):
+        bad_even = bad_even | (((x >> (7 * j)) & m7) >= 125)
+    bad_even = bad_even | ((((x >> 28) | (nxt << 4)) & m7) >= 125)
+    bad_odd = (x >> 31) != 0
+    for sh in (3, 10, 17, 24):
+        bad_odd = bad_odd | (((x >> sh) & m7) >= 125)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    bad = jnp.where((lane & 1) == 0, bad_even, bad_odd)
+    idx = jnp.argmax(bad, axis=-1) >> 1  # lane index -> u64 word index
     return jnp.where(jnp.any(bad, axis=-1), idx, -1).astype(jnp.int32)
