@@ -29,6 +29,7 @@ __all__ = [
     "revcomp_packed",
     "gc_content_packed",
     "gc_content_bytes",
+    "base_composition_packed",
     "gc_content_packed_b5",
     "n_count_packed_b5",
     "first_invalid_word_b5",
@@ -125,6 +126,43 @@ def gc_content_packed(words: jax.Array) -> jax.Array:
         ),
         axis=-1,
     )
+
+
+def base_composition_packed(
+    words: jax.Array, length: int | None = None
+) -> jax.Array:
+    """Per-base counts from a 2-bit packed stream: u32[..., W] -> i32[..., 4]
+    in code order (A, C, T, G).
+
+    One masked popcount per base class: with ``hi``/``lo`` the per-field
+    code bits, A = ~hi&~lo, C = ~hi&lo, T = hi&~lo, G = hi&lo.  Pass
+    ``length`` to subtract the 'A'-coded tail padding from the A column
+    (the other classes never see padding).
+    """
+    hi = (words >> 1) & jnp.uint32(0x55555555)
+    lo = words & jnp.uint32(0x55555555)
+
+    def cnt(m):
+        return jnp.sum(
+            jax.lax.population_count(m).astype(jnp.int32), axis=-1
+        )
+
+    field = jnp.uint32(0x55555555)
+    out = jnp.stack(
+        [
+            cnt(~hi & ~lo & field),
+            cnt(~hi & lo & field),
+            cnt(hi & ~lo & field),
+            cnt(hi & lo & field),
+        ],
+        axis=-1,
+    )
+    if length is not None:
+        pad = words.shape[-1] * spec.NT_PER_U32_2BIT - length
+        if pad < 0:
+            raise ValueError(f"length {length} exceeds capacity")
+        out = out - jnp.asarray([pad, 0, 0, 0], jnp.int32)
+    return out
 
 
 def gc_content_bytes(reads: jax.Array) -> jax.Array:

@@ -88,3 +88,27 @@ def test_first_invalid_word_b5(rng):
 
 def test_first_invalid_word_b5_empty():
     assert int(seqops.first_invalid_word_b5(jnp.zeros(0, jnp.uint32))) == -1
+
+
+@pytest.mark.parametrize("n", [5, 32, 33, 1000])
+def test_base_composition_packed(rng, n):
+    s = rng.choice(np.frombuffer(b"ACGTUacgtu", np.uint8), size=n)
+    up = bytes(s).upper().replace(b"U", b"T")
+    w = jnp.asarray(spec.u64_to_u32_pairs(oracle.n_to_bits_lut(s)).reshape(-1))
+    got = np.asarray(seqops.base_composition_packed(w, n))
+    want = [up.count(c) for c in b"ACTG"]
+    assert got.tolist() == want
+    assert got.sum() == n
+    # without length, tail padding counts as A
+    got_pad = np.asarray(seqops.base_composition_packed(w))
+    assert got_pad.tolist() == [want[0] + (w.size * 16 - n), *want[1:]]
+
+
+def test_base_composition_packed_batched(rng):
+    batch = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(4, 64))
+    words = jax.jit(xla.encode_2bit_words)(jnp.asarray(batch))
+    got = np.asarray(seqops.base_composition_packed(words, 64))
+    for b in range(4):
+        assert got[b].tolist() == [
+            int((batch[b] == c).sum()) for c in b"ACTG"
+        ]
