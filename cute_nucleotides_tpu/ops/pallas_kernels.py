@@ -79,6 +79,13 @@ def _row_block(
     return min(rb, max(8, rows8))
 
 
+def _row_block8(rows: int, cap: int = 256) -> int:
+    """Fixed-cap row block, rounded UP to the sublane multiple of 8 for
+    small row counts (unaligned second-to-minor block sizes are a Mosaic
+    lowering hazard; see docs/DESIGN.md and the _row_block policy)."""
+    return min(cap, max(8, -(-rows // 8) * 8))
+
+
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -580,7 +587,7 @@ def decode_b5_panels(lo: jax.Array, hi: jax.Array, *, interpret: bool = False) -
         raise TypeError(f"expected u32[R, {B5_ROW_WORDS}] planes, got {lo.shape}/{hi.shape}")
     interpret = _auto_interpret(interpret)
     R = lo.shape[0]
-    rb = min(256, max(8, -(-R // 8) * 8))
+    rb = _row_block8(R)
     mats = _b5_dec_mats()
     mat_specs = [
         pl.BlockSpec(m.shape, lambda i: (0,) * m.ndim, memory_space=pltpu.VMEM)
@@ -840,7 +847,7 @@ def encode_b5_planar(x: jax.Array, *, interpret: bool = False):
         raise TypeError(f"expected u8[R, {B5_ROW_NT}], got {x.dtype}{x.shape}")
     interpret = _auto_interpret(interpret)
     R = x.shape[0]
-    rb = min(256, max(8, -(-R // 8) * 8))
+    rb = _row_block8(R)
     m = _b5_enc_mat_v2()
     return pl.pallas_call(
         _encode_b5_v2_kernel,
@@ -963,7 +970,7 @@ def _encode_b5_panels_call(x: jax.Array, checked: bool, interpret: bool):
         raise TypeError(f"expected u8[R, {B5_ROW_NT}], got {x.dtype}{x.shape}")
     interpret = _auto_interpret(interpret)
     R = x.shape[0]
-    rb = min(256, max(8, -(-R // 8) * 8))
+    rb = _row_block8(R)
     m = _b5_enc_mat_inter()
     words_spec = pl.BlockSpec(
         (rb, B5_ROW_U32), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -1161,7 +1168,7 @@ def decode_b5_interleaved_panels(
         raise TypeError(f"expected u32[R, {2 * B5_ROW_WORDS}], got {words.dtype}{words.shape}")
     interpret = _auto_interpret(interpret)
     R = words.shape[0]
-    rb = min(row_block, max(8, -(-R // 8) * 8))
+    rb = _row_block8(R, row_block)
     mats = (_b5_dec_gather_bytes_i8(), _b5_dec_scatter_pairs_i8())
     mat_specs = [
         pl.BlockSpec(m.shape, lambda i: (0,) * m.ndim, memory_space=pltpu.VMEM)
@@ -1249,7 +1256,7 @@ def decode_b5_nt4_panels(
         raise TypeError(f"expected u32[R, {B5_ROW_WORDS}] planes, got {lo.shape}/{hi.shape}")
     interpret = _auto_interpret(interpret)
     R = lo.shape[0]
-    rb = min(row_block, max(8, -(-R // 8) * 8))
+    rb = _row_block8(R, row_block)
     out_w = B5_NT4_PAD_LANES if padded else B5_ROW_NT // 4
     mats = (*_b5_dec_mats()[:2], _b5_dec_scatter_pairs_i8())
     mat_specs = [

@@ -192,44 +192,57 @@ def _b5_digits(t: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     return t - 5 * q5, q5 - 5 * q25, q25
 
 
-def _b5_digit_class_sum(words: jax.Array, per_digit) -> jax.Array:
-    """Sum ``per_digit(d)`` over every digit of a base-5 stream in ONE
-    memory pass over the flat interleaved u32 array.
+def _b5_lane_parity_reduce(words: jax.Array, per_triplet, combine, init):
+    """Single-pass lane-parity walk over a flat interleaved base-5 stream.
 
-    Avoids BOTH prior formulations' cliffs: a (W, 2) reshape + strided
-    lo/hi slicing relayouts the whole stream (94% of the op, ~13 GiB/s
-    measured), and a (W, 9) triplet stack is layout-hostile.  Instead each
-    lane is processed in place: an even lane (lo half) owns triplets 0-4
-    (t4's high bits come from the NEXT lane — a parameter multi-tap, which
-    XLA fuses without materializing), an odd lane (hi half) owns triplets
-    5-8; a lane-parity mask selects which contribution counts.
+    Each even lane (lo half of its u64 word) owns triplets 0-4 — triplet
+    4's high bits come from the NEXT lane, read as a parameter multi-tap
+    that XLA fuses without materializing — and each odd lane (hi half)
+    owns triplets 5-8.  ``per_triplet(t)`` maps each 7-bit triplet value,
+    ``combine``/``init`` fold the per-lane accumulations, and the result
+    is the parity-selected per-lane array.  This is the ONLY place the
+    base-5 bit-layout tap table lives (shared by the digit counters and
+    the integrity scan); the earlier (W, 2) reshape + lo/hi slicing form
+    relayouted the whole stream (94% of the op, ~13 GiB/s measured).
     """
-    if words.shape[-1] % 2:
-        raise ValueError("base-5 packed stream must have even u32 count")
     m7 = jnp.uint32(0x7F)
+    x = words
     nxt = jnp.concatenate(
-        [
-            words[..., 1:],
-            jnp.zeros((*words.shape[:-1], 1), jnp.uint32),
-        ],
-        axis=-1,
+        [x[..., 1:], jnp.zeros((*x.shape[:-1], 1), jnp.uint32)], axis=-1
     )
 
-    def trip_sum(ts):
-        acc = jnp.zeros(ts[0].shape, jnp.int32)
+    def fold(ts):
+        acc = init(x.shape)
         for t in ts:
-            a, b, c = _b5_digits(t.astype(jnp.int32))
-            acc = acc + per_digit(a) + per_digit(b) + per_digit(c)
+            acc = combine(acc, per_triplet(t))
         return acc
 
-    x = words
-    even = trip_sum(
+    even = fold(
         [(x >> (7 * j)) & m7 for j in range(4)]
         + [((x >> 28) | (nxt << 4)) & m7]
     )
-    odd = trip_sum([(x >> s) & m7 for s in (3, 10, 17, 24)])
+    odd = fold([(x >> s) & m7 for s in (3, 10, 17, 24)])
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    return jnp.sum(jnp.where((lane & 1) == 0, even, odd), axis=-1)
+    return jnp.where((lane & 1) == 0, even, odd)
+
+
+def _b5_digit_class_sum(words: jax.Array, per_digit) -> jax.Array:
+    """Sum ``per_digit(d)`` over every digit of a base-5 stream in one
+    memory pass (see :func:`_b5_lane_parity_reduce`)."""
+    if words.shape[-1] % 2:
+        raise ValueError("base-5 packed stream must have even u32 count")
+
+    def per_triplet(t):
+        a, b, c = _b5_digits(t.astype(jnp.int32))
+        return per_digit(a) + per_digit(b) + per_digit(c)
+
+    acc = _b5_lane_parity_reduce(
+        words,
+        per_triplet,
+        combine=lambda a, v: a + v,
+        init=lambda shape: jnp.zeros(shape, jnp.int32),
+    )
+    return jnp.sum(acc, axis=-1)
 
 
 def gc_content_packed_b5(words: jax.Array) -> jax.Array:
@@ -257,26 +270,20 @@ def first_invalid_word_b5(words: jax.Array) -> jax.Array:
     The 2-bit stream has no invalid states (every bit pattern decodes), but
     base-5 words waste 3 of 128 triplet codes and 1 bit — a cheap
     whole-stream scan catches container corruption before decode
-    (u32[..., 2W] -> i32[...]).  Same single-pass lane-parity formulation
-    as :func:`_b5_digit_class_sum`.
+    (u32[..., 2W] -> i32[...]).
     """
     if words.shape[-1] % 2:
         raise ValueError("base-5 packed stream must have even u32 count")
     if words.shape[-1] == 0:
         return jnp.full(words.shape[:-1], -1, jnp.int32)
-    m7 = jnp.uint32(0x7F)
-    x = words
-    nxt = jnp.concatenate(
-        [x[..., 1:], jnp.zeros((*x.shape[:-1], 1), jnp.uint32)], axis=-1
+    bad = _b5_lane_parity_reduce(
+        words,
+        lambda t: t >= 125,
+        combine=lambda a, v: a | v,
+        init=lambda shape: jnp.zeros(shape, bool),
     )
-    bad_even = jnp.zeros(x.shape, bool)
-    for j in range(4):
-        bad_even = bad_even | (((x >> (7 * j)) & m7) >= 125)
-    bad_even = bad_even | ((((x >> 28) | (nxt << 4)) & m7) >= 125)
-    bad_odd = (x >> 31) != 0
-    for sh in (3, 10, 17, 24):
-        bad_odd = bad_odd | (((x >> sh) & m7) >= 125)
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    bad = jnp.where((lane & 1) == 0, bad_even, bad_odd)
+    # the pad bit (63) lives in the hi half: flag odd lanes with bit 31 set
+    lane = jax.lax.broadcasted_iota(jnp.int32, words.shape, words.ndim - 1)
+    bad = bad | (((lane & 1) == 1) & ((words >> 31) != 0))
     idx = jnp.argmax(bad, axis=-1) >> 1  # lane index -> u64 word index
     return jnp.where(jnp.any(bad, axis=-1), idx, -1).astype(jnp.int32)

@@ -290,3 +290,31 @@ def test_parse_device_durations(tmp_path):
     if by_name:
         name, durs = max(by_name.items(), key=lambda kv: len(kv[1]))
         assert all(t > 0 for t in durs)
+
+
+def test_parse_device_durations_uses_device_busy_field(tmp_path):
+    """The parser must record device_duration_ps * 1e-12, NOT the event's
+    wall 'dur' span (which includes inter-kernel idle — the bug class this
+    fixture locks out, along with the ps exponent)."""
+    import gzip
+    import json
+
+    d = tmp_path / "plugins" / "profile" / "run1"
+    d.mkdir(parents=True)
+    events = [
+        # wall span 100 us, device busy 7 us: the parser must report 7e-6
+        {"ph": "X", "name": "jit_step(123)", "dur": 100.0,
+         "args": {"device_duration_ps": "7000000"}},
+        {"ph": "X", "name": "jit_step(123)", "dur": 90.0,
+         "args": {"device_duration_ps": "9000000"}},
+        # no device duration -> ignored
+        {"ph": "X", "name": "jit_helper(9)", "dur": 50.0, "args": {}},
+        # non-jit event -> ignored
+        {"ph": "X", "name": "copy", "dur": 1.0,
+         "args": {"device_duration_ps": "1000000"}},
+    ]
+    with gzip.open(d / "host.trace.json.gz", "wt") as fh:
+        json.dump({"traceEvents": events}, fh)
+    out = profiling.parse_device_durations(str(tmp_path))
+    assert set(out) == {"jit_step"}
+    assert out["jit_step"] == [7e-6, 9e-6]
