@@ -280,11 +280,13 @@ def cmd_stats(args) -> int:
 
     total_nt = sum(n for n, _ in seqs)
     gc = 0
+    comp = np.zeros(4, np.int64)
     hist = None
     for n, words in seqs:
         w32 = jnp.asarray(spec.u64_to_u32_pairs(
-            __import__("numpy").ascontiguousarray(words)).reshape(-1))
+            np.ascontiguousarray(words)).reshape(-1))
         gc += int(seqops.gc_content_packed(w32))
+        comp += np.asarray(seqops.base_composition_packed(w32, n), np.int64)
         if n >= args.k:
             h = kmer.kmer_histogram(w32, n, args.k, canonical=args.canonical)
             hist = h if hist is None else hist + h
@@ -292,6 +294,7 @@ def cmd_stats(args) -> int:
         "records": len(seqs),
         "nt": total_nt,
         "gc_fraction": round(gc / max(total_nt, 1), 6),
+        "composition": dict(zip("ACTG", (int(c) for c in comp))),
         "k": args.k,
         "canonical": bool(args.canonical),
     }

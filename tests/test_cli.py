@@ -94,6 +94,7 @@ def test_cli_stats(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip())
     assert out["records"] == 2 and out["nt"] == 18
     assert abs(out["gc_fraction"] - 12 / 18) < 1e-6
+    assert out["composition"] == {"A": 3, "C": 5, "T": 3, "G": 7}
     assert out["top_kmers"][0]["count"] >= 3
     assert all(len(t["kmer"]) == 2 for t in out["top_kmers"])
 
