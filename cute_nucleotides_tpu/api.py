@@ -100,11 +100,17 @@ def _decode_fn_2bit(tier: str, variant: str):
     return _jit_decode_2bit(variant)
 
 
-def n_to_bits(seq, *, tier: str = "xla", variant: str = "mul") -> np.ndarray:
+def n_to_bits(seq, *, tier: str = "xla", variant: str | None = None) -> np.ndarray:
     """Encode {A,C,G,T/U} bytes to 2-bit packed u64 words (LSB-first).
 
     Bit-exact to the reference's encoders (reference src/n_to_bits.rs:34-259).
+    ``variant=None`` resolves to the tier's benched champion ("dot" on xla —
+    3.8x the "mul" form there — "mul" on pallas); see models.CodecConfig.
     """
+    if variant is None:
+        from .models import default_encode_variant
+
+        variant = default_encode_variant(tier)
     n = _as_u8(seq)
     if tier == "oracle":
         return oracle.n_to_bits_lut(n)
@@ -126,12 +132,18 @@ def n_to_bits(seq, *, tier: str = "xla", variant: str = "mul") -> np.ndarray:
     return spec.u32_pairs_to_u64(w32)[: spec.num_words_2bit(n.size)]
 
 
-def bits_to_n(bits, length: int, *, tier: str = "xla", variant: str = "swar") -> np.ndarray:
+def bits_to_n(bits, length: int, *, tier: str = "xla", variant: str | None = None) -> np.ndarray:
     """Decode 2-bit packed u64 words to ASCII; ``length`` = nucleotide count.
 
     Raises ``ValueError`` on capacity overflow (reference panic,
-    src/n_to_bits.rs:52-54).
+    src/n_to_bits.rs:52-54).  ``variant=None`` resolves to the tier's
+    benched champion ("broadcast" on xla — 2x the "shuffle" form there —
+    "swar" on pallas); see models.CodecConfig.
     """
+    if variant is None:
+        from .models import default_decode_variant
+
+        variant = default_decode_variant(tier)
     bits = np.ascontiguousarray(bits, dtype=np.uint64)
     if length > bits.size * spec.NT_PER_WORD_2BIT:
         raise ValueError(

@@ -126,6 +126,17 @@ def cmd_encode(args) -> int:
                                 file=sys.stderr,
                             )
                             return 1
+                    # the fused device check and the host oracle are proven
+                    # to agree (padding is 'A', checker exact on all 256
+                    # bytes); if they ever drift, fail loudly instead of
+                    # silently writing a batch the device flagged
+                    print(
+                        "error: device validity check flagged this batch "
+                        "but the host scan found no invalid byte "
+                        "(kernel/oracle drift — refusing to write)",
+                        file=sys.stderr,
+                    )
+                    return 1
             else:
                 out = np.asarray(codec.encode(jnp.asarray(b.reads)))
             for row in range(b.count):

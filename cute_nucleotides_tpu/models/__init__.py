@@ -36,6 +36,30 @@ def _default_tier() -> str:
     return "pallas" if platform not in ("cpu",) else "xla"
 
 
+#: benched champion variant per tier (BENCH_r02/r03: pallas mul 545 GiB/s;
+#: xla dot 84 vs mul 22, broadcast 67 vs swar 32 — the bitcast-free
+#: formulations are the XLA tier's fast forms).  ``None`` variant arguments
+#: resolve through these, so each tier defaults to its own fastest kernel
+#: (the reference likewise names a per-situation best,
+#: reference README.md:355-356).
+DEFAULT_ENCODE_VARIANT = {"xla": "dot", "pallas": "mul", "oracle": "lut"}
+DEFAULT_DECODE_VARIANT = {"xla": "broadcast", "pallas": "swar", "oracle": "lut"}
+
+
+def default_encode_variant(tier: str) -> str:
+    """The benched-champion 2-bit encode variant for a (resolved) tier."""
+    if tier == "auto":
+        tier = _default_tier()
+    return DEFAULT_ENCODE_VARIANT[tier]
+
+
+def default_decode_variant(tier: str) -> str:
+    """The benched-champion 2-bit decode variant for a (resolved) tier."""
+    if tier == "auto":
+        tier = _default_tier()
+    return DEFAULT_DECODE_VARIANT[tier]
+
+
 #: variants that exist on exactly one tier (guarded with a clear error at
 #: codec construction instead of a KeyError at first call)
 _PALLAS_ONLY_ENCODE = ("mxu",)
@@ -72,24 +96,36 @@ class CodecConfig:
         (constant-matrix byte gather on the MXU, the pext analogue,
         src/n_to_bits.rs:80; pallas tier only) or "dot" (bitcast-free
         weighted small-dot packing, the maddubs-as-dot idea; xla tier
-        only, its fastest form there).
+        only, its fastest form there).  ``None`` (the default) resolves
+        to the tier's benched champion: "mul" on pallas, "dot" on xla.
       decode_variant: "swar" (byte-parallel spread-multiplies, the pdep
         descendant and the fastest, reference src/n_to_bits.rs:309),
         "shuffle" (packed-LUT variable shift, src/n_to_bits.rs:265),
         "select" (arithmetic select tree, the clmul slot,
         src/n_to_bits.rs:346) or "broadcast" (bitcast-free field
-        broadcast; xla tier only, its fastest form there).
+        broadcast; xla tier only, its fastest form there).  ``None``
+        resolves to "swar" on pallas, "broadcast" on xla.
       donate: donate input buffers to the compiled call (the allocation-honest
         analogue of the reference's alloc-included benchmarks).
     """
 
     tier: str = "auto"
-    encode_variant: str = "mul"
-    decode_variant: str = "swar"
+    encode_variant: str | None = None
+    decode_variant: str | None = None
     donate: bool = False
 
     def resolved_tier(self) -> str:
         return _default_tier() if self.tier == "auto" else self.tier
+
+    def resolved_encode_variant(self) -> str:
+        if self.encode_variant is not None:
+            return self.encode_variant
+        return DEFAULT_ENCODE_VARIANT[self.resolved_tier()]
+
+    def resolved_decode_variant(self) -> str:
+        if self.decode_variant is not None:
+            return self.decode_variant
+        return DEFAULT_DECODE_VARIANT[self.resolved_tier()]
 
 
 def pad_batch(
@@ -150,37 +186,39 @@ class TwoBitCodec(_CodecBase):
 
     def __init__(self, config: CodecConfig | None = None, **overrides):
         super().__init__(config, **overrides)
+        self.encode_variant = self.config.resolved_encode_variant()
+        self.decode_variant = self.config.resolved_decode_variant()
         if self.tier == "pallas":
-            if self.config.encode_variant in _XLA_ONLY_ENCODE:
+            if self.encode_variant in _XLA_ONLY_ENCODE:
                 raise ValueError(
-                    f'encode_variant="{self.config.encode_variant}" is an '
+                    f'encode_variant="{self.encode_variant}" is an '
                     'XLA-tier formulation; use tier="xla"'
                 )
-            if self.config.decode_variant in _XLA_ONLY_DECODE:
+            if self.decode_variant in _XLA_ONLY_DECODE:
                 raise ValueError(
-                    f'decode_variant="{self.config.decode_variant}" is an '
+                    f'decode_variant="{self.decode_variant}" is an '
                     'XLA-tier formulation; use tier="xla"'
                 )
             from ..ops import pallas_kernels as pk
 
-            self._encode = pk.jit_encode_2bit(self.config.encode_variant)
-            self._decode = pk.jit_decode_2bit(self.config.decode_variant)
-        elif self.config.encode_variant in _PALLAS_ONLY_ENCODE:
+            self._encode = pk.jit_encode_2bit(self.encode_variant)
+            self._decode = pk.jit_decode_2bit(self.decode_variant)
+        elif self.encode_variant in _PALLAS_ONLY_ENCODE:
             raise ValueError(
-                f'encode_variant="{self.config.encode_variant}" is a '
+                f'encode_variant="{self.encode_variant}" is a '
                 'Pallas-tier kernel; use tier="pallas" (or "auto" on an '
                 'accelerator)'
             )
         else:
             self._encode = self._jit(
                 functools.partial(
-                    xla.encode_2bit_words, variant=self.config.encode_variant
+                    xla.encode_2bit_words, variant=self.encode_variant
                 ),
                 donate_arg=True,
             )
             self._decode = self._jit(
                 functools.partial(
-                    xla.decode_2bit_bytes, variant=self.config.decode_variant
+                    xla.decode_2bit_bytes, variant=self.decode_variant
                 ),
                 donate_arg=True,
             )
@@ -201,10 +239,10 @@ class TwoBitCodec(_CodecBase):
         HBM read).  Diagnose flagged
         rows with :func:`..ops.validate.first_invalid`.
         """
-        if self.tier == "pallas" and self.config.encode_variant != "mxu":
+        if self.tier == "pallas" and self.encode_variant != "mxu":
             from ..ops import pallas_kernels as pk
 
-            return pk.jit_encode_2bit_checked(self.config.encode_variant)(reads)
+            return pk.jit_encode_2bit_checked(self.encode_variant)(reads)
         return self.encode(reads), _jit_any_invalid_rows()(reads)
 
     def decode(self, words: jax.Array) -> jax.Array:
@@ -220,15 +258,23 @@ class TwoBitCodec(_CodecBase):
         [R, C // 4] (the MXU pack emits whole words; C % 512 == 0)."""
         from ..ops import pallas_kernels as pk
 
-        if self.config.encode_variant == "mxu":
+        # nt4 is a Pallas-kernel fast path even on an xla-tier codec; an
+        # xla-only resolved default falls back to the pallas champion
+        v = self.encode_variant
+        if v in _XLA_ONLY_ENCODE:
+            v = DEFAULT_ENCODE_VARIANT["pallas"]
+        if v == "mxu":
             return pk.jit_encode_2bit_nt4_mxu()(nt4)
-        return pk.jit_encode_2bit_nt4(self.config.encode_variant)(nt4)
+        return pk.jit_encode_2bit_nt4(v)(nt4)
 
     def decode_nt4(self, packed: jax.Array) -> jax.Array:
         """Fast path: packed u8[R, C] -> nt4 u32[R, C]."""
         from ..ops import pallas_kernels as pk
 
-        return pk.jit_decode_2bit_nt4(self.config.decode_variant)(packed)
+        v = self.decode_variant
+        if v in _XLA_ONLY_DECODE:
+            v = DEFAULT_DECODE_VARIANT["pallas"]
+        return pk.jit_decode_2bit_nt4(v)(packed)
 
     def words_per_read(self, length: int) -> int:
         return 2 * spec.num_words_2bit(length)  # u32 count

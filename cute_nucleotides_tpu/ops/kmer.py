@@ -185,6 +185,11 @@ def _hist_mxu(codes: jax.Array, *, interpret: bool = False) -> jax.Array:
     interpret = pk._auto_interpret(interpret)
     R, C = codes.shape
     rt = min(_HIST_ROWS, R)
+    if R % rt:
+        # a ragged last block would add Pallas-padded garbage rows to the
+        # histogram; callers must pad codes rows (code 0) and correct after,
+        # as _kmer_histogram_pallas does
+        raise ValueError(f"codes rows {R} not a multiple of the {rt}-row block")
     return pl.pallas_call(
         _hist_mxu_kernel,
         grid=(pk._cdiv(R, rt),),

@@ -1234,7 +1234,7 @@ def decode_b5_nt4_panels(
     lo: jax.Array,
     hi: jax.Array,
     *,
-    padded: bool = False,
+    padded: bool = True,
     interpret: bool = False,
     row_block: int = 256,
 ) -> jax.Array:
@@ -1244,13 +1244,14 @@ def decode_b5_nt4_panels(
     (one u32 lane = 4 chars) — the canonical device form; a host
     ``ndarray.view(uint8)`` recovers bytes for free.
 
-    ``padded=False``: u32[R, 864], the compact stream.  ``padded=True``:
-    u32[R, 896] where slice ``g`` of the row occupies lanes
-    ``[112 g, 112 g + 108)`` and the 4 pad lanes decode as ``'AAAA'`` —
-    896 = 7*128 keeps the row tile-aligned so XLA never inserts a relayout
-    copy on the result (for u32[R, 864] results XLA prefers a {0,1} layout
-    and pays a full extra HBM round-trip to convert; measured ~30% of the
-    op).  Prefer the padded form for device-resident throughput paths.
+    ``padded=True`` (the default): u32[R, 896] where slice ``g`` of the row
+    occupies lanes ``[112 g, 112 g + 108)`` and the 4 pad lanes decode as
+    ``'AAAA'`` — 896 = 7*128 keeps the row tile-aligned so XLA never
+    inserts a relayout copy on the result (:func:`depad_nt4_host` strips
+    the pad in one host memcpy pass).  ``padded=False``: u32[R, 864], the
+    compact stream — for u32[R, 864] results XLA prefers a {0,1} layout
+    and pays a full extra HBM round-trip to convert (measured ~30% of the
+    op), so opt in only when a device consumer needs the compact layout.
     """
     if lo.shape != hi.shape or lo.ndim != 2 or lo.shape[1] != B5_ROW_WORDS:
         raise TypeError(f"expected u32[R, {B5_ROW_WORDS}] planes, got {lo.shape}/{hi.shape}")
@@ -1308,3 +1309,36 @@ DECODE_2BIT_VARIANTS = ("shuffle", "select", "swar")
 # Back-compat alias: the piece-matmul v1 encoder was superseded by the
 # aligned g-chunk v2 (faster and immune to the sub-register miscompile).
 encode_b5_panels = encode_b5_panels_v2
+
+
+def b5_kernel_macs(kernel: str) -> tuple[int, int]:
+    """Dense MXU cost of one 3456-nt row: ``(int8_macs, bf16_macs)``.
+
+    The constant matrices are block-diagonal but the MXU's dense cost is
+    ``K x N`` per matmul regardless of sparsity — this is the number the
+    compute roofline (utils/profiling.Roofline) needs.  Kernels:
+    ``enc_inter`` (the interleaved champion + its checked variant),
+    ``enc_planar``, ``dec_inter`` (interleaved int8 champion), ``dec_nt4``
+    (planar bf16-expansion decode).
+    """
+    if kernel == "enc_inter":
+        m = _b5_enc_mat_inter()
+        return 0, (B5_ROW_NT // B5_ENC_GRP_NT) * m.shape[0] * m.shape[1]
+    if kernel == "enc_planar":
+        m = _b5_enc_mat_v2()
+        return 0, m.shape[0] * m.shape[1]
+    if kernel == "dec_inter":
+        g = _b5_dec_gather_bytes_i8()
+        s = _b5_dec_scatter_pairs_i8()
+        return (
+            B5_SLICES * (g.shape[0] * g.shape[1] + s.shape[0] * s.shape[1]),
+            0,
+        )
+    if kernel == "dec_nt4":
+        pa, pb = _b5_dec_mats()[:2]
+        s = _b5_dec_scatter_pairs_i8()
+        return (
+            B5_SLICES * s.shape[0] * s.shape[1],
+            B5_SLICES * (pa.shape[0] * pa.shape[1] + pb.shape[0] * pb.shape[1]),
+        )
+    raise KeyError(kernel)

@@ -32,6 +32,7 @@ __all__ = [
     "base_composition_packed",
     "gc_content_packed_b5",
     "n_count_packed_b5",
+    "revcomp_packed_b5",
     "first_invalid_word_b5",
 ]
 

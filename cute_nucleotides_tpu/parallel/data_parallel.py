@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..models import _default_tier
+from ..models import _default_tier, default_decode_variant, default_encode_variant
 from ..ops import xla
 from . import mesh as mesh_lib
 
@@ -86,7 +86,7 @@ def data_parallel_encode(
     *,
     mesh: Mesh | None = None,
     codec: str = "2bit",
-    variant: str = "mul",
+    variant: str | None = None,
     tier: str = "auto",
     gather: bool = False,
 ) -> jax.Array:
@@ -95,9 +95,12 @@ def data_parallel_encode(
     ``gather=True`` all-gathers packed words over ICI so the result is
     replicated (otherwise it stays sharded, the right form for a streaming
     sink).  B must divide by the data-axis size; L by 16 (2bit) / 27 (base5).
+    ``variant=None`` resolves to the tier's benched champion.
     """
     if mesh is None:
         mesh = mesh_lib.default_mesh()
+    if variant is None:
+        variant = default_encode_variant(tier)
     return _jit_dp(codec, variant, tier, mesh, gather, False)(reads)
 
 
@@ -106,13 +109,15 @@ def data_parallel_decode(
     *,
     mesh: Mesh | None = None,
     codec: str = "2bit",
-    variant: str = "swar",
+    variant: str | None = None,
     tier: str = "auto",
     gather: bool = False,
 ) -> jax.Array:
     """Decode packed u32[B, W] with B sharded over the mesh's data axis."""
     if mesh is None:
         mesh = mesh_lib.default_mesh()
+    if variant is None:
+        variant = default_decode_variant(tier)
     return _jit_dp(codec, variant, tier, mesh, gather, True)(words)
 
 
@@ -130,8 +135,8 @@ class ShardedCodec:
         codec: str = "2bit",
         *,
         mesh: Mesh | None = None,
-        variant: str = "mul",
-        decode_variant: str = "swar",
+        variant: str | None = None,
+        decode_variant: str | None = None,
         tier: str = "auto",
     ):
         self.mesh = mesh if mesh is not None else mesh_lib.default_mesh()

@@ -64,7 +64,7 @@ class StreamConfig:
     max_len: int = 2048
     codec: str = "2bit"
     tier: str = "auto"
-    variant: str = "mul"
+    variant: str | None = None  # None -> the tier's benched champion
     gather: bool = False
     manifest_path: str | None = None
     log_every: int = 0

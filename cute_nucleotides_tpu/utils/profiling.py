@@ -55,6 +55,26 @@ def parse_device_durations(log_dir: str) -> dict[str, list[float]]:
     return out
 
 
+def _median_module_seconds(log_dir: str, iters: int):
+    """Median device duration of the most-executed module in a capture.
+
+    Shared by :func:`measure_device_seconds` and
+    :func:`measure_chained_device_seconds` so the sample-count threshold
+    cannot drift between them: the step module must have run at least
+    ``max(2, iters - 2)`` times (one-shot readback helpers run fewer and
+    are ignored; a too-sparse capture returns ``None``).
+    """
+    import statistics
+
+    by_name = parse_device_durations(log_dir)
+    if not by_name:
+        return None
+    durs = max(by_name.values(), key=len)
+    if len(durs) < max(2, iters - 2):
+        return None
+    return float(statistics.median(durs))
+
+
 def measure_device_seconds(fn, *args, iters: int = 6, log_dir: str = "/tmp/cn_prof"):
     """Median on-device seconds per call of a jitted ``fn`` (profiler-based).
 
@@ -71,15 +91,31 @@ def measure_device_seconds(fn, *args, iters: int = 6, log_dir: str = "/tmp/cn_pr
         for _ in range(iters):
             r = fn(*args)
         jax.block_until_ready(r)
-    by_name = parse_device_durations(log_dir)
-    if not by_name:
-        return None
-    import statistics
+    return _median_module_seconds(log_dir, iters)
 
-    durs = max(by_name.values(), key=len)
-    if len(durs) < 2:
-        return None
-    return float(statistics.median(durs))
+
+def measure_chained_device_seconds(
+    step, state, *, iters: int = 6, log_dir: str = "/tmp/cn_prof_chain"
+):
+    """Chained-state variant of :func:`measure_device_seconds`.
+
+    ``step(state) -> (state, result)`` must thread its carried state (a
+    dependent chain keeps relayed backends honest and lets donated buffers
+    be reused); returns ``(median_seconds_or_None, final_state)``.  This is
+    bench.py's primary timing source: the profiler's per-module
+    ``device_duration_ps`` is ground truth and immune to the host-side
+    anomalies that occasionally yield impossible (>100% of HBM peak)
+    chain-slope readings for small-output ops.
+    """
+    import numpy as np
+
+    with trace(log_dir):
+        s = state
+        r = None
+        for _ in range(iters):
+            s, r = step(s)
+        np.asarray(r.ravel()[:4])
+    return _median_module_seconds(log_dir, iters), s
 
 
 #: published peak HBM bandwidth per chip, GiB/s (for roofline estimates)
@@ -90,25 +126,67 @@ HBM_GIBS = {
     "v6e": 1526.0,
 }
 
+#: published peak MXU throughput per chip: int8 TOPS and bf16 TFLOPS
+#: (1 MAC = 2 ops/FLOPs; v4 has no int8 fast path — bf16 rate applies)
+MXU_INT8_TOPS = {"v4": 275.0, "v5e": 394.0, "v5p": 918.0, "v6e": 1836.0}
+MXU_BF16_TFLOPS = {"v4": 275.0, "v5e": 197.0, "v5p": 459.0, "v6e": 918.0}
+
 
 @dataclasses.dataclass
 class Roofline:
-    """Bytes-moved model of one codec op at a given input size."""
+    """Bytes-moved + dense-MACs model of one op at a given input size.
+
+    Codec ops are memory-bound (the MAC fields default to 0), but the
+    MXU-backed ops (base-5 codec, k-mer histogram, all-pairs Hamming) also
+    execute a *dense* constant matmul whose cost is ``K x N`` per row
+    regardless of matrix sparsity; for those the honest speed-of-light is
+    ``max(memory time, compute time)`` — a bytes-only SoL published for a
+    compute-bound op reads as "0.1% of peak" for a kernel that is actually
+    at its true ceiling (the reference's port-pressure analysis,
+    reference README.md:383-402, is the scalar-world version of the same
+    accounting).
+    """
 
     read_bytes: int
     write_bytes: int
+    #: dense MXU multiply-accumulates on the int8 path
+    int8_macs: int = 0
+    #: dense MXU multiply-accumulates on the bf16 path
+    bf16_macs: int = 0
 
     @property
     def total(self) -> int:
         return self.read_bytes + self.write_bytes
 
-    def speed_of_light_s(self, hbm_gibs: float) -> float:
-        """Minimum seconds at full HBM bandwidth."""
+    def memory_s(self, hbm_gibs: float) -> float:
         return self.total / (hbm_gibs * 2**30)
 
-    def efficiency(self, measured_s: float, hbm_gibs: float) -> float:
-        """Fraction of speed-of-light achieved (1.0 == HBM-bound optimal)."""
-        return self.speed_of_light_s(hbm_gibs) / max(measured_s, 1e-12)
+    def compute_s(self, chip: str = "v5e") -> float:
+        """Minimum seconds at peak MXU throughput (1 MAC = 2 ops)."""
+        s = 0.0
+        if self.int8_macs:
+            s += 2.0 * self.int8_macs / (MXU_INT8_TOPS[chip] * 1e12)
+        if self.bf16_macs:
+            s += 2.0 * self.bf16_macs / (MXU_BF16_TFLOPS[chip] * 1e12)
+        return s
+
+    def speed_of_light_s(self, hbm_gibs: float, chip: str = "v5e") -> float:
+        """Minimum seconds: both the HBM and the MXU bound must be met."""
+        return max(self.memory_s(hbm_gibs), self.compute_s(chip))
+
+    def bound_kind(self, hbm_gibs: float, chip: str = "v5e") -> str:
+        """Which resource sets the ceiling: "memory" or "compute"."""
+        return (
+            "compute"
+            if self.compute_s(chip) > self.memory_s(hbm_gibs)
+            else "memory"
+        )
+
+    def efficiency(
+        self, measured_s: float, hbm_gibs: float, chip: str = "v5e"
+    ) -> float:
+        """Fraction of speed-of-light achieved (1.0 == at the true bound)."""
+        return self.speed_of_light_s(hbm_gibs, chip) / max(measured_s, 1e-12)
 
 
 def encode_2bit_roofline(nt: int) -> Roofline:

@@ -97,7 +97,9 @@ def test_decode_b5_nt4_matches_oracle(rng):
     lo, hi = pk.encode_b5_planar(
         jnp.asarray(s.reshape(2, pk.B5_ROW_NT)), interpret=True
     )
-    nt4 = np.asarray(pk.decode_b5_nt4_panels(lo, hi, interpret=True))
+    nt4 = np.asarray(
+        pk.decode_b5_nt4_panels(lo, hi, padded=False, interpret=True)
+    )
     got = np.ascontiguousarray(nt4.reshape(-1)).view(np.uint8)
     want = oracle.bits_to_n2_lut(oracle.n_to_bits2_lut(s), s.size)
     assert np.array_equal(got, want)
