@@ -510,6 +510,18 @@ def main() -> int:
             (wb5_flat.size // 2) * 27,
             R(4 * wb5_flat.size, 4),
         )
+        # base-5 packed revcomp at a ragged length (digit-funnel path)
+        run(
+            "revcomp_packed_b5",
+            chained(
+                lambda w: seqops.revcomp_packed_b5(
+                    w, (wb5_flat.size // 2) * 27 - 5
+                )
+            ),
+            jnp.asarray(wb5_flat),
+            (wb5_flat.size // 2) * 27,
+            R(4 * wb5_flat.size, 4 * wb5_flat.size),
+        )
         wa = packed_np.reshape(ROWS, -1).view(np.uint32)
         run(
             "hamming_packed",

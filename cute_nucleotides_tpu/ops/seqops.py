@@ -264,6 +264,126 @@ def n_count_packed_b5(words: jax.Array) -> jax.Array:
     return _b5_digit_class_sum(words, lambda d: d >> 2)
 
 
+def _b5_comp(d: jax.Array) -> jax.Array:
+    """Complement one digit plane: A(0)<->T(2), C(1)<->G(3), N(4) fixed.
+
+    ``d ^ 2`` for d < 4 — the digit space inherits the 2-bit code's
+    XOR-complement involution — and N is its own complement.
+    """
+    return d ^ jnp.where(d < 4, 2, 0)
+
+
+def _b5_word_triplet(lo: jax.Array, hi: jax.Array, j: int) -> jax.Array:
+    """Triplet ``j`` (0..8) of a u64 word given its (lo, hi) u32 halves."""
+    m7 = jnp.uint32(0x7F)
+    if j <= 3:
+        return (lo >> (7 * j)) & m7
+    if j == 4:
+        return ((lo >> 28) | (hi << 4)) & m7
+    return (hi >> (7 * j - 32)) & m7
+
+
+@functools.partial(jax.jit, static_argnames=("length",))
+def revcomp_packed_b5(words: jax.Array, length: int) -> jax.Array:
+    """Reverse-complement a base-5 packed u32[2W] stream of ``length`` nt.
+
+    The packed-domain mirror of :func:`revcomp_packed` for the 27-nt/63-bit
+    format (the "same principle extends" claim of this module's base-5
+    section, made real): digit complement is ``d ^ 2`` for d < 4 with N (4)
+    a fixed point, and reversal renumbers digit positions ``p -> L-1-p``.
+    Returns the interleaved u32 pair stream of the reverse complement with
+    the same word count, zero tail digits and zero pad bits — bit-exact to
+    encoding the reverse complement (with N) of the decoded sequence.
+
+    Single-pass structure (the 2-bit lesson applied): out digit ``m`` is
+    ``comp(digit[L-1-m])``, so output triplet ``j`` of output word ``W-1-w``
+    reads input triplets ``9w + delta - j`` (and ``-1``) — every tap is a
+    lane-shifted read of the raw input *parameter* (which XLA fuses without
+    materializing), each lane assembles the half-word its mirror position
+    needs, and one lane reversal finishes the job: two memory passes total,
+    no (W, 2) planarize relayout.
+    """
+    if words.ndim != 1 or words.shape[0] % 2:
+        raise TypeError("revcomp_packed_b5 takes a flat interleaved u32[2W] stream")
+    W = words.shape[0] // 2
+    if length > W * spec.NT_PER_WORD_B5:
+        raise ValueError(f"length {length} exceeds capacity {W * 27}")
+    if W == 0 or length == 0:
+        return jnp.zeros_like(words)
+    M, u = divmod(length - 1, 3)  # last digit lives at digit u of triplet M
+    delta = M - 9 * (W - 1)       # in [0, 8]
+    x = words
+
+    def tap(off: int) -> jax.Array:
+        """Lane-shifted view: lane k reads ``words[k + off]`` (0 outside)."""
+        if off == 0:
+            return x
+        if abs(off) >= x.shape[0]:  # short streams: everything shifts out
+            return jnp.zeros_like(x)
+        z = jnp.zeros(abs(off), jnp.uint32)
+        return (
+            jnp.concatenate([z, x[:off]])
+            if off < 0
+            else jnp.concatenate([x[off:], z])
+        )
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    even = (lane & 1) == 0
+    w_idx = lane >> 1
+    # (lo, hi) of this lane's word w and of word w-1, per parity
+    t_m3, t_m2, t_m1, t_p1 = tap(-3), tap(-2), tap(-1), tap(1)
+    lo_w = jnp.where(even, x, t_m1)
+    hi_w = jnp.where(even, t_p1, x)
+    lo_w1 = jnp.where(even, t_m2, t_m3)
+    hi_w1 = jnp.where(even, t_m1, t_m2)
+
+    def src_triplet(rel: int) -> tuple[jax.Array, jax.Array]:
+        """Input triplet ``9w + rel`` as (value, in-range mask 0/1)."""
+        q, jj = divmod(rel, 9)  # q in {-1, 0}
+        if q == 0:
+            t = _b5_word_triplet(lo_w, hi_w, jj)
+        else:
+            t = _b5_word_triplet(lo_w1, hi_w1, jj)
+        # negative global triplet index (only word 0's lanes) reads zeros
+        # through the tap padding but must contribute digit 0, not comp(0)
+        if rel >= 0:
+            mask = jnp.ones_like(t, jnp.uint32)
+        else:
+            mask = ((9 * w_idx + rel) >= 0).astype(jnp.uint32)
+        return t, mask
+
+    def out_triplet(j: int) -> jax.Array:
+        """Output triplet ``j`` of output word ``W-1-w``, complemented and
+        reversed per the static digit offset ``u``."""
+        t1, m1 = src_triplet(delta - j)
+        a1, b1, c1 = _b5_digits(t1.astype(jnp.int32))
+        if u == 2:
+            val = _b5_comp(c1) + 5 * _b5_comp(b1) + 25 * _b5_comp(a1)
+            return (val * m1.astype(jnp.int32)).astype(jnp.uint32)
+        t2, m2 = src_triplet(delta - j - 1)
+        _, b2, c2 = _b5_digits(t2.astype(jnp.int32))
+        if u == 1:
+            hi_part = 25 * _b5_comp(c2) * m2.astype(jnp.int32)
+            lo_part = (_b5_comp(b1) + 5 * _b5_comp(a1)) * m1.astype(jnp.int32)
+        else:  # u == 0
+            hi_part = (5 * _b5_comp(c2) + 25 * _b5_comp(b2)) * m2.astype(jnp.int32)
+            lo_part = _b5_comp(a1) * m1.astype(jnp.int32)
+        return (lo_part + hi_part).astype(jnp.uint32)
+
+    t = [out_triplet(j) for j in range(9)]
+    e_val = (
+        t[0] | (t[1] << 7) | (t[2] << 14) | (t[3] << 21)
+        | ((t[4] & jnp.uint32(0xF)) << 28)
+    )
+    o_val = (
+        (t[4] >> 4) | (t[5] << 3) | (t[6] << 10) | (t[7] << 17) | (t[8] << 24)
+    )
+    # lane pair (2w, 2w+1) computed output word W-1-w; after the lane
+    # reversal the even lane must land the lo half, so pre-reverse the even
+    # lane carries the ODD half and vice versa
+    return jnp.where(even, o_val, e_val)[::-1]
+
+
 def first_invalid_word_b5(words: jax.Array) -> jax.Array:
     """Stream-integrity check: index of the first corrupt u64 word of a
     base-5 stream (any triplet value >= 125, or pad bit 63 set), else -1.

@@ -112,3 +112,45 @@ def test_base_composition_packed_batched(rng):
         assert got[b].tolist() == [
             int((batch[b] == c).sum()) for c in b"ACTG"
         ]
+
+
+COMP_N = bytes.maketrans(b"ACGTN", b"TGCAN")
+
+
+def _revcomp_n(seq: bytes) -> bytes:
+    return seq.upper().replace(b"U", b"T").translate(COMP_N)[::-1]
+
+
+@pytest.mark.parametrize(
+    "n", [1, 2, 3, 26, 27, 28, 53, 54, 55, 81, 1000, 27 * 64]
+)
+def test_revcomp_packed_b5(rng, n):
+    """Digit complement (d ^ 2 for d < 4, N fixed) + digit-order reversal on
+    the packed 63-bit stream, bit-exact to re-encoding the byte revcomp."""
+    s = rng.choice(np.frombuffer(b"ACGTUNacgtun", np.uint8), size=n)
+    w64 = oracle.n_to_bits2_lut(s)
+    w32 = jnp.asarray(spec.u64_to_u32_pairs(w64).reshape(-1))
+    got = np.asarray(seqops.revcomp_packed_b5(w32, n))
+    want64 = oracle.n_to_bits2_lut(np.frombuffer(_revcomp_n(bytes(s)), np.uint8))
+    want = spec.u64_to_u32_pairs(want64).reshape(-1)
+    assert got.shape == want.shape
+    assert np.array_equal(got, want), (n, got[:4], want[:4])
+
+
+def test_revcomp_packed_b5_involution(rng):
+    """revcomp(revcomp(x)) == x on full words (the tail re-zeroes)."""
+    n = 27 * 19
+    s = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=n)
+    w32 = jnp.asarray(
+        spec.u64_to_u32_pairs(oracle.n_to_bits2_lut(s)).reshape(-1)
+    )
+    once = seqops.revcomp_packed_b5(w32, n)
+    twice = np.asarray(seqops.revcomp_packed_b5(once, n))
+    assert np.array_equal(twice, np.asarray(w32))
+
+
+def test_revcomp_packed_b5_rejects_bad_shapes():
+    with pytest.raises(TypeError):
+        seqops.revcomp_packed_b5(jnp.zeros((2, 2), jnp.uint32), 27)
+    with pytest.raises(ValueError):
+        seqops.revcomp_packed_b5(jnp.zeros(2, jnp.uint32), 28)
