@@ -263,6 +263,25 @@ def main() -> int:
 
         return jax.jit(step, donate_argnums=0)
 
+    def chained_n(fn):
+        """N-array state, tuple-result variant: the patch depends on every
+        output so none can be dead-code-eliminated."""
+
+        def step(s):
+            rs = fn(*s)
+            rs = rs if isinstance(rs, tuple) else (rs,)
+            a = s[0]
+            patch = sum(
+                r.ravel()[0].astype(a.dtype) for r in rs
+            ).reshape((1,) * a.ndim)
+            return (
+                (jax.lax.dynamic_update_slice(a, patch, (0,) * a.ndim),)
+                + tuple(s[1:]),
+                rs[0],
+            )
+
+        return jax.jit(step, donate_argnums=0)
+
     R = profiling.Roofline
 
     # --- baselines -----------------------------------------------------------
@@ -476,6 +495,29 @@ def main() -> int:
             R(4 * KMER_WORDS, 4 * 4**KMER_K,
               int8_macs=65536 * 16 * KMER_WORDS),
             k_lo=4, k_hi=20, trials=3,
+        )
+        # production-k extraction: u32-pair codes, two successor taps
+        # (4 B in x3 + 128 B out per input word)
+        kn2 = np.roll(kw2d.reshape(-1), -2).reshape(kw2d.shape)
+        run(
+            "kmer_codes_k31_pair",
+            chained_n(lambda w, n, n2: kmer.kmer_codes_planar_pair(w, n, n2, 31)),
+            (jnp.asarray(kw2d), jnp.asarray(knxt), jnp.asarray(kn2)),
+            16 * kw2d.size,
+            R(12 * kw2d.size, 128 * kw2d.size),
+            k_lo=4, k_hi=20, trials=3,
+        )
+        # production-k counting: planar extract + 2-key sort + segment
+        # counts (sort-dominated; no bytes roofline applies)
+        kc_words = words_flat[: 1 << 18]
+        kc_len = 16 * kc_words.size
+        run(
+            "kmer_counts_k21",
+            chained(lambda w: kmer.kmer_counts(w, kc_len, 21)[2]),
+            jnp.asarray(kc_words),
+            kc_len,
+            None,
+            k_lo=2, k_hi=8, trials=3,
         )
         run(
             "revcomp_packed",

@@ -20,12 +20,23 @@ Two tiers:
   replacement for a serial scatter-add (measured 138 ms for 16.7 M adds on
   a v5e; the matmul path is ~20x faster).
 
-Supports k <= 15 for extraction (codes fit int32 with headroom); the MXU
-histogram covers k <= 8 (65,536 bins = one (256, 256) accumulator tile),
-larger k falls back to scatter-add.  Canonical form (the lexicographic
-minimum of a k-mer and its reverse complement, the standard de-duplication
-in assembly/counting pipelines) uses the same SWAR field-reversal tricks as
-:mod:`.seqops`.
+Production k sizes (21/31, the standard assembly/counting choices) are
+first-class: a k-mer up to k = 31 is a u32 *pair* ``(lo, hi)`` — the same
+funnel shift reads one more successor word — with revcomp/canonical working
+on the pair.  Counting tiers:
+
+* **MXU histogram** (k <= 8): 65,536 bins = one (256, 256) accumulator tile,
+  one int8 matmul per 8 code rows — no scatter.
+* **Dense scatter-add** (k <= 12): ``4**k`` bins (64 MiB at k = 12 — the
+  dense-array ceiling; a k = 21 dense histogram would be 17 TB).
+* **Sorted-segment counts** (:func:`kmer_counts`, any k <= 31): sort the
+  codes (two-key lexicographic sort for pairs) and emit per-run counts —
+  the TPU-native form of what production k-mer counters output (the
+  *occurring* k-mers with multiplicities, not the impossible dense array).
+
+Canonical form (the lexicographic minimum of a k-mer and its reverse
+complement, the standard de-duplication in assembly/counting pipelines)
+uses the same SWAR field-reversal tricks as :mod:`.seqops`.
 """
 
 from __future__ import annotations
@@ -40,10 +51,15 @@ from . import spec
 
 __all__ = [
     "kmer_codes",
+    "kmer_codes_pair",
     "kmer_codes_planar",
+    "kmer_codes_planar_pair",
     "revcomp_code",
+    "revcomp_code_pair",
     "canonical_codes",
+    "canonical_codes_pair",
     "kmer_histogram",
+    "kmer_counts",
 ]
 
 
@@ -73,6 +89,47 @@ def kmer_codes(words: jax.Array, length: int, k: int) -> jax.Array:
     return (window & jnp.uint32((1 << (2 * k)) - 1)).astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("length", "k"))
+def kmer_codes_pair(
+    words: jax.Array, length: int, k: int
+) -> tuple[jax.Array, jax.Array]:
+    """All k-mer codes for 16 <= k <= 31 as u32 pairs:
+    -> (lo u32[n], hi u32[n]), n = length - k + 1.
+
+    ``lo | hi << 32`` is the 2k-bit code with the k-mer's first nucleotide
+    in the least significant 2 bits (LSB-first, like the packed words);
+    the window spans up to three u32 words, so the funnel takes two
+    successor taps.
+    """
+    if not 16 <= k <= 31:
+        raise ValueError("kmer_codes_pair covers k in [16, 31]; use kmer_codes below")
+    if words.ndim != 1:
+        raise TypeError("kmer_codes_pair takes a flat u32 word stream")
+    n = length - k + 1
+    if n <= 0:
+        raise ValueError(f"length {length} too short for k={k}")
+    if length > words.shape[0] * spec.NT_PER_U32_2BIT:
+        raise ValueError("length exceeds stream capacity")
+    padded = jnp.concatenate([words, jnp.zeros(2, jnp.uint32)])
+    i = jnp.arange(n)
+    w0 = jnp.take(padded, i // 16)
+    w1 = jnp.take(padded, i // 16 + 1)
+    w2 = jnp.take(padded, i // 16 + 2)
+    s = (2 * (i % 16)).astype(jnp.uint32)
+    z = jnp.uint32(0)
+    lo = (w0 >> s) | jnp.where(s == 0, z, w1 << (32 - s))
+    hi = jnp.where(s == 0, w1, (w1 >> s) | (w2 << (32 - s)))
+    return lo, hi & jnp.uint32((1 << (2 * k - 32)) - 1)
+
+
+def _rev32_fields(c: jax.Array) -> jax.Array:
+    """Reverse the sixteen 2-bit fields of each u32 lane (SWAR)."""
+    c = ((c & jnp.uint32(0x33333333)) << 2) | ((c >> 2) & jnp.uint32(0x33333333))
+    c = ((c & jnp.uint32(0x0F0F0F0F)) << 4) | ((c >> 4) & jnp.uint32(0x0F0F0F0F))
+    c = ((c & jnp.uint32(0x00FF00FF)) << 8) | ((c >> 8) & jnp.uint32(0x00FF00FF))
+    return (c << 16) | (c >> 16)
+
+
 def revcomp_code(codes: jax.Array, k: int) -> jax.Array:
     """Reverse-complement of 2-bit k-mer codes (elementwise, SWAR)."""
     c = codes.astype(jnp.uint32) ^ jnp.uint32(0xAAAAAAAA >> (32 - 2 * k) if k < 16 else 0xAAAAAAAA)
@@ -88,6 +145,39 @@ def revcomp_code(codes: jax.Array, k: int) -> jax.Array:
 def canonical_codes(codes: jax.Array, k: int) -> jax.Array:
     """min(code, revcomp(code)) — the canonical k-mer form."""
     return jnp.minimum(codes, revcomp_code(codes, k))
+
+
+def revcomp_code_pair(
+    lo: jax.Array, hi: jax.Array, k: int
+) -> tuple[jax.Array, jax.Array]:
+    """Reverse-complement of u32-pair k-mer codes (16 <= k <= 31).
+
+    Complement is one XOR per plane; the 64-bit field reversal is the two
+    32-bit SWAR reversals with the planes swapped; the down-shift by
+    ``64 - 2k`` (which also flushes the complemented garbage fields past
+    position k) is a static lane-local funnel over the pair.
+    """
+    if not 16 <= k <= 31:
+        raise ValueError("revcomp_code_pair covers k in [16, 31]")
+    aa = jnp.uint32(0xAAAAAAAA)
+    rlo = _rev32_fields(hi ^ aa)  # low word of the reversed 64-bit value
+    rhi = _rev32_fields(lo ^ aa)
+    s = 64 - 2 * k  # in [2, 32]
+    if s == 32:
+        return rhi, jnp.zeros_like(rhi)
+    out_lo = (rlo >> s) | (rhi << (32 - s))
+    out_hi = rhi >> s
+    return out_lo, out_hi
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def canonical_codes_pair(
+    lo: jax.Array, hi: jax.Array, k: int
+) -> tuple[jax.Array, jax.Array]:
+    """Lexicographic min of a pair code and its reverse complement."""
+    rlo, rhi = revcomp_code_pair(lo, hi, k)
+    take_rc = (rhi < hi) | ((rhi == hi) & (rlo < lo))
+    return jnp.where(take_rc, rlo, lo), jnp.where(take_rc, rhi, hi)
 
 
 # --- Pallas tier ------------------------------------------------------------
@@ -146,6 +236,74 @@ def kmer_codes_planar(
         out_shape=jax.ShapeDtypeStruct((R, 16 * W), jnp.int32),
         interpret=interpret,
     )(words, nxt)
+
+
+def _codes_planar_pair_kernel(k: int):
+    def kernel(w_ref, n_ref, n2_ref, lo_ref, hi_ref):
+        mask_hi = jnp.uint32((1 << (2 * k - 32)) - 1)  # 0 when k == 16
+        w = w_ref[:]
+        nx = n_ref[:]
+        nx2 = n2_ref[:]
+        W = w.shape[1]
+        for s in range(spec.NT_PER_U32_2BIT):
+            if s:
+                lo = (w >> (2 * s)) | (nx << (32 - 2 * s))
+                hi = (nx >> (2 * s)) | (nx2 << (32 - 2 * s))
+            else:
+                lo, hi = w, nx
+            lo_ref[:, W * s : W * (s + 1)] = lo
+            hi_ref[:, W * s : W * (s + 1)] = hi & mask_hi
+
+    return kernel
+
+
+def kmer_codes_planar_pair(
+    words: jax.Array,
+    nxt: jax.Array,
+    nxt2: jax.Array,
+    k: int,
+    *,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Funnel-shift extraction for 16 <= k <= 31:
+    u32[R, W] panels -> (lo u32[R, 16 W], hi u32[R, 16 W]).
+
+    ``nxt``/``nxt2`` are the one- and two-ahead successor streams (two
+    cheap XLA shifts on the packed side).  Output is PLANAR like
+    :func:`kmer_codes_planar`: the pair for the code starting at
+    nucleotide ``16 w + s`` of row ``r`` lands at column ``W s + w`` of
+    both planes.
+    """
+    from . import pallas_kernels as pk
+
+    if not 16 <= k <= 31:
+        raise ValueError("kmer_codes_planar_pair covers k in [16, 31]")
+    if (
+        words.shape != nxt.shape
+        or words.shape != nxt2.shape
+        or words.ndim != 2
+        or words.shape[1] % 128
+    ):
+        raise TypeError(f"expected matching u32[R, 128m] panels, got {words.shape}")
+    interpret = pk._auto_interpret(interpret)
+    R, W = words.shape
+    rb = min(32, max(8, -(-R // 8) * 8))
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    in_spec = pl.BlockSpec((rb, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((rb, 16 * W), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _codes_planar_pair_kernel(k),
+        grid=(pk._cdiv(R, rb),),
+        in_specs=[in_spec, in_spec, in_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 16 * W), jnp.uint32),
+            jax.ShapeDtypeStruct((R, 16 * W), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(words, nxt, nxt2)
 
 
 def _hist_mxu_kernel(c_ref, o_ref):
@@ -256,9 +414,106 @@ def kmer_histogram(
 
     ``canonical=True`` folds each k-mer with its reverse complement first.
     For k <= 8 this runs the Pallas planar-extraction + MXU histogram
-    pipeline (no scatter); larger k uses the XLA gather + scatter-add path
-    (memory is 4 * 4**k bytes — k=12 is already 64 MiB, keep k modest).
+    pipeline (no scatter); k in [9, 12] uses the XLA gather + scatter-add
+    path (the dense array is 4 * 4**k bytes — 64 MiB at the k = 12 cap).
+    Past that a dense histogram is physically impossible (17 TB at k = 21):
+    use :func:`kmer_counts`, which returns the *occurring* k-mers with
+    multiplicities — the form production counters emit.
     """
     if k <= 8:
         return _kmer_histogram_pallas(words, length, k, canonical=canonical)
+    if k > 12:
+        raise ValueError(
+            f"dense 4**{k} histogram would need {4 * 4**k / 2**30:.0f} GiB; "
+            "use kmer_counts (sorted-segment counts) for k in [13, 31]"
+        )
     return _kmer_histogram_scatter(words, length, k, canonical=canonical)
+
+
+_SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+@functools.partial(jax.jit, static_argnames=("length", "k", "canonical"))
+def kmer_counts(
+    words: jax.Array, length: int, k: int, *, canonical: bool = False
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Sorted-segment k-mer counting for any k <= 31:
+    -> (lo u32[n], hi u32[n], counts i32[n]), n = padded position count.
+
+    The TPU-native replacement for a hash-table counter: extract codes with
+    the planar Pallas funnel (a histogram doesn't care about order), sort
+    them (two-key lexicographic sort for u32-pair codes), and turn run
+    boundaries into counts with a reverse cumulative min — all static
+    shapes, no scatter.  Entry ``i`` is a distinct k-mer iff
+    ``counts[i] > 0`` (run starts); other entries (run interiors and the
+    out-of-range sentinel block at the end) carry count 0.  The number of
+    distinct k-mers is ``(counts > 0).sum()`` and total mass
+    ``counts.sum() == length - k + 1``.
+
+    ``canonical=True`` folds each k-mer with its reverse complement before
+    counting (the assembly/counting convention).
+    """
+    if not 1 <= k <= 31:
+        raise ValueError("k must be in [1, 31]")
+    n_valid = length - k + 1
+    if n_valid <= 0:
+        raise ValueError(f"length {length} too short for k={k}")
+    if length > words.size * spec.NT_PER_U32_2BIT:
+        raise ValueError("length exceeds stream capacity")
+    flat = words.reshape(-1)
+    Wtot = flat.shape[0]
+    rows = -(-Wtot // _PLANAR_W)
+    pad = rows * _PLANAR_W - Wtot
+    nxt = jnp.concatenate([flat[1:], jnp.zeros(1, jnp.uint32)])
+    nxt2 = jnp.concatenate([flat[2:], jnp.zeros(2, jnp.uint32)])
+    if pad:
+        z = jnp.zeros(pad, jnp.uint32)
+        flat = jnp.concatenate([flat, z])
+        nxt = jnp.concatenate([nxt, z])
+        nxt2 = jnp.concatenate([nxt2, z])
+    shape = (rows, _PLANAR_W)
+    if k <= 15:
+        codes = kmer_codes_planar(flat.reshape(shape), nxt.reshape(shape), k)
+        if canonical:
+            codes = canonical_codes(codes, k)
+        lo2d = codes.astype(jnp.uint32)
+        hi2d = None
+    else:
+        lo2d, hi2d = kmer_codes_planar_pair(
+            flat.reshape(shape), nxt.reshape(shape), nxt2.reshape(shape), k
+        )
+        if canonical:
+            lo2d, hi2d = canonical_codes_pair(lo2d, hi2d, k)
+    # planar col W*s + w of row r holds the code at position 16*(r*W + w) + s
+    W = _PLANAR_W
+    col = jax.lax.broadcasted_iota(jnp.int32, lo2d.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, lo2d.shape, 0)
+    pos = 16 * (row * W + col % W) + col // W
+    invalid = pos >= n_valid
+    # out-of-range positions become the sentinel pair, which sorts last
+    # (real hi < 2**(2k-32) <= 2**30; real lo < 2**30 when k <= 15)
+    lo = jnp.where(invalid, _SENTINEL, lo2d).reshape(-1)
+    if hi2d is None:
+        (lo_s,) = jax.lax.sort((lo,), num_keys=1)
+        hi_s = jnp.zeros_like(lo_s)
+        sent = lo_s == _SENTINEL
+        is_new = jnp.concatenate(
+            [jnp.ones(1, bool), lo_s[1:] != lo_s[:-1]]
+        )
+    else:
+        hi = jnp.where(invalid, _SENTINEL, hi2d).reshape(-1)
+        hi_s, lo_s = jax.lax.sort((hi, lo), num_keys=2)
+        sent = hi_s == _SENTINEL
+        is_new = jnp.concatenate(
+            [
+                jnp.ones(1, bool),
+                (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1]),
+            ]
+        )
+    n = lo_s.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    start_pos = jnp.where(is_new, iota, n)
+    suffix_min = jax.lax.cummin(start_pos, reverse=True)
+    nxt_start = jnp.concatenate([suffix_min[1:], jnp.full(1, n, jnp.int32)])
+    counts = jnp.where(is_new & ~sent, nxt_start - iota, 0)
+    return lo_s, hi_s, counts

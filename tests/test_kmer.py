@@ -138,3 +138,96 @@ def test_kmer_histogram_dispatcher():
     assert h8[0] == 1024 - 8 + 1 and h8[1:].sum() == 0
     h9 = np.asarray(kmer.kmer_histogram(w, 1024, 9))   # scatter path
     assert h9[0] == 1024 - 9 + 1 and h9[1:].sum() == 0
+
+
+# --- production k (u32-pair codes, k <= 31) ---------------------------------
+
+
+@pytest.mark.parametrize("k", [16, 17, 21, 31])
+def test_kmer_codes_pair(rng, k):
+    s = rng.choice(np.frombuffer(b"ACGTU", np.uint8), size=150)
+    lo, hi = kmer.kmer_codes_pair(_packed(s), 150, k)
+    got = (np.asarray(hi).astype(np.uint64) << 32) | np.asarray(lo).astype(
+        np.uint64
+    )
+    want = np.array(_naive_codes(bytes(s), k), np.uint64)
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("k", [16, 21, 31])
+def test_revcomp_and_canonical_pair(rng, k):
+    s = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=120)
+    lo, hi = kmer.kmer_codes_pair(_packed(s), 120, k)
+    want = np.array(_naive_codes(bytes(s), k), np.uint64)
+    want_rc = np.array([_naive_rc(int(v), k) for v in want], np.uint64)
+    rlo, rhi = kmer.revcomp_code_pair(lo, hi, k)
+    got_rc = (np.asarray(rhi).astype(np.uint64) << 32) | np.asarray(
+        rlo
+    ).astype(np.uint64)
+    assert np.array_equal(got_rc, want_rc)
+    clo, chi = kmer.canonical_codes_pair(lo, hi, k)
+    got_c = (np.asarray(chi).astype(np.uint64) << 32) | np.asarray(clo).astype(
+        np.uint64
+    )
+    assert np.array_equal(got_c, np.minimum(want, want_rc))
+
+
+@pytest.mark.parametrize("k", [4, 15, 16, 21, 31])
+@pytest.mark.parametrize("canonical", [False, True])
+def test_kmer_counts_matches_counter(rng, k, canonical):
+    """Sorted-segment counts == a Python Counter over the naive codes."""
+    from collections import Counter
+
+    L = 333
+    s = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=L)
+    lo_s, hi_s, counts = map(
+        np.asarray, kmer.kmer_counts(_packed(s), L, k, canonical=canonical)
+    )
+    got = {
+        (int(hi_s[i]) << 32) | int(lo_s[i]): int(counts[i])
+        for i in np.nonzero(counts)[0]
+    }
+    codes = _naive_codes(bytes(s), k)
+    if canonical:
+        codes = [min(v, _naive_rc(v, k)) for v in codes]
+    assert got == dict(Counter(codes))
+    assert counts.sum() == L - k + 1
+
+
+def test_kmer_counts_errors():
+    w = jnp.zeros(64, jnp.uint32)
+    with pytest.raises(ValueError, match=r"\[1, 31\]"):
+        kmer.kmer_counts(w, 100, 32)
+    with pytest.raises(ValueError, match="too short"):
+        kmer.kmer_counts(w, 10, 21)
+    with pytest.raises(ValueError, match="use kmer_counts"):
+        kmer.kmer_histogram(w, 1024, 13)
+
+
+def test_kmer_codes_planar_pair_is_position_permutation(rng):
+    """Planar pair cols (W s + w) hold the pair for position 16(rW+w)+s."""
+    k = 21
+    seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=3 * 16 * 128)
+    w32 = np.asarray(_packed(seq))
+    rows, W = 3, 128
+    panels = w32.reshape(rows, W)
+    nxt = np.roll(w32, -1).reshape(rows, W)
+    nxt2 = np.roll(w32, -2).reshape(rows, W)
+    nxt[-1, -1] = 0
+    nxt2[-1, -1] = 0
+    nxt2[-1, -2] = 0
+    lo, hi = map(
+        np.asarray,
+        kmer.kmer_codes_planar_pair(
+            jnp.asarray(panels), jnp.asarray(nxt), jnp.asarray(nxt2), k
+        ),
+    )
+    got = (hi.astype(np.uint64) << 32) | lo.astype(np.uint64)
+    want = np.array(_naive_codes(bytes(seq), k), np.uint64)
+    col = np.arange(16 * W)
+    pos = (
+        16 * (np.arange(rows)[:, None] * W + col[None, :] % W) + col[None, :] // W
+    )
+    reordered = np.empty(16 * rows * W, np.uint64)
+    reordered[pos.reshape(-1)] = got.reshape(-1)
+    assert np.array_equal(reordered[: want.size], want)
