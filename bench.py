@@ -109,6 +109,7 @@ def main() -> int:
     sol: dict[str, float] = {}
     bound: dict[str, str] = {}
     latency_ms: dict[str, float] = {}
+    stream_stats: dict[str, dict] = {}
 
     detail_path = os.environ.get("BENCH_DETAIL_PATH", "BENCH_DETAIL.json")
 
@@ -130,6 +131,7 @@ def main() -> int:
             "dispatch_latency_ms": {
                 k: round(v, 2) for k, v in latency_ms.items()
             },
+            "stream": stream_stats,
         }
         try:
             with open(detail_path, "w") as fh:
@@ -595,6 +597,68 @@ def main() -> int:
               int8_macs=ph_B * ph_B * 4 * NT_PER_ROW),
             k_lo=2, k_hi=10, trials=3,
         )
+
+    # --- end-to-end streaming pipeline (BASELINE's north star: reads/s
+    # through host IO -> batch assembly -> H2D -> kernel -> D2H) -------------
+    if time.time() - t_start < BUDGET_S:
+        from cute_nucleotides_tpu.parallel import runtime as rt
+        from cute_nucleotides_tpu.utils import io as io_lib
+
+        n_reads, read_len = 32768, 2048  # 64 Mnt synthetic FASTQ on tmpfs
+        fq = "/dev/shm/cn_bench_reads.fastq"
+        try:
+            sq = rng.choice(alphabet, size=(n_reads, read_len))
+            with open(fq, "wb") as f:
+                q = b"I" * read_len
+                parts = []
+                for i in range(n_reads):
+                    parts.append(
+                        b"@r%d\n" % i + sq[i].tobytes() + b"\n+\n" + q + b"\n"
+                    )
+                    if len(parts) == 4096:
+                        f.write(b"".join(parts))
+                        parts = []
+                f.write(b"".join(parts))
+
+            def stream_row(name, runner):
+                sunk = [0]
+                enc = rt.StreamingEncoder(batch_size=2048, max_len=read_len)
+                t0 = time.perf_counter()
+                agg = runner(
+                    enc, lambda w, b: sunk.__setitem__(0, sunk[0] + w.nbytes)
+                )
+                dt = time.perf_counter() - t0
+                nt = n_reads * read_len
+                results[name] = nt / dt / 2**30
+                stream_stats[name] = {
+                    "gbp_s": round(nt / dt / 1e9, 3),
+                    "reads_per_s": round(n_reads / dt, 1),
+                    "sunk_bytes": sunk[0],
+                    **{k: v for k, v in agg.items() if isinstance(v, (int, float))},
+                }
+                print(
+                    f"{name:30s} {dt * 1e3:9.1f} ms   {results[name]:9.2f} "
+                    f"GiB/s-nt  ({n_reads / dt:,.0f} reads/s)",
+                    file=sys.stderr,
+                )
+
+            # batch-assembler fast path (fastq_batches, no Record objects)
+            stream_row(
+                "stream_encode_e2e",
+                lambda enc, sink: enc.run_batches(
+                    io_lib.fastq_batches(fq, 2048, read_len), sink
+                ),
+            )
+            # the Record-path production loop (parse -> BatchStream)
+            stream_row(
+                "stream_encode_records",
+                lambda enc, sink: enc.run(io_lib.open_reads(fq), sink),
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"stream rows FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+        finally:
+            if os.path.exists(fq):
+                os.unlink(fq)
 
     # --- host-native C++ oracle (the scalar-tier rows) -----------------------
     if time.time() - t_start < BUDGET_S:

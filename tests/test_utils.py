@@ -318,3 +318,68 @@ def test_parse_device_durations_uses_device_busy_field(tmp_path):
     out = profiling.parse_device_durations(str(tmp_path))
     assert set(out) == {"jit_step"}
     assert out["jit_step"] == [7e-6, 9e-6]
+
+
+def test_fastq_batches_matches_batchstream(tmp_path, rng):
+    """The vectorized FASTQ->Batch assembler is bit-identical to the
+    Record/BatchStream path (ragged lengths, chunk-boundary carry, skip)."""
+    parts = []
+    for i in range(533):
+        L = int(rng.integers(0, 120))
+        s = bytes(rng.choice(np.frombuffer(b"ACGTN", np.uint8), L))
+        q = bytes(rng.integers(33, 105, L).astype(np.uint8))  # incl '@', '+'
+        parts.append(b"@r%d meta\n" % i + s + b"\n+\n" + q + b"\n")
+    fq = tmp_path / "t.fastq"
+    fq.write_bytes(b"".join(parts))
+    for skip in (0, 2):
+        a = list(
+            io.fastq_batches(str(fq), 64, 120, skip=skip, chunk_bytes=4096)
+        )
+        b = list(
+            io.BatchStream(io.read_fastq(str(fq)), 64, 120, skip=skip)
+        )
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            assert x.count == y.count
+            assert np.array_equal(x.reads, y.reads)
+            assert np.array_equal(x.lengths, y.lengths)
+
+
+def test_streaming_encoder_run_batches(tmp_path, rng):
+    """run_batches (the fastq_batches fast path) delivers the same packed
+    words as run() and honors the manifest resume contract."""
+    parts = []
+    reads = []
+    for i in range(37):
+        s = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 64))
+        reads.append(s)
+        parts.append(b"@r%d\n" % i + s + b"\n+\nI\n")
+    fq = tmp_path / "r.fastq"
+    fq.write_bytes(b"".join(parts))
+
+    outputs = []
+    enc = runtime.StreamingEncoder(
+        batch_size=8, max_len=64, manifest_path=str(tmp_path / "m.json")
+    )
+    agg = enc.run_batches(
+        io.fastq_batches(str(fq), 8, 64),
+        sink=lambda w, b: outputs.append((w.copy(), b)),
+    )
+    assert agg["total_reads"] == 37
+    seen = 0
+    for words, batch in outputs:
+        for row in range(batch.count):
+            want = oracle.n_to_bits_lut(np.frombuffer(reads[seen], np.uint8))
+            got = spec.u32_pairs_to_u64(words[row])[: want.size]
+            assert np.array_equal(got, want)
+            seen += 1
+    assert seen == 37
+
+    # resume: 5 batches durably recorded -> nothing re-consumed
+    enc2 = runtime.StreamingEncoder(
+        batch_size=8, max_len=64, manifest_path=str(tmp_path / "m.json")
+    )
+    agg2 = enc2.run_batches(
+        io.fastq_batches(str(fq), 8, 64), sink=lambda w, b: outputs.append(1)
+    )
+    assert agg2["batches"] == 0 and len(outputs) == 5
