@@ -293,14 +293,25 @@ def cmd_stats(args) -> int:
     gc = 0
     comp = np.zeros(4, np.int64)
     hist = None
+    counts_map: dict[int, int] = {}
+    use_counts = args.k > 12  # past the dense-histogram ceiling (17 TB at 21)
     for n, words in seqs:
         w32 = jnp.asarray(spec.u64_to_u32_pairs(
             np.ascontiguousarray(words)).reshape(-1))
         gc += int(seqops.gc_content_packed(w32))
         comp += np.asarray(seqops.base_composition_packed(w32, n), np.int64)
         if n >= args.k:
-            h = kmer.kmer_histogram(w32, n, args.k, canonical=args.canonical)
-            hist = h if hist is None else hist + h
+            if use_counts:
+                lo, hi, cnt = map(
+                    np.asarray,
+                    kmer.kmer_counts(w32, n, args.k, canonical=args.canonical),
+                )
+                for i in np.nonzero(cnt)[0]:
+                    code = (int(hi[i]) << 32) | int(lo[i])
+                    counts_map[code] = counts_map.get(code, 0) + int(cnt[i])
+            else:
+                h = kmer.kmer_histogram(w32, n, args.k, canonical=args.canonical)
+                hist = h if hist is None else hist + h
     out = {
         "records": len(seqs),
         "nt": total_nt,
@@ -309,12 +320,20 @@ def cmd_stats(args) -> int:
         "k": args.k,
         "canonical": bool(args.canonical),
     }
-    if hist is not None:
+    chars = np.frombuffer(b"ACTG", np.uint8)
+
+    def code_to_str(c):
+        return "".join(chr(chars[(c >> (2 * j)) & 3]) for j in range(args.k))
+
+    if use_counts and counts_map:
+        out["distinct_kmers"] = len(counts_map)
+        top = sorted(counts_map.items(), key=lambda kv: -kv[1])[: args.top]
+        out["top_kmers"] = [
+            {"kmer": code_to_str(c), "count": n} for c, n in top
+        ]
+    elif hist is not None:
         hist_np = np.asarray(hist)
         top = np.argsort(hist_np)[::-1][: args.top]
-        chars = np.frombuffer(b"ACTG", np.uint8)
-        def code_to_str(c):
-            return "".join(chr(chars[(c >> (2 * j)) & 3]) for j in range(args.k))
         out["top_kmers"] = [
             {"kmer": code_to_str(int(c)), "count": int(hist_np[c])}
             for c in top if hist_np[c] > 0

@@ -909,18 +909,31 @@ def _b5_enc_mat_inter():
     return np.asarray(m, dtype=jnp.bfloat16)
 
 
+#: expected upper-structure nibble per ``char & 7`` slot (see the checked
+#: encode below): char is valid iff ``char & 0xD8 == 0x40 + nibble << 3``.
+#: Slots {1,3,7} (A/C/G) -> 0, {6} (N) -> 1, {4,5} (T/U) -> 2; the invalid
+#: slots {0,2} get 15, whose expected value 0xB8 carries bit 5 — which the
+#: 0xD8 mask always clears — so they can never match.  Exact on all 256
+#: bytes (proven against ops.validate in tests).
+_B5_VEXP_LUT_U32 = (
+    15 | (0 << 4) | (15 << 8) | (0 << 12)
+    | (2 << 16) | (2 << 20) | (1 << 24) | (0 << 28)
+)
+
+
 def _encode_b5_inter_kernel_impl(x_ref, m_ref, o_ref, b_ref=None):
     x = x_ref[:].astype(jnp.int32)
-    idx = x & 7
-    digits = (jnp.int32(spec.DIGIT_LUT8_U32) >> (idx << 2)) & 0xF
+    sh = (x & 7) << 2
+    digits = (jnp.int32(spec.DIGIT_LUT8_U32) >> sh) & 0xF
     rb = digits.shape[0]
     if b_ref is not None:
-        # fused validity (see _invalid_bits_nt4; here per i32 byte-lane):
-        # valid iff the case-folded byte equals the char its DIGIT decodes
-        # to, forgiving U's low-bit difference from T on digit==2 lanes
-        v = x & 0xDF
-        exp = _digits_to_chars(digits)
-        bad = (v ^ exp) & ~jnp.where(digits == 2, 1, 0)
+        # fused validity: a byte is in {A,C,G,T,U,N} (either case) iff its
+        # low 3 bits pick a live LUT slot AND its remaining structure bits
+        # (0xD8 — bit 5 is case) match the one char that slot implies.
+        # Six VPU ops per lane, reusing the digit LUT's shift — about half
+        # the old round-trip-the-decode-char form (r02's 38% encode tax).
+        vexp = 0x40 + (((jnp.int32(_B5_VEXP_LUT_U32) >> sh) & 0xF) << 3)
+        bad = (x & 0xD8) ^ vexp
         acc = jax.lax.slice(bad, (0, 0), (rb, 128))
         for g in range(1, B5_ROW_NT // 128):
             acc = acc | jax.lax.slice(bad, (0, 128 * g), (rb, 128 * (g + 1)))
@@ -1056,6 +1069,26 @@ def _b5_dec_scatter_pairs_i8():
     return s
 
 
+@functools.lru_cache(maxsize=None)
+def _b5_dec_scatter_quads_i8():
+    """digits concat [d0|d1|d2] (768,) int8 -> nt4 digit QUADS (128,):
+    col m = sum_b 5**b * digit(4m + b) — the whole u32 nt4 lane as one
+    base-5 value v <= 624.  Half the dense MACs of the half-pair scatter
+    (the r02 decode's dominant MXU term, 768x256 -> 768x128); the VPU
+    re-derives the four digits with three exact multiply-shift divisions
+    (the same constants as the triplet split, v < 625 < the 1024 exactness
+    bound).  Weights {1, 5, 25, 125} all fit int8.  Columns 108..127 are
+    all-zero (pad lanes -> digit 0 -> 'AAAA')."""
+    s = np.zeros((3 * B5_SLICE_WORDS * B5_TPAD, 128), np.int8)
+    for w in range(B5_SLICE_WORDS):
+        for j in range(9):
+            for k in range(3):
+                p = 27 * w + 3 * j + k          # nt position within slice
+                m, b = divmod(p, 4)             # nt4 lane, byte
+                s[256 * k + B5_TPAD * w + j, m] = 5 ** b
+    return s
+
+
 def _swar_digits_to_chars(s: jax.Array) -> jax.Array:
     """Packed digits (4 per u32 lane, each byte 0..4) -> packed ASCII.
 
@@ -1143,17 +1176,26 @@ def _decode_b5_inter_kernel(x_ref, g_ref, s_ref, o_ref):
         digs = jnp.concatenate(
             [t - 5 * q5, q5 - 5 * q25, q25], axis=1
         ).astype(jnp.int8)
-        zv = jnp.dot(digs, s_ref[:], preferred_element_type=jnp.int32)
-        hp = (zv & 7) | ((zv >> 3) << 8)
+        # quad scatter: one base-5 value per nt4 lane (half the MACs of the
+        # half-pair form); the VPU splits v = d0 + 5d1 + 25d2 + 125d3 back
+        # with the exact multiply-shift chain (v <= 624 < the 1024 bound)
+        v = jnp.dot(digs, s_ref[:], preferred_element_type=jnp.int32)
+        v5 = (v * 205) >> 10
+        v25 = (v * 41) >> 10
+        v125 = (v25 * 205) >> 10
         pd = (
-            jax.lax.slice(hp, (0, 0), (rb, 112))
-            | (jax.lax.slice(hp, (0, 128), (rb, 240)) << 16)
+            (v - 5 * v5)
+            | ((v5 - 5 * v25) << 8)
+            | ((v25 - 5 * v125) << 16)
+            | (v125 << 24)
         ).astype(jnp.uint32)
-        o_ref[:, 112 * g : 112 * (g + 1)] = _swar_digits_to_chars(pd)
+        o_ref[:, 112 * g : 112 * (g + 1)] = _swar_digits_to_chars(
+            jax.lax.slice(pd, (0, 0), (rb, 112))
+        )
 
 
 def decode_b5_interleaved_panels(
-    words: jax.Array, *, interpret: bool = False, row_block: int = 256
+    words: jax.Array, *, interpret: bool = False, row_block: int = 512
 ) -> jax.Array:
     """Decode INTERLEAVED u32[R, 256] word panels -> padded nt4 u32[R, 896].
 
@@ -1169,7 +1211,7 @@ def decode_b5_interleaved_panels(
     interpret = _auto_interpret(interpret)
     R = words.shape[0]
     rb = _row_block8(R, row_block)
-    mats = (_b5_dec_gather_bytes_i8(), _b5_dec_scatter_pairs_i8())
+    mats = (_b5_dec_gather_bytes_i8(), _b5_dec_scatter_quads_i8())
     mat_specs = [
         pl.BlockSpec(m.shape, lambda i: (0,) * m.ndim, memory_space=pltpu.VMEM)
         for m in mats
@@ -1329,7 +1371,7 @@ def b5_kernel_macs(kernel: str) -> tuple[int, int]:
         return 0, m.shape[0] * m.shape[1]
     if kernel == "dec_inter":
         g = _b5_dec_gather_bytes_i8()
-        s = _b5_dec_scatter_pairs_i8()
+        s = _b5_dec_scatter_quads_i8()
         return (
             B5_SLICES * (g.shape[0] * g.shape[1] + s.shape[0] * s.shape[1]),
             0,

@@ -158,3 +158,17 @@ def test_cli_decode_verify_stream(tmp_path, capsys):
     rc = cli.main(["decode", bad_nup, out_fa, "--verify-stream", "--tier", "oracle"])
     assert rc == 1
     assert "corrupt base-5 word 0" in capsys.readouterr().err
+
+
+def test_cli_stats_production_k(tmp_path, capsys):
+    """k > 12 routes through kmer_counts (sorted-segment, no dense array)."""
+    fa = tmp_path / "in.fa"
+    seq = b"ACGTACGTACGTACGTACGTACGT"  # 24 nt, repeating period 4
+    fa.write_bytes(b">a\n" + seq + b"\n")
+    rc = cli.main(["stats", str(fa), "-k", "21", "--top", "2"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["k"] == 21 and out["distinct_kmers"] == 4
+    assert sum(t["count"] for t in out["top_kmers"]) == 2
+    top = out["top_kmers"][0]["kmer"]
+    assert len(top) == 21 and seq.decode().find(top) >= 0

@@ -383,3 +383,29 @@ def test_streaming_encoder_run_batches(tmp_path, rng):
         io.fastq_batches(str(fq), 8, 64), sink=lambda w, b: outputs.append(1)
     )
     assert agg2["batches"] == 0 and len(outputs) == 5
+
+
+def test_roofline_compute_bound():
+    """Roofline with MAC fields: SoL = max(memory, compute); bound tag."""
+    r = profiling.Roofline(2**30, 2**30)  # 2 GiB moved, no MACs
+    assert r.bound_kind(763.0) == "memory"
+    assert r.compute_s() == 0.0
+    # 10^12 int8 MACs ~ 5 ms at v5e peak >> the ~2.6 ms memory time
+    rc = profiling.Roofline(2**30, 2**30, int8_macs=10**12)
+    assert rc.bound_kind(763.0, "v5e") == "compute"
+    assert rc.speed_of_light_s(763.0, "v5e") == rc.compute_s("v5e")
+    # efficiency is against the binding resource
+    assert rc.efficiency(rc.compute_s("v5e"), 763.0, "v5e") == 1.0
+    # bf16 MACs price at the bf16 peak (half the int8 rate on v5e)
+    rb = profiling.Roofline(0, 0, bf16_macs=10**12)
+    assert rb.compute_s("v5e") > profiling.Roofline(0, 0, int8_macs=10**12).compute_s("v5e")
+
+
+def test_b5_kernel_macs_shapes():
+    from cute_nucleotides_tpu.ops import pallas_kernels as pk
+
+    i8, bf = pk.b5_kernel_macs("dec_inter")
+    # 8 slices x (128x512 gather + 768x128 quad scatter)
+    assert (i8, bf) == (8 * (128 * 512 + 768 * 128), 0)
+    i8, bf = pk.b5_kernel_macs("enc_inter")
+    assert (i8, bf) == (0, 2 * 1728 * 256)

@@ -104,7 +104,9 @@ def main() -> int:
     )
     lo, hi = jax.jit(pk.encode_b5_planar)(x5)
     want_seq5 = oracle.bits_to_n2_lut(want5, s5.size)
-    nt4_5 = np.asarray(jax.jit(pk.decode_b5_nt4_panels)(lo, hi))
+    nt4_5 = np.asarray(
+        jax.jit(lambda a, b: pk.decode_b5_nt4_panels(a, b, padded=False))(lo, hi)
+    )
     ok(
         "pallas decode_b5 v3 (nt4)",
         np.array_equal(np.ascontiguousarray(nt4_5.reshape(-1)).view(np.uint8), want_seq5),
@@ -176,6 +178,32 @@ def main() -> int:
             np.asarray(kmer._kmer_histogram_pallas(kw, kl, 8)),
             np.asarray(kmer._kmer_histogram_scatter(kw, kl, 8)),
         ),
+    )
+    # production-k pair pipeline on hardware: planar pair extraction (new
+    # Pallas kernel) + sort counting vs the ordered XLA gather tier
+    lo21, hi21 = kmer.kmer_codes_pair(kw, kl, 21)
+    glo, ghi, gcnt = map(np.asarray, kmer.kmer_counts(kw, kl, 21))
+    from collections import Counter
+
+    want_c = Counter(
+        (int(h) << 32) | int(l)
+        for l, h in zip(np.asarray(lo21).tolist(), np.asarray(hi21).tolist())
+    )
+    got_c = {
+        (int(ghi[i]) << 32) | int(glo[i]): int(gcnt[i])
+        for i in np.nonzero(gcnt)[0]
+    }
+    ok("kmer_counts k=21 == gather-tier Counter", got_c == dict(want_c))
+    rcb5 = np.asarray(
+        seqops.revcomp_packed_b5(
+            jnp.asarray(spec.u64_to_u32_pairs(want5).reshape(-1)), s5.size
+        )
+    )
+    comp5 = bytes(want_seq5).translate(bytes.maketrans(b"ACGTN", b"TGCAN"))[::-1]
+    want_rc5 = oracle.n_to_bits2_lut(np.frombuffer(comp5, np.uint8))
+    ok(
+        "revcomp_packed_b5",
+        np.array_equal(spec.u32_pairs_to_u64(rcb5), want_rc5),
     )
 
     print(f"TPU SMOKE PASS ({checks} checks)", file=sys.stderr)

@@ -39,7 +39,9 @@ def main(argv=None) -> int:
     dec2 = {v: jax.jit(lambda q, v=v: pk.decode_2bit_nt4(q, v)) for v in ("swar", "shuffle", "select")}
     enc2_mxu = jax.jit(pk.encode_2bit_nt4_mxu)
     enc5 = jax.jit(pk.encode_b5_planar)
-    dec5_nt4 = jax.jit(pk.decode_b5_nt4_panels)
+    dec5_nt4 = jax.jit(
+        lambda lo, hi: pk.decode_b5_nt4_panels(lo, hi, padded=False)
+    )
     dec5_pad = jax.jit(lambda a, b: pk.decode_b5_nt4_panels(a, b, padded=True))
     dec5_inter = jax.jit(pk.decode_b5_interleaved_panels)
     dec5_u8 = jax.jit(pk.decode_b5_panels)
