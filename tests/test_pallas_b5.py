@@ -165,3 +165,21 @@ def test_encode_b5_words_checked_scalar_flag(rng):
     s[1234] = ord("E")
     _, bad = pk.encode_b5_words_checked(jnp.asarray(s), interpret=True)
     assert bool(bad)
+
+
+def test_b5_checked_encode_accept_set_exhaustive():
+    """The slot-LUT fused check (x & 0xD8 == 0x40 + VEXP[x&7] << 3) accepts
+    exactly ops.validate's allow_n set on all 256 byte values, and the
+    encoded words are identical to the unchecked kernel's."""
+    import jax.numpy as jnp
+    from cute_nucleotides_tpu.ops import validate
+
+    x = np.tile(np.arange(256, dtype=np.uint8)[:, None], (1, pk.B5_ROW_NT))
+    w, bad = pk.encode_b5_panels_checked(jnp.asarray(x), interpret=True)
+    flag = np.asarray(jnp.any(bad != 0, axis=-1))
+    want = ~np.asarray(
+        validate.valid_mask(jnp.asarray(np.arange(256, dtype=np.uint8)), allow_n=True)
+    )
+    assert np.array_equal(flag, want)
+    w0 = pk.encode_b5_panels_v2(jnp.asarray(x), interpret=True)
+    assert np.array_equal(np.asarray(w), np.asarray(w0))
