@@ -64,8 +64,13 @@ REF_TABLE = {                  # reference README.md:346-377 (for context)
     "encode_b5": 11.787, "decode_b5": 10.175,
 }
 
-# workload: 256 MiB of nucleotides, batch of 32768 reads x 8192 nt
-ROWS = 32768
+# workload: 256 MiB of nucleotides, batch of 32768 reads x 8192 nt.
+# BENCH_SCALE divides the row count (e.g. 4 -> 64 MiB): use it when the
+# relayed TPU link is degraded (H2D of the full batch has been observed to
+# take tens of minutes on bad days) — throughput numbers at scale >= 4 are
+# within a few % of full-size for the memory-bound rows.
+_SCALE = max(int(os.environ.get("BENCH_SCALE", "1")), 1)
+ROWS = 32768 // _SCALE
 NT_PER_ROW = 8192          # % 16 == 0 (2-bit block)
 NT_PER_ROW_B5 = 8208       # % 27 == 0 (base-5 block)
 XLA_SCALE = 8              # XLA-tier rows run at 1/8 workload
@@ -142,7 +147,7 @@ def main() -> int:
 
         def champion(*names):
             vals = [results.get(n, 0.0) for n in names]
-            return round(max(vals), 1) if any(vals) else None
+            return round(max(vals), 3) if any(vals) else None
 
         line = json.dumps(
             {
@@ -620,9 +625,17 @@ def main() -> int:
                         parts = []
                 f.write(b"".join(parts))
 
+            # NOTE: through a relayed/tunneled TPU these rows are dominated
+            # by per-batch H2D + dispatch round trips (~30 ms + ~100 ms/16 MB
+            # each way measured on this link), not by host parse or kernel
+            # time — treat them as a LOWER bound; on a locally attached chip
+            # the same loop is device-H2D-bound.  Large batches amortize the
+            # round trips.
+            stream_batch = 4096
+
             def stream_row(name, runner):
                 sunk = [0]
-                enc = rt.StreamingEncoder(batch_size=2048, max_len=read_len)
+                enc = rt.StreamingEncoder(batch_size=stream_batch, max_len=read_len)
                 t0 = time.perf_counter()
                 agg = runner(
                     enc, lambda w, b: sunk.__setitem__(0, sunk[0] + w.nbytes)
@@ -633,6 +646,7 @@ def main() -> int:
                 stream_stats[name] = {
                     "gbp_s": round(nt / dt / 1e9, 3),
                     "reads_per_s": round(n_reads / dt, 1),
+                    "ms_per_batch": round(dt * 1e3 * stream_batch / n_reads, 1),
                     "sunk_bytes": sunk[0],
                     **{k: v for k, v in agg.items() if isinstance(v, (int, float))},
                 }
@@ -646,7 +660,7 @@ def main() -> int:
             stream_row(
                 "stream_encode_e2e",
                 lambda enc, sink: enc.run_batches(
-                    io_lib.fastq_batches(fq, 2048, read_len), sink
+                    io_lib.fastq_batches(fq, stream_batch, read_len), sink
                 ),
             )
             # the Record-path production loop (parse -> BatchStream)
