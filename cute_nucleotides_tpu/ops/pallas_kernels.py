@@ -1113,64 +1113,56 @@ _B5_BYTE_SHIFT = {j: (7 * j) % 8 for j in range(9)}
 
 
 @functools.lru_cache(maxsize=None)
-def _b5_dec_gather_bytes_i8():
-    """int8 byte-gather expansion matrix for the INTERLEAVED word layout.
+def _b5_dec_gather_fold_bf16():
+    """bf16 gather that folds the byte splice INTO the matmul (r03).
 
-    int8 x int8 -> i32 dots are exact and ~3x the bf16 rate here, and the
-    splice works at BYTE granularity: ``t_j = (byte_k >> r | byte_{k+1} <<
-    (8-r)) & 0x7F`` with ``k = 7j // 8``, ``r = 7j mod 8`` — so the gather
-    just copies bytes (weights 1) instead of folding 16-bit halves with a
-    x256 weight that int8 cannot represent.  Bytes are offset to int8 as
-    ``b - 128``; the constant +128 per used column is added back after the
-    dot.  Input rows index the 4 byte planes of a ``(rb, 32)`` interleaved
-    slice (lane ``2w`` = lo u32 of word ``w``, ``2w+1`` = hi): byte ``k``
-    of word ``w`` sits at row ``32*(k%4) + 2w + [k>=4]`` — the whole
-    de-interleave is absorbed into constant row indices (XLA's
-    strided-slice de-interleave pass measured 4x the decode kernel itself).
-    Columns: A-block [0,256) = t16 byte k, B-block [256,512) = byte k+1
-    (zero column when r == 0).  Measured +18% over the bf16 halves form.
+    t-col ``(w, j)`` holds ``byte_k * 2^(7-r) + byte_{k+1} * 2^(15-r)``
+    with ``k = 7j // 8``, ``r = 7j mod 8`` — all-integer power-of-two
+    weights, exact in bf16 (bytes <= 255 carry 8 significant bits; sums
+    <= 255 * (2^7 + 2^14) < 2^24 accumulate exactly in f32) — so
+    ``t = (i32(z) >> 7) & 0x7F`` needs NO -128 input offset, no per-column
+    corrections and no variable-shift funnel: the whole splice is three
+    cheap lane-uniform ops.  Same MXU cost as the r02 int8 byte-copy
+    gather (half the columns at half the int8 rate) and measured +2.6%
+    over it from the removed VPU work; the int8 gather itself was +18%
+    over the original bf16 halves form.  Input rows index the 4 byte
+    planes of a ``(rb, 32)`` interleaved slice (lane ``2w`` = lo u32 of
+    word ``w``, ``2w+1`` = hi): byte ``k`` of word ``w`` sits at row
+    ``32*(k%4) + 2w + [k>=4]`` — the de-interleave is absorbed into
+    constant row indices (XLA's strided-slice de-interleave pass measured
+    4x the decode kernel itself).
     """
-    g = np.zeros((128, 512), np.int8)
+    g = np.zeros((128, B5_SLICE_WORDS * B5_TPAD), np.float32)
     for w in range(B5_SLICE_WORDS):
         for j in range(9):
             k = (7 * j) // 8
-            g[32 * (k % 4) + 2 * w + (1 if k >= 4 else 0), B5_TPAD * w + j] = 1
-            if _B5_BYTE_SHIFT[j] > 0:
+            r = _B5_BYTE_SHIFT[j]
+            g[32 * (k % 4) + 2 * w + (1 if k >= 4 else 0), B5_TPAD * w + j] = (
+                float(1 << (7 - r))
+            )
+            if r > 0:
                 k1 = k + 1
                 g[
                     32 * (k1 % 4) + 2 * w + (1 if k1 >= 4 else 0),
-                    256 + B5_TPAD * w + j,
-                ] = 1
-    return g
-
-
-def _b5_byte_lane_consts(shape):
-    """Per-lane (period-16) constants: (r = 7j mod 8, +128 corr A, corr B)."""
-    j16 = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1) & 15
-    r = jnp.zeros(shape, jnp.int32)
-    for j, rj in _B5_BYTE_SHIFT.items():
-        r = jnp.where(j16 == j, rj, r)
-    ca = jnp.where(j16 < 9, jnp.int32(128), jnp.int32(0))
-    cb = jnp.where((j16 >= 1) & (j16 <= 8) & (r > 0), jnp.int32(128), jnp.int32(0))
-    return r, ca, cb
+                    B5_TPAD * w + j,
+                ] = float(1 << (15 - r))
+    return np.asarray(g, dtype=jnp.bfloat16)
 
 
 def _decode_b5_inter_kernel(x_ref, g_ref, s_ref, o_ref):
     """Interleaved u32[rb, 256] words -> padded nt4 u32[rb, 896]."""
     x = x_ref[:]
     rb = x.shape[0]
-    rvec, ca, cb = _b5_byte_lane_consts((rb, B5_SLICE_WORDS * B5_TPAD))
     m8 = jnp.uint32(0xFF)
     for g in range(B5_SLICES):
         xg = jax.lax.slice(x, (0, 32 * g), (rb, 32 * (g + 1)))
+        # x stays uint32 so the top-plane shift is logical (an i32-first
+        # formulation sign-extends byte 3 and corrupts the gather)
         planes = jnp.concatenate(
             [xg & m8, (xg >> 8) & m8, (xg >> 16) & m8, xg >> 24], axis=1
-        ).astype(jnp.int32)
-        xi = (planes - 128).astype(jnp.int8)
-        z = jnp.dot(xi, g_ref[:], preferred_element_type=jnp.int32)
-        a = jax.lax.slice(z, (0, 0), (rb, 256)) + ca
-        b = jax.lax.slice(z, (0, 256), (rb, 512)) + cb
-        t = ((a >> rvec) | (b << (8 - rvec))) & 0x7F
+        ).astype(jnp.int32).astype(jnp.bfloat16)
+        z = jnp.dot(planes, g_ref[:], preferred_element_type=jnp.float32)
+        t = (z.astype(jnp.int32) >> 7) & 0x7F
         q5 = (t * 205) >> 10
         q25 = (t * 41) >> 10
         digs = jnp.concatenate(
@@ -1211,7 +1203,7 @@ def decode_b5_interleaved_panels(
     interpret = _auto_interpret(interpret)
     R = words.shape[0]
     rb = _row_block8(R, row_block)
-    mats = (_b5_dec_gather_bytes_i8(), _b5_dec_scatter_quads_i8())
+    mats = (_b5_dec_gather_fold_bf16(), _b5_dec_scatter_quads_i8())
     mat_specs = [
         pl.BlockSpec(m.shape, lambda i: (0,) * m.ndim, memory_space=pltpu.VMEM)
         for m in mats
@@ -1370,11 +1362,11 @@ def b5_kernel_macs(kernel: str) -> tuple[int, int]:
         m = _b5_enc_mat_v2()
         return 0, m.shape[0] * m.shape[1]
     if kernel == "dec_inter":
-        g = _b5_dec_gather_bytes_i8()
+        g = _b5_dec_gather_fold_bf16()
         s = _b5_dec_scatter_quads_i8()
         return (
-            B5_SLICES * (g.shape[0] * g.shape[1] + s.shape[0] * s.shape[1]),
-            0,
+            B5_SLICES * s.shape[0] * s.shape[1],
+            B5_SLICES * g.shape[0] * g.shape[1],
         )
     if kernel == "dec_nt4":
         pa, pb = _b5_dec_mats()[:2]

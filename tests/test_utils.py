@@ -405,7 +405,7 @@ def test_b5_kernel_macs_shapes():
     from cute_nucleotides_tpu.ops import pallas_kernels as pk
 
     i8, bf = pk.b5_kernel_macs("dec_inter")
-    # 8 slices x (128x512 gather + 768x128 quad scatter)
-    assert (i8, bf) == (8 * (128 * 512 + 768 * 128), 0)
+    # 8 slices x (768x128 int8 quad scatter + 128x256 bf16 folded gather)
+    assert (i8, bf) == (8 * 768 * 128, 8 * 128 * 256)
     i8, bf = pk.b5_kernel_macs("enc_inter")
     assert (i8, bf) == (0, 2 * 1728 * 256)

@@ -59,10 +59,38 @@ def main() -> int:
         print(f"{name:34s} {dt * 1e3:8.3f} ms  {gibs:8.2f} GiB/s", flush=True)
         return gibs
 
-    # pairs-scatter variant of the interleaved decoder, rebuilt inline so
-    # both forms live in one process (the shipped kernel uses quads)
+    # pairs-scatter r02 variant of the interleaved decoder, rebuilt inline
+    # (matrices included — the shipped kernel moved to the folded bf16
+    # gather + quad scatter) so both forms live in one process
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def gather_bytes_i8():
+        """r02 int8 byte-copy gather (see git history of pallas_kernels)."""
+        g = np.zeros((128, 512), np.int8)
+        for w in range(pk.B5_SLICE_WORDS):
+            for j in range(9):
+                k = (7 * j) // 8
+                g[32 * (k % 4) + 2 * w + (1 if k >= 4 else 0), pk.B5_TPAD * w + j] = 1
+                if (7 * j) % 8 > 0:
+                    k1 = k + 1
+                    g[
+                        32 * (k1 % 4) + 2 * w + (1 if k1 >= 4 else 0),
+                        256 + pk.B5_TPAD * w + j,
+                    ] = 1
+        return g
+
+    def byte_lane_consts(shape):
+        j16 = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1) & 15
+        r = jnp.zeros(shape, jnp.int32)
+        for j in range(9):
+            r = jnp.where(j16 == j, (7 * j) % 8, r)
+        ca = jnp.where(j16 < 9, jnp.int32(128), jnp.int32(0))
+        cb = jnp.where((j16 >= 1) & (j16 <= 8) & (r > 0), jnp.int32(128), jnp.int32(0))
+        return r, ca, cb
+
     def decode_inter_pairs(words):
-        mats = (pk._b5_dec_gather_bytes_i8(), pk._b5_dec_scatter_pairs_i8())
+        mats = (gather_bytes_i8(), pk._b5_dec_scatter_pairs_i8())
         mat_specs = [
             pl.BlockSpec(m.shape, lambda i: (0,) * m.ndim, memory_space=pltpu.VMEM)
             for m in mats
@@ -73,7 +101,7 @@ def main() -> int:
         def kernel(x_ref, g_ref, s_ref, o_ref):
             x = x_ref[:]
             rbk = x.shape[0]
-            rvec, ca, cb = pk._b5_byte_lane_consts(
+            rvec, ca, cb = byte_lane_consts(
                 (rbk, pk.B5_SLICE_WORDS * pk.B5_TPAD)
             )
             m8 = jnp.uint32(0xFF)
