@@ -636,6 +636,10 @@ def main() -> int:
             def stream_row(name, runner):
                 sunk = [0]
                 enc = rt.StreamingEncoder(batch_size=stream_batch, max_len=read_len)
+                # warm the compiled executable outside the timer (the first
+                # row otherwise pays the jit compile in its wall time)
+                warm = np.full((stream_batch, read_len), ord("A"), np.uint8)
+                np.asarray(enc.sharded.encode(enc.sharded.shard(warm)))
                 t0 = time.perf_counter()
                 agg = runner(
                     enc, lambda w, b: sunk.__setitem__(0, sunk[0] + w.nbytes)
