@@ -51,5 +51,16 @@ flat = np.ascontiguousarray(np.asarray(packed[0]))
 print("GC content:", int(seqops.gc_content_packed(jnp.asarray(flat))))
 rc = seqops.revcomp_packed(jnp.asarray(flat), int(lengths[0]))
 print("revcomp words:", np.asarray(rc)[:2])
+rc5 = seqops.revcomp_packed_b5(jnp.asarray(spec.u64_to_u32_pairs(w5).reshape(-1)), 10)
+print("base-5 revcomp:", bytes(api.bits_to_n2(spec.u32_pairs_to_u64(np.asarray(rc5)), 10)))
 reads = jnp.asarray(batch[:8, :64])
 print("pairwise Hamming:\n", np.asarray(distance.pairwise_hamming(reads)))
+
+# --- 7. k-mers at production k (no decode, no hash table) --------------------
+from cute_nucleotides_tpu.ops import kmer
+
+lo, hi, counts = kmer.kmer_counts(jnp.asarray(flat), int(lengths[0]), k=21,
+                                  canonical=True)
+n_distinct = int((np.asarray(counts) > 0).sum())
+print("distinct canonical 21-mers:", n_distinct,
+      "total:", int(np.asarray(counts).sum()))

@@ -127,6 +127,21 @@ def main(argv=None) -> int:
         ):
             print(f"FAIL kmer L={kl} k={kk} round {rnd}", file=sys.stderr)
             failures += 1
+        # --- pair planar extraction (u32-pair codes) vs the XLA gather ------
+        # rotate k over a fixed set (each distinct k compiles its own kernel)
+        kp = (16, 21, 27, 31)[rnd % 4]
+        lo_p, hi_p = kmer.kmer_codes_pair(kw, kl, kp)
+        want_c = np.sort(
+            (np.asarray(hi_p).astype(np.uint64) << 32)
+            | np.asarray(lo_p).astype(np.uint64)
+        )
+        glo, ghi, gcnt = map(np.asarray, kmer.kmer_counts(kw, kl, kp))
+        got_c = np.repeat(
+            (ghi.astype(np.uint64) << 32) | glo.astype(np.uint64), gcnt
+        )
+        if not np.array_equal(np.sort(got_c), want_c):
+            print(f"FAIL kmer_counts L={kl} k={kp} round {rnd}", file=sys.stderr)
+            failures += 1
         print(
             f"round {rnd + 1}/{args.rounds} done ({time.time() - t0:.0f}s, "
             f"{failures} failures)",
