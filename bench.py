@@ -526,6 +526,17 @@ def main() -> int:
             None,
             k_lo=2, k_hi=8, trials=3,
         )
+        # (w=10, k=15)-minimizer sketch: hash + two log-depth windowed passes
+        mz_words = words_flat[: KMER_WORDS // 2]
+        mz_len = 16 * mz_words.size
+        run(
+            "minimizers_w10_k15",
+            chained(lambda w: kmer.minimizers(w, mz_len, 15, 10)[0]),
+            jnp.asarray(mz_words),
+            mz_len,
+            R(4 * mz_words.size, mz_len + 4 * mz_len),
+            k_lo=4, k_hi=20, trials=3,
+        )
         run(
             "revcomp_packed",
             chained(lambda w: seqops.revcomp_packed(w, 16 * words_flat.size)),

@@ -60,6 +60,8 @@ __all__ = [
     "canonical_codes_pair",
     "kmer_histogram",
     "kmer_counts",
+    "kmer_hashes",
+    "minimizers",
 ]
 
 
@@ -431,6 +433,112 @@ def kmer_histogram(
 
 
 _SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+# --- minimizers -------------------------------------------------------------
+# The windowed k-mer selection primitive of modern mappers/counters
+# (minimap2's sketch, KMC3's signature partitioning): of each window of w
+# consecutive k-mers, keep the one with the smallest HASH.  Hashing (instead
+# of raw lexicographic codes) avoids the poly-A density pathology; the
+# invertible finalizer below is the standard 64-bit mix used by minimap2's
+# sketch (public-domain Murmur3/SplitMix-style avalanche), applied to the
+# canonical code so a read and its reverse complement select the same set.
+
+
+def _mix32(h: jax.Array) -> jax.Array:
+    """Murmur3 fmix32: invertible avalanche on u32 lanes."""
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    return h ^ (h >> 16)
+
+
+@functools.partial(jax.jit, static_argnames=("length", "k", "canonical"))
+def kmer_hashes(
+    words: jax.Array, length: int, k: int, *, canonical: bool = True
+) -> jax.Array:
+    """Position-ordered avalanche hashes of every k-mer: -> u32[length-k+1].
+
+    k <= 15 hashes the i32 code; 16 <= k <= 31 mixes the u32 pair
+    (``mix(lo ^ mix(hi))`` — both words avalanche into every output bit).
+    ``canonical=True`` (the default, and what minimizer sketches need)
+    folds each k-mer with its reverse complement first.
+    """
+    if k <= 15:
+        codes = kmer_codes(words, length, k)
+        if canonical:
+            codes = canonical_codes(codes, k)
+        return _mix32(codes.astype(jnp.uint32))
+    lo, hi = kmer_codes_pair(words, length, k)
+    if canonical:
+        lo, hi = canonical_codes_pair(lo, hi, k)
+    return _mix32(lo ^ _mix32(hi))
+
+
+def _shifted(a: jax.Array, s: int, left: bool, pad) -> jax.Array:
+    """Lane-shifted view of a 1-D array: index ``i`` reads ``a[i - s]``
+    (``left``) or ``a[i + s]``, with ``pad`` outside."""
+    if s >= a.shape[0]:
+        return jnp.full_like(a, pad)
+    p = jnp.full(s, pad, a.dtype)
+    return (
+        jnp.concatenate([p, a[:-s]]) if left else jnp.concatenate([a[s:], p])
+    )
+
+
+def _windowed(a: jax.Array, r: int, op, pad, left: bool) -> jax.Array:
+    """``op`` (min/max) over the window of ``r + 1`` elements ending
+    (``left``) or starting at each index — log-depth doubling tree, the
+    clipped edges padded with the identity ``pad``."""
+    if r == 0:
+        return a
+    t, m = a, 1
+    while 2 * m - 1 <= r:
+        t = op(t, _shifted(t, m, left, pad))
+        m *= 2
+    off = r - (m - 1)
+    if off:  # overlap-combine covers the non-power-of-two remainder
+        t = op(t, _shifted(t, off, left, pad))
+    return t
+
+
+@functools.partial(jax.jit, static_argnames=("length", "k", "w", "canonical"))
+def minimizers(
+    words: jax.Array, length: int, k: int, w: int, *, canonical: bool = True
+) -> tuple[jax.Array, jax.Array]:
+    """(w, k)-minimizer mask over a packed stream: -> (mask bool[n], hash
+    u32[n]), n = length - k + 1.
+
+    Position ``p`` is a minimizer iff its k-mer attains the minimum hash of
+    at least one of the windows of ``w`` consecutive k-mers containing it
+    (minimap2's sketch definition).  Computed scan-free in two log-depth
+    passes: the forward windowed min gives every window's minimum ``wm``,
+    and because ``wm_j <= h_p`` for every window ``j`` containing ``p``,
+    membership reduces to ``h_p == max(wm_j)`` over those windows — a
+    backward windowed max.  Hash ties select all tied positions (ties are
+    equal k-mers under the invertible mix, for which every occurrence is
+    the same minimizer — robust-winnowing behavior).  Expected density
+    ``2/(w+1)``.  Compress with ``jnp.nonzero`` host-side or feed the
+    masked hashes to :func:`kmer_counts`-style sorting.
+    """
+    if w < 1:
+        raise ValueError("window w must be >= 1")
+    h = kmer_hashes(words, length, k, canonical=canonical)
+    n = h.shape[0]
+    if n <= w:
+        # degenerate short read: one (possibly partial) window over all n
+        return h == jnp.min(h), h
+    r = w - 1
+    # forward: wm[j] = min(h[j .. j+r]); entries past the last full window
+    # start are zeroed so they can never win the backward max
+    wm = _windowed(h, r, jnp.minimum, jnp.uint32(0xFFFFFFFF), left=False)
+    idx = jnp.arange(n)
+    wm = jnp.where(idx <= n - w, wm, 0)
+    # backward: best[p] = max(wm[p-r .. p]) — the largest window minimum
+    # among windows containing p
+    best = _windowed(wm, r, jnp.maximum, jnp.uint32(0), left=True)
+    return h == best, h
 
 
 @functools.partial(jax.jit, static_argnames=("length", "k", "canonical"))

@@ -231,3 +231,41 @@ def test_kmer_codes_planar_pair_is_position_permutation(rng):
     reordered = np.empty(16 * rows * W, np.uint64)
     reordered[pos.reshape(-1)] = got.reshape(-1)
     assert np.array_equal(reordered[: want.size], want)
+
+
+def _naive_minimizers(h: np.ndarray, w: int) -> set:
+    n = len(h)
+    if n <= w:
+        return set(np.nonzero(h == h.min())[0].tolist())
+    out = set()
+    for j in range(n - w + 1):
+        m = h[j : j + w].min()
+        out.update(j + i for i in range(w) if h[j + i] == m)
+    return out
+
+
+@pytest.mark.parametrize("k,w", [(5, 1), (15, 10), (21, 11), (31, 5), (8, 64)])
+def test_minimizers_match_naive(rng, k, w):
+    L = 300
+    s = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=L)
+    mask, h = map(np.asarray, kmer.minimizers(_packed(s), L, k, w))
+    assert set(np.nonzero(mask)[0].tolist()) == _naive_minimizers(h, w)
+
+
+def test_minimizers_canonical_revcomp_invariant(rng):
+    """A read and its reverse complement sketch the same minimizer set."""
+    s = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=301)
+    rc = np.frombuffer(
+        bytes(s).translate(bytes.maketrans(b"ACGT", b"TGCA"))[::-1], np.uint8
+    )
+    m1, h1 = map(np.asarray, kmer.minimizers(_packed(s), 301, 21, 11))
+    m2, h2 = map(np.asarray, kmer.minimizers(_packed(rc), 301, 21, 11))
+    assert sorted(h1[m1].tolist()) == sorted(h2[m2].tolist())
+
+
+def test_minimizers_short_read_and_errors(rng):
+    s = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=40)
+    mask, h = map(np.asarray, kmer.minimizers(_packed(s), 40, 31, 64))
+    assert mask.sum() >= 1 and np.all(h[mask] == h.min())
+    with pytest.raises(ValueError, match="w must be"):
+        kmer.minimizers(_packed(s), 40, 15, 0)
