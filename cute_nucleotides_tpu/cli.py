@@ -342,6 +342,83 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def _parse_region(spec_str: str) -> tuple[bytes, int, int]:
+    """``NAME:START-END`` (0-based half-open) -> (name, start, end)."""
+    name, _, span = spec_str.rpartition(":")
+    if not name or "-" not in span:
+        raise ValueError(f"region must be NAME:START-END, got {spec_str!r}")
+    s, _, e = span.partition("-")
+    start, end = int(s), int(e)
+    if start < 0 or end < start:
+        raise ValueError(f"bad region bounds in {spec_str!r}")
+    return name.encode(), start, end
+
+
+def cmd_region(args) -> int:
+    """Extract subsequences from a .nup container on the packed domain.
+
+    The samtools-faidx analogue: the window is cut with
+    :func:`ops.seqops.packed_slice` / ``packed_slice_b5`` — a funnel pass
+    over the packed words, no whole-record decode — then either decoded
+    (FASTA out) or written still-packed to a new .nup (``--packed``).
+    """
+    import jax.numpy as jnp
+
+    from . import api
+    from .ops import seqops, spec
+
+    codec, entries = read_nup(args.input)
+    by_name = {name: (length, words) for name, length, words in entries}
+    packed_out: list[tuple[bytes, int, np.ndarray]] = []
+    out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+    try:
+        for reg in args.regions:
+            name, start, end = _parse_region(reg)
+            if name not in by_name:
+                print(
+                    f"error: no record {name.decode(errors='replace')!r} "
+                    f"in {args.input}",
+                    file=sys.stderr,
+                )
+                return 1
+            length, words = by_name[name]
+            if end > length:
+                print(
+                    f"error: region {reg} overruns record length {length}",
+                    file=sys.stderr,
+                )
+                return 1
+            n = end - start
+            w32 = jnp.asarray(
+                spec.u64_to_u32_pairs(np.ascontiguousarray(words)).reshape(-1)
+            )
+            op = seqops.packed_slice if codec == "2bit" else seqops.packed_slice_b5
+            sl = np.asarray(op(w32, start, n))
+            w64 = spec.u32_pairs_to_u64(sl.reshape(-1, 2))
+            tag = name + f":{start}-{end}".encode()
+            if args.packed:
+                packed_out.append((tag, n, w64))
+            else:
+                fn = api.bits_to_n if codec == "2bit" else api.bits_to_n2
+                _write_fasta(out, tag, bytes(fn(w64, n, tier=args.tier)))
+        if args.packed:
+            if args.output == "-":
+                print("error: --packed needs an output path", file=sys.stderr)
+                return 1
+            out.close()
+            write_nup(
+                args.output,
+                [t for t, _, _ in packed_out],
+                [w for _, _, w in packed_out],
+                [n for _, n, _ in packed_out],
+                codec,
+            )
+    finally:
+        if out is not sys.stdout.buffer and not out.closed:
+            out.close()
+    return 0
+
+
 def cmd_bench(args) -> int:
     import runpy
     import os
@@ -400,6 +477,20 @@ def main(argv=None) -> int:
     ps.add_argument("--canonical", action="store_true")
     ps.add_argument("--tier", default="xla")
     ps.set_defaults(fn=cmd_stats)
+
+    pr = sub.add_parser(
+        "region",
+        help="extract subsequences (NAME:START-END) on the packed domain",
+    )
+    pr.add_argument("input")
+    pr.add_argument("regions", nargs="+", metavar="NAME:START-END")
+    pr.add_argument("-o", "--output", default="-")
+    pr.add_argument(
+        "--packed", action="store_true",
+        help="write a .nup of the still-packed windows instead of FASTA",
+    )
+    pr.add_argument("--tier", default="xla")
+    pr.set_defaults(fn=cmd_region)
 
     pb = sub.add_parser("bench", help="run the benchmark harness")
     pb.set_defaults(fn=cmd_bench)

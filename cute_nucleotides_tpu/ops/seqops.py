@@ -34,6 +34,10 @@ __all__ = [
     "n_count_packed_b5",
     "revcomp_packed_b5",
     "first_invalid_word_b5",
+    "packed_slice",
+    "packed_concat",
+    "packed_slice_b5",
+    "packed_concat_b5",
 ]
 
 
@@ -408,3 +412,213 @@ def first_invalid_word_b5(words: jax.Array) -> jax.Array:
     bad = bad | (((lane & 1) == 1) & ((words >> 31) != 0))
     idx = jnp.argmax(bad, axis=-1) >> 1  # lane index -> u64 word index
     return jnp.where(jnp.any(bad, axis=-1), idx, -1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Region extraction / concatenation on the packed domain
+# ---------------------------------------------------------------------------
+# samtools-faidx-style subsequence access without a decode round-trip: a
+# funnel shift over the packed words (2-bit) or over the 7-bit triplet
+# domain (base-5).  Offsets are STATIC (each distinct (start, n) compiles
+# its own funnel); out-of-range positions read as 'A' (digit 0), which is
+# the padding convention everywhere else in this package, and negative
+# ``start`` is allowed — it places the stream at offset ``-start`` inside
+# the window, which is exactly what concatenation needs.
+
+
+@functools.partial(jax.jit, static_argnames=("start", "n"))
+def packed_slice(words: jax.Array, start: int, n: int) -> jax.Array:
+    """Extract nucleotides ``[start, start + n)`` of a 2-bit packed stream.
+
+    u32[W] -> u32[ceil(n/16)] with zeroed tail bits — bit-exact to
+    re-encoding ``decode(words)[start:start+n]`` — in one fused funnel pass
+    (both taps read the input *parameter*, so XLA does not materialize an
+    intermediate; see :func:`revcomp_packed` on why that matters).
+    """
+    if words.ndim != 1:
+        raise TypeError("packed_slice takes a flat u32 word stream")
+    if n < 0:
+        raise ValueError("n must be >= 0")
+    if n == 0:
+        return jnp.zeros(0, jnp.uint32)
+    W = words.shape[0]
+    w_used = -(-n // spec.NT_PER_U32_2BIT)   # u32 lanes carrying data
+    w_out = 2 * (-(-n // 32))                # u64-pair container size
+    lane_sh, half = divmod(start, spec.NT_PER_U32_2BIT)
+    bit_sh = 2 * half
+    need = 1 if bit_sh else 0
+    pad_front = max(0, -lane_sh)
+    pad_back = max(0, lane_sh + w_used + need - W)
+    xp = words
+    if pad_front or pad_back:
+        xp = jnp.concatenate(
+            [
+                jnp.zeros(pad_front, jnp.uint32),
+                words,
+                jnp.zeros(pad_back, jnp.uint32),
+            ]
+        )
+    base = lane_sh + pad_front
+    cur = jax.lax.slice(xp, (base,), (base + w_used,))
+    if bit_sh:
+        nxt = jax.lax.slice(xp, (base + 1,), (base + 1 + w_used,))
+        cur = (cur >> bit_sh) | (nxt << (32 - bit_sh))
+    r = n % spec.NT_PER_U32_2BIT
+    if r:
+        cur = cur.at[-1].set(cur[-1] & jnp.uint32((1 << (2 * r)) - 1))
+    if w_out > w_used:  # the hi u32 of a half-filled final u64 word
+        cur = jnp.concatenate([cur, jnp.zeros(w_out - w_used, jnp.uint32)])
+    return cur
+
+
+@functools.partial(jax.jit, static_argnames=("len_a", "len_b"))
+def packed_concat(
+    a: jax.Array, len_a: int, b: jax.Array, len_b: int
+) -> jax.Array:
+    """Concatenate two 2-bit packed streams at the nucleotide level.
+
+    (u32[Wa], len_a, u32[Wb], len_b) -> u32[ceil((len_a+len_b)/16)], the
+    packed stream of sequence ``a ++ b``.  ``b``'s bits land at arbitrary
+    (non-word-aligned) offsets via :func:`packed_slice`'s negative-start
+    window; ``a``'s tail is re-masked, so dirty bits beyond either length
+    cannot leak.
+    """
+    w_out = 2 * (-(-(len_a + len_b) // 32))
+    if w_out == 0:
+        return jnp.zeros(0, jnp.uint32)
+    sb = packed_slice(b, -len_a, len_a + len_b)
+    if len_a == 0:
+        return sb
+    wa = packed_slice(a, 0, len_a)
+    if wa.shape[0] < w_out:
+        wa = jnp.concatenate(
+            [wa, jnp.zeros(w_out - wa.shape[0], jnp.uint32)]
+        )
+    return wa | sb
+
+
+@functools.partial(jax.jit, static_argnames=("start", "n"))
+def packed_slice_b5(words: jax.Array, start: int, n: int) -> jax.Array:
+    """Extract nucleotides ``[start, start + n)`` of a base-5 packed stream.
+
+    Interleaved u32[2W] -> u32[2*ceil(n/27)] with zero tail digits and pad
+    bits — bit-exact to re-encoding the decoded window.  The funnel runs on
+    the 7-bit triplet domain (digit shifts are exact multiply-shift /5, /25;
+    reference src/n_to_bits2.rs:241-247): output triplet ``T`` reads input
+    triplets ``start//3 + T`` and ``+1``, every tap a lane-shifted read of
+    the raw input parameter (the :func:`revcomp_packed_b5` structure without
+    the reversal) — one memory pass, no decode round-trip.
+    """
+    if words.ndim != 1 or words.shape[0] % 2:
+        raise TypeError("packed_slice_b5 takes a flat interleaved u32[2W] stream")
+    if n < 0:
+        raise ValueError("n must be >= 0")
+    if n == 0:
+        return jnp.zeros(0, jnp.uint32)
+    W = words.shape[0] // 2
+    w_out = -(-n // spec.NT_PER_WORD_B5)
+    q0, r0 = divmod(start, 3)
+    x = words
+
+    def tap(off: int) -> jax.Array:
+        """Output-lane view: out lane ``k`` reads ``words[k + off]``
+        (zero outside the stream)."""
+        k0 = min(max(0, -off), 2 * w_out)          # first in-range out lane
+        k1 = max(k0, min(2 * w_out, 2 * W - off))  # one past the last
+        if k1 <= k0:  # whole window outside the stream
+            return jnp.zeros(2 * w_out, jnp.uint32)
+        seg = jax.lax.slice(x, (k0 + off,), (k1 + off,))
+        if k0 or 2 * w_out - k1:
+            seg = jnp.concatenate(
+                [
+                    jnp.zeros(k0, jnp.uint32),
+                    seg,
+                    jnp.zeros(2 * w_out - k1, jnp.uint32),
+                ]
+            )
+        return seg
+
+    lane = jax.lax.iota(jnp.int32, 2 * w_out)
+    even = (lane & 1) == 0
+    w_idx = lane >> 1
+    e = q0 // 9  # word offsets used are e and e+1 only
+    lo_of = {
+        o: jnp.where(even, tap(2 * o), tap(2 * o - 1)) for o in (e, e + 1)
+    }
+    hi_of = {
+        o: jnp.where(even, tap(2 * o + 1), tap(2 * o)) for o in (e, e + 1)
+    }
+
+    def src_triplet(g: int) -> jax.Array:
+        """Input triplet ``9w + g`` (relative to out word w) as i32."""
+        o, jj = divmod(g, 9)
+        return _b5_word_triplet(lo_of[o], hi_of[o], jj).astype(jnp.int32)
+
+    big_m = (n - 1) // 3          # last output triplet
+    u = n - 3 * big_m             # digits used in it (1..3)
+
+    def out_triplet(j: int) -> jax.Array:
+        t1 = src_triplet(q0 + j)
+        if r0 == 0:
+            val = t1
+        else:
+            t2 = src_triplet(q0 + j + 1)
+            if r0 == 1:
+                val = ((t1 * 205) >> 10) + 25 * (t2 - 5 * ((t2 * 205) >> 10))
+            else:  # r0 == 2
+                val = ((t1 * 41) >> 10) + 5 * (t2 - 25 * ((t2 * 41) >> 10))
+        if u < 3 and j == big_m % 9:
+            # the boundary triplet keeps only its low ``u`` digits
+            c = 205 if u == 1 else 41
+            part = val - (5**u) * ((val * c) >> 10)
+            val = jnp.where(w_idx == big_m // 9, part, val)
+        # whole triplets past the window are zero
+        return jnp.where(
+            27 * w_idx + 3 * j < n, val, 0
+        ).astype(jnp.uint32)
+
+    t = [out_triplet(j) for j in range(9)]
+    e_val = (
+        t[0] | (t[1] << 7) | (t[2] << 14) | (t[3] << 21)
+        | ((t[4] & jnp.uint32(0xF)) << 28)
+    )
+    o_val = (
+        (t[4] >> 4) | (t[5] << 3) | (t[6] << 10) | (t[7] << 17) | (t[8] << 24)
+    )
+    return jnp.where(even, e_val, o_val)
+
+
+@functools.partial(jax.jit, static_argnames=("len_a", "len_b"))
+def packed_concat_b5(
+    a: jax.Array, len_a: int, b: jax.Array, len_b: int
+) -> jax.Array:
+    """Concatenate two base-5 packed streams at the nucleotide level.
+
+    (u32[2Wa], len_a, u32[2Wb], len_b) -> u32[2*ceil((len_a+len_b)/27)].
+    The streams are joined in the DIGIT domain: ``a`` re-masked to its
+    length, ``b`` digit-shifted to offset ``len_a`` (a negative-start
+    :func:`packed_slice_b5`), then summed — the triplet straddling the
+    boundary combines ``a``'s low digits with ``b``'s high digits by
+    addition (each 7-bit chunk sums to < 125, so no carry leaves a chunk;
+    the one chunk spanning a u32 pair boundary gets its carry propagated
+    lane-to-lane explicitly, an emulated u64 add).
+    """
+    w_out = -(-(len_a + len_b) // spec.NT_PER_WORD_B5)
+    if w_out == 0:
+        return jnp.zeros(0, jnp.uint32)
+    sb = packed_slice_b5(b, -len_a, len_a + len_b)
+    if len_a == 0:
+        return sb
+    wa = packed_slice_b5(a, 0, len_a)
+    wa = jnp.concatenate(
+        [wa, jnp.zeros(2 * w_out - wa.shape[0], jnp.uint32)]
+    )
+    s = wa + sb
+    # triplet 4 of the boundary word spans its u32 pair (lo bits 28-31 +
+    # hi bits 0-2); a digit-sum carry out of bit 31 must land in the hi
+    # lane: detect unsigned overflow on even lanes, bump the next lane
+    carry = ((s < wa) & ((jax.lax.iota(jnp.int32, 2 * w_out) & 1) == 0))
+    s = s + jnp.concatenate(
+        [jnp.zeros(1, jnp.uint32), carry.astype(jnp.uint32)[:-1]]
+    )
+    return s

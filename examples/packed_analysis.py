@@ -46,6 +46,20 @@ comp = bytes.maketrans(b"ACGT", b"TGCA")
 assert rc_ascii == fwd_ascii.translate(comp)[::-1]
 print(f"revcomp(read 0): {rc_ascii[:32].decode()}...")
 
+# --- region extraction (no decode) ------------------------------------------
+# samtools-faidx style: cut a window straight from the packed words, then
+# splice it back — both on device, one funnel pass each
+win = seqops.packed_slice(jnp.asarray(words[0]).reshape(-1), 37, 61)
+assert np.asarray(
+    codec.decode(win.reshape(1, -1))
+).reshape(-1)[:61].tobytes() == reads[0, 37:98].tobytes()
+rejoined = seqops.packed_concat(
+    seqops.packed_slice(jnp.asarray(words[0]).reshape(-1), 0, 37), 37,
+    seqops.packed_slice(jnp.asarray(words[0]).reshape(-1), 37, L - 37), L - 37,
+)
+assert np.array_equal(np.asarray(rejoined), np.asarray(words[0]).reshape(-1))
+print(f"packed_slice(37, 61) + packed_concat splice back: ok")
+
 # --- k-mer spectrum (Pallas extraction + MXU histogram) --------------------
 # reads are independent sequences: histogram each row separately and sum,
 # so windows never span a read boundary (flattening the batch would count

@@ -172,3 +172,51 @@ def test_cli_stats_production_k(tmp_path, capsys):
     assert sum(t["count"] for t in out["top_kmers"]) == 2
     top = out["top_kmers"][0]["kmer"]
     assert len(top) == 21 and seq.decode().find(top) >= 0
+
+
+@pytest.mark.parametrize("codec", ["2bit", "base5"])
+def test_cli_region(tmp_path, codec):
+    fa = tmp_path / "in.fa"
+    seq = b"ACGTACGTACGTAAACCCGGGTTTACGTACGTNNNACGT"
+    body = seq if codec == "base5" else seq.replace(b"N", b"G")
+    fa.write_bytes(b">chr1\n" + body + b"\n>chr2\nACGTACGT\n")
+    nup = str(tmp_path / "x.nup")
+    assert cli.main(
+        ["encode", str(fa), nup, "--codec", codec, "--tier", "oracle"]
+    ) == 0
+    out_fa = str(tmp_path / "r.fa")
+    assert cli.main(
+        ["region", nup, "chr1:5-20", "chr2:0-8", "-o", out_fa]
+    ) == 0
+    text = open(out_fa, "rb").read()
+    assert text == (
+        b">chr1:5-20\n" + body[5:20] + b"\n>chr2:0-8\nACGTACGT\n"
+    )
+
+
+def test_cli_region_packed_roundtrip(tmp_path):
+    fa = tmp_path / "in.fa"
+    fa.write_bytes(b">c\n" + b"ACGT" * 30 + b"\n")
+    nup = str(tmp_path / "x.nup")
+    assert cli.main(["encode", str(fa), nup, "--tier", "oracle"]) == 0
+    sub = str(tmp_path / "sub.nup")
+    assert cli.main(["region", nup, "c:7-53", "--packed", "-o", sub]) == 0
+    codec, entries = cli.read_nup(sub)
+    assert codec == "2bit"
+    (name, length, words) = entries[0]
+    assert name == b"c:7-53" and length == 46
+    got = oracle.bits_to_n_lut(words, length)
+    assert bytes(got) == (b"ACGT" * 30)[7:53]
+
+
+def test_cli_region_errors(tmp_path, capsys):
+    fa = tmp_path / "in.fa"
+    fa.write_bytes(b">c\nACGTACGT\n")
+    nup = str(tmp_path / "x.nup")
+    assert cli.main(["encode", str(fa), nup, "--tier", "oracle"]) == 0
+    assert cli.main(["region", nup, "nope:0-4"]) == 1
+    assert cli.main(["region", nup, "c:0-99"]) == 1
+    with pytest.raises(ValueError):
+        cli._parse_region("c")
+    with pytest.raises(ValueError):
+        cli._parse_region("c:5-2")

@@ -154,3 +154,143 @@ def test_revcomp_packed_b5_rejects_bad_shapes():
         seqops.revcomp_packed_b5(jnp.zeros((2, 2), jnp.uint32), 27)
     with pytest.raises(ValueError):
         seqops.revcomp_packed_b5(jnp.zeros(2, jnp.uint32), 28)
+
+
+# ---------------------------------------------------------------------------
+# Packed-domain region extraction / concatenation
+# ---------------------------------------------------------------------------
+
+
+def _enc2(seq: np.ndarray) -> np.ndarray:
+    return spec.u64_to_u32_pairs(oracle.n_to_bits_lut(seq)).reshape(-1)
+
+
+def _enc5(seq: np.ndarray) -> np.ndarray:
+    return spec.u64_to_u32_pairs(oracle.n_to_bits2_lut(seq)).reshape(-1)
+
+
+def _norm2(seq: np.ndarray) -> np.ndarray:
+    return oracle.bits_to_n_lut(oracle.n_to_bits_lut(seq), len(seq))
+
+
+def _norm5(seq: np.ndarray) -> np.ndarray:
+    return oracle.bits_to_n2_lut(oracle.n_to_bits2_lut(seq), len(seq))
+
+
+@pytest.mark.parametrize(
+    "start,n",
+    [(0, 16), (0, 7), (5, 20), (16, 16), (31, 3), (33, 40), (-5, 12), (90, 20)],
+)
+def test_packed_slice_2bit(rng, start, n):
+    """packed_slice == encode(decode(x)['A'-extended][start:start+n])."""
+    s = rng.choice(np.frombuffer(b"ACGTacgtu", np.uint8), size=100)
+    got = np.asarray(seqops.packed_slice(jnp.asarray(_enc2(s)), start, n))
+    ext = np.full(200, ord("A"), np.uint8)
+    ext[:100] = _norm2(s)
+    win = ext[max(start, 0) : start + n]
+    if start < 0:
+        win = np.concatenate(
+            [np.full(min(-start, n), ord("A"), np.uint8), win]
+        )[:n]
+    assert np.array_equal(got, _enc2(win))
+
+
+@pytest.mark.parametrize(
+    "start,n",
+    [(0, 27), (0, 10), (3, 30), (7, 26), (26, 29), (54, 27), (-4, 9), (95, 30)],
+)
+def test_packed_slice_b5(rng, start, n):
+    s = rng.choice(np.frombuffer(b"ACGTUNacgtun", np.uint8), size=100)
+    got = np.asarray(seqops.packed_slice_b5(jnp.asarray(_enc5(s)), start, n))
+    ext = np.full(200, ord("A"), np.uint8)
+    ext[:100] = _norm5(s)
+    win = ext[max(start, 0) : start + n]
+    if start < 0:
+        win = np.concatenate(
+            [np.full(min(-start, n), ord("A"), np.uint8), win]
+        )[:n]
+    assert np.array_equal(got, _enc5(win))
+
+
+def test_packed_slice_fuzz(rng):
+    """Randomized (L, start, n) sweep, both codecs, incl. degenerate cases."""
+    for _ in range(60):
+        L = int(rng.integers(0, 150))
+        start = int(rng.integers(-35, L + 35))
+        n = int(rng.integers(0, 70))
+        s2 = rng.choice(np.frombuffer(b"ACGTacgtu", np.uint8), size=L)
+        s5 = rng.choice(np.frombuffer(b"ACGTUNacgtun", np.uint8), size=L)
+        for s, enc, normf, op in (
+            (s2, _enc2, _norm2, seqops.packed_slice),
+            (s5, _enc5, _norm5, seqops.packed_slice_b5),
+        ):
+            ext = np.full(max(L, start + n, 1) + 40, ord("A"), np.uint8)
+            if L:
+                ext[:L] = normf(s)
+            win = ext[max(start, 0) : start + n]
+            if start < 0:
+                win = np.concatenate(
+                    [np.full(min(-start, n), ord("A"), np.uint8), win]
+                )[:n]
+            got = np.asarray(op(jnp.asarray(enc(s)), start, n))
+            want = enc(win) if n else np.zeros(0, np.uint32)
+            assert np.array_equal(got, want), (op.__name__, L, start, n)
+
+
+@pytest.mark.parametrize("la,lb", [(0, 40), (40, 0), (32, 32), (17, 45), (3, 1)])
+def test_packed_concat_2bit(rng, la, lb):
+    a = rng.choice(np.frombuffer(b"ACGTacgtu", np.uint8), size=la)
+    b = rng.choice(np.frombuffer(b"ACGTacgtu", np.uint8), size=lb)
+    got = np.asarray(
+        seqops.packed_concat(jnp.asarray(_enc2(a)), la, jnp.asarray(_enc2(b)), lb)
+    )
+    want = _enc2(np.concatenate([_norm2(a), _norm2(b)]).astype(np.uint8))
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("la,lb", [(0, 30), (27, 27), (13, 41), (28, 2), (1, 1)])
+def test_packed_concat_b5(rng, la, lb):
+    a = rng.choice(np.frombuffer(b"ACGTUNacgtun", np.uint8), size=la)
+    b = rng.choice(np.frombuffer(b"ACGTUNacgtun", np.uint8), size=lb)
+    got = np.asarray(
+        seqops.packed_concat_b5(
+            jnp.asarray(_enc5(a)), la, jnp.asarray(_enc5(b)), lb
+        )
+    )
+    want = _enc5(np.concatenate([_norm5(a), _norm5(b)]).astype(np.uint8))
+    assert np.array_equal(got, want)
+
+
+def test_packed_concat_fuzz(rng):
+    """Randomized concat sweep; exercises the cross-lane digit carry (the
+    boundary 7-bit chunk spanning a u32 pair) when it lands on triplet 4."""
+    for _ in range(60):
+        la = int(rng.integers(0, 120))
+        lb = int(rng.integers(0, 120))
+        for alpha, enc, normf, op in (
+            (b"ACGTacgtu", _enc2, _norm2, seqops.packed_concat),
+            (b"ACGTUNacgtun", _enc5, _norm5, seqops.packed_concat_b5),
+        ):
+            a = rng.choice(np.frombuffer(alpha, np.uint8), size=la)
+            b = rng.choice(np.frombuffer(alpha, np.uint8), size=lb)
+            got = np.asarray(op(jnp.asarray(enc(a)), la, jnp.asarray(enc(b)), lb))
+            want = enc(np.concatenate([normf(a), normf(b)]).astype(np.uint8))
+            assert np.array_equal(got, want), (op.__name__, la, lb)
+
+
+def test_packed_slice_roundtrip_with_concat(rng):
+    """concat(slice(x, 0, k), k, slice(x, k, n-k), n-k) == x."""
+    n = 211
+    s = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=n)
+    w = jnp.asarray(_enc2(s))
+    for k in (0, 1, 16, 33, 100, n):
+        left = seqops.packed_slice(w, 0, k)
+        right = seqops.packed_slice(w, k, n - k)
+        back = np.asarray(seqops.packed_concat(left, k, right, n - k))
+        assert np.array_equal(back, np.asarray(w)), k
+    w5 = jnp.asarray(_enc5(rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=n)))
+    for k in (0, 2, 27, 55, 200, n):
+        left = seqops.packed_slice_b5(w5, 0, k)
+        right = seqops.packed_slice_b5(w5, k, n - k)
+        back = np.asarray(seqops.packed_concat_b5(left, k, right, n - k))
+        assert np.array_equal(back, np.asarray(w5)), k
