@@ -85,7 +85,13 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from cute_nucleotides_tpu.ops import kmer, pallas_kernels as pk, seqops, xla
+    from cute_nucleotides_tpu.ops import (
+        kmer,
+        pallas_kernels as pk,
+        search,
+        seqops,
+        xla,
+    )
     from cute_nucleotides_tpu.ops.distance import (
         hamming_packed,
         pairwise_hamming,
@@ -562,6 +568,24 @@ def main() -> int:
             16 * words_flat.size,
             R(4 * words_flat.size, 4),
         )
+        # packed-domain pattern search (Pallas bitmask scan): bit s of
+        # output lane w = match at position 16w+s, so the result is one u32
+        # per input word; denominator is packed bytes read (in-bytes)
+        for qtag, query in (
+            ("7nt", b"GATTACA"),
+            ("45nt", b"ACGT" * 11 + b"A"),
+        ):
+            run(
+                f"search_scan_{qtag}",
+                chained(
+                    lambda w, q=query: search.match_bits(
+                        w, 16 * words_flat.size, q
+                    )
+                ),
+                jnp.asarray(words_flat),
+                4 * words_flat.size,
+                R(4 * words_flat.size, 4 * words_flat.size),
+            )
         wb5_flat = w_b5.reshape(-1)
         run(
             "gc_content_packed_b5",

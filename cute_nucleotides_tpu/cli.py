@@ -419,6 +419,71 @@ def cmd_region(args) -> int:
     return 0
 
 
+def cmd_grep(args) -> int:
+    """Find every occurrence of a pattern in a .nup's records, scanning the
+    PACKED words (``ops.search`` — no decode pass; ``N`` in the pattern is
+    a wildcard).  Prints one JSON line per hit: record, 0-based position,
+    strand; ``--count`` prints one line per record with totals instead."""
+    import jax.numpy as jnp
+
+    from .ops import search, spec
+
+    codec, entries = read_nup(args.input)
+    if codec != "2bit":
+        print(
+            "error: grep scans 2-bit streams; decode base-5 records or "
+            "re-encode with --codec 2bit",
+            file=sys.stderr,
+        )
+        return 1
+    try:
+        search.compile_query(args.pattern.encode())
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    queries = [(args.pattern.encode(), "+")]
+    if args.both:
+        rc = search.revcomp_query(args.pattern.encode())
+        if rc != queries[0][0].upper().replace(b"U", b"T"):
+            queries.append((rc, "-"))
+    total = 0
+    for name, length, words in entries:
+        counts = {}
+        hits = []
+        for q, strand in queries:
+            if length < len(q):
+                counts[strand] = 0
+                continue
+            w32 = jnp.asarray(
+                spec.u64_to_u32_pairs(np.ascontiguousarray(words)).reshape(-1)
+            )
+            pos = search.match_positions(w32, length, q)
+            counts[strand] = len(pos)
+            hits.extend((int(p), strand) for p in pos)
+        total += len(hits)
+        if args.count:
+            print(
+                json.dumps(
+                    {"record": name.decode(errors="replace"), **{
+                        ("fwd" if s == "+" else "rev"): c
+                        for s, c in counts.items()
+                    }}
+                )
+            )
+        else:
+            for p, strand in sorted(hits):
+                print(
+                    json.dumps(
+                        {
+                            "record": name.decode(errors="replace"),
+                            "pos": p,
+                            "strand": strand,
+                        }
+                    )
+                )
+    return 0 if total or args.count else 1
+
+
 def cmd_bench(args) -> int:
     import runpy
     import os
@@ -491,6 +556,22 @@ def main(argv=None) -> int:
     )
     pr.add_argument("--tier", default="xla")
     pr.set_defaults(fn=cmd_region)
+
+    pg = sub.add_parser(
+        "grep",
+        help="find a pattern (N = wildcard) in packed records, no decode",
+    )
+    pg.add_argument("input")
+    pg.add_argument("pattern")
+    pg.add_argument(
+        "--both", action="store_true",
+        help="also scan the reverse strand (revcomp pattern, + / - in output)",
+    )
+    pg.add_argument(
+        "--count", action="store_true",
+        help="print per-record totals instead of individual hits",
+    )
+    pg.set_defaults(fn=cmd_grep)
 
     pb = sub.add_parser("bench", help="run the benchmark harness")
     pb.set_defaults(fn=cmd_bench)

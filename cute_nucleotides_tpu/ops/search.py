@@ -1,0 +1,291 @@
+"""Exact pattern search on the 2-bit packed domain, with N-wildcards.
+
+``grep`` for packed nucleotide streams: find every position where a query
+(up to thousands of nt) occurs, *without decoding* — the packed stream is
+read once and compared word-against-word, so the scan moves ~1/4 the bytes
+of an ASCII search.  ``N``/``n`` in the query is a wildcard (matches any
+nucleotide), which is what degenerate primer/adapter searches need.
+
+A match at position ``i`` means: for every query word ``wq``,
+``(window32(i + 16*wq) ^ q[wq]) & care[wq] == 0`` where ``window32(p)`` is
+the 32-bit funnel window starting at nucleotide ``p`` (the same two-tap
+funnel as :func:`.kmer.kmer_codes`) and ``care`` has ``0b11`` in every
+non-wildcard 2-bit field.  The reference has no search op — this extends
+its packed-domain toolkit (reference src/n_to_bits.rs packs LSB-first,
+which is what makes the window compare a plain shift-OR; see ops/spec.py).
+
+Two tiers:
+
+* **XLA gather tier** (:func:`match_mask`): position-ordered boolean mask
+  via two ``jnp.take`` gathers per query word.  Simple, any length.
+* **Pallas tier** (:func:`match_bits_panels`, driven by
+  :func:`match_bits`): overlapping u32 panels (each row carries its
+  successor words, so every tap is an in-row slice — no cross-row
+  neighbor exchange), producing a PACKED bitmask ``u32[R, W]`` where bit
+  ``s`` of lane ``w`` is the match flag for position ``16*(r*W + w) + s``
+  — 16 positions per output word, so the result stream is as small as the
+  input stream.  The query is baked into the kernel as constants (cached
+  per query): a short-query scan does 16 shift-compare planes over the
+  block and stays memory-bound.
+
+Matching is over the *normalized* sequence (what decode emits: uppercase,
+``U``→``T``) — queries may be any case and use ``U`` freely.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import spec
+
+__all__ = [
+    "compile_query",
+    "revcomp_query",
+    "match_mask",
+    "match_bits",
+    "match_count",
+    "match_positions",
+]
+
+#: query bytes allowed (N/n are wildcards; everything else must be ACGTU)
+_QUERY_OK = frozenset(b"ACGTUacgtuNn")
+
+
+def compile_query(query: bytes) -> tuple[np.ndarray, np.ndarray, int]:
+    """Pack an ASCII query into ``(q u32[Wq], care u32[Wq], m)``.
+
+    ``q`` holds the query's 2-bit codes LSB-first (the stream packing);
+    ``care`` has ``0b11`` in each concrete field and ``0b00`` in wildcard
+    (``N``) fields — wildcard fields of ``q`` are 0.  Raises on bytes
+    outside ``{A,C,G,T,U,N}`` (either case): a typo'd query would
+    otherwise silently search for its ``(byte >> 1) & 3`` alias.
+    """
+    if isinstance(query, str):
+        query = query.encode()
+    m = len(query)
+    if m == 0:
+        raise ValueError("empty query")
+    bad = set(query) - _QUERY_OK
+    if bad:
+        raise ValueError(
+            f"query contains non-ACGTUN bytes: {sorted(chr(b) for b in bad)}"
+        )
+    wq = -(-m // spec.NT_PER_U32_2BIT)
+    q = np.zeros(wq, np.uint32)
+    care = np.zeros(wq, np.uint32)
+    for i, b in enumerate(query):
+        w, f = divmod(i, spec.NT_PER_U32_2BIT)
+        if b not in b"Nn":
+            q[w] |= ((b >> 1) & 3) << (2 * f)
+            care[w] |= 3 << (2 * f)
+    return q, care, m
+
+
+def revcomp_query(query: bytes) -> bytes:
+    """Reverse-complement of an ASCII query (``N`` stays ``N``); search for
+    this to find reverse-strand occurrences at forward coordinates."""
+    if isinstance(query, str):
+        query = query.encode()
+    return query.upper().replace(b"U", b"T")[::-1].translate(
+        bytes.maketrans(b"ACGTN", b"TGCAN")
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("length", "m"))
+def _match_mask_impl(
+    words: jax.Array, q: jax.Array, care: jax.Array, length: int, m: int
+) -> jax.Array:
+    n = length - m + 1
+    wq_n = q.shape[0]
+    padded = jnp.concatenate([words, jnp.zeros(wq_n + 1, jnp.uint32)])
+    i = jnp.arange(n)
+    wl = i // spec.NT_PER_U32_2BIT
+    s = (2 * (i % spec.NT_PER_U32_2BIT)).astype(jnp.uint32)
+    z = jnp.uint32(0)
+    diff = None
+    for wq in range(wq_n):
+        a = jnp.take(padded, wl + wq)
+        b = jnp.take(padded, wl + wq + 1)
+        win = (a >> s) | jnp.where(s == 0, z, b << (32 - s))
+        d = (win ^ q[wq]) & care[wq]
+        diff = d if diff is None else diff | d
+    return diff == 0
+
+
+def match_mask(
+    words: jax.Array, length: int, query: bytes
+) -> jax.Array:
+    """Occurrence mask of ``query`` in a packed u32[W] stream:
+    -> bool[length - m + 1], entry ``i`` true iff the query matches at
+    nucleotide ``i``.  XLA gather tier — use :func:`match_bits` for the
+    packed-bitmask Pallas scan."""
+    if words.ndim != 1:
+        raise TypeError("match_mask takes a flat u32 word stream")
+    q, care, m = compile_query(query)
+    if length - m + 1 <= 0:
+        raise ValueError(f"stream length {length} shorter than query ({m})")
+    if length > words.shape[0] * spec.NT_PER_U32_2BIT:
+        raise ValueError("length exceeds stream capacity")
+    return _match_mask_impl(
+        words, jnp.asarray(q), jnp.asarray(care), length, m
+    )
+
+
+# --- Pallas tier ------------------------------------------------------------
+
+#: output word lanes per panel row (the row's 16*W scan positions)
+_SEARCH_W = 512
+
+
+def _match_bits_kernel(q: tuple, care: tuple):
+    wq_n = len(q)
+
+    def kernel(x_ref, o_ref):
+        x = x_ref[:]
+        rb = x.shape[0]
+        W = o_ref.shape[1]
+        bits = jnp.zeros((rb, W), jnp.uint32)
+        for s in range(spec.NT_PER_U32_2BIT):
+            diff = None
+            for wq in range(wq_n):
+                lo = jax.lax.slice(x, (0, wq), (rb, wq + W))
+                if s:
+                    hi = jax.lax.slice(x, (0, wq + 1), (rb, wq + 1 + W))
+                    win = (lo >> (2 * s)) | (hi << (32 - 2 * s))
+                else:
+                    win = lo
+                d = (win ^ jnp.uint32(q[wq])) & jnp.uint32(care[wq])
+                diff = d if diff is None else diff | d
+            bits = bits | jnp.where(
+                diff == 0, jnp.uint32(1 << s), jnp.uint32(0)
+            )
+        o_ref[:] = bits
+
+    return kernel
+
+
+def match_bits_panels(
+    x: jax.Array, q: tuple, care: tuple, *, interpret: bool = False
+) -> jax.Array:
+    """Overlapping u32[R, W + pad] panels -> packed match bits u32[R, W].
+
+    Bit ``s`` of output lane ``(r, w)`` flags a query match starting at
+    panel position ``16 w + s`` of row ``r``; the input rows carry
+    ``len(q) + 1`` successor words past ``W`` (lane-padded to 128) so
+    every funnel tap is an in-row static slice.  The query/care words are
+    Python ints baked into the kernel (compiled per query).
+    """
+    from . import pallas_kernels as pk
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = pk._auto_interpret(interpret)
+    R, Wp = x.shape
+    W = Wp - 128 * (-(-(len(q) + 1) // 128))
+    if x.dtype != jnp.uint32 or W <= 0 or W % 128:
+        raise TypeError(
+            f"expected u32 panels with 128-aligned overlap, got {x.dtype}{x.shape}"
+        )
+    rb = min(32, max(8, -(-R // 8) * 8))
+    return pl.pallas_call(
+        _match_bits_kernel(tuple(int(v) for v in q), tuple(int(v) for v in care)),
+        grid=(pk._cdiv(R, rb),),
+        in_specs=[
+            pl.BlockSpec((rb, Wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (rb, W), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, W), jnp.uint32),
+        interpret=interpret,
+    )(x)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("length", "q", "care", "m", "interpret")
+)
+def _match_bits_impl(
+    words: jax.Array,
+    length: int,
+    q: tuple,
+    care: tuple,
+    m: int,
+    interpret: bool,
+) -> jax.Array:
+    flat = words.reshape(-1)
+    Wtot = flat.shape[0]
+    W = _SEARCH_W
+    rows = -(-Wtot // W)
+    over = 128 * (-(-(len(q) + 1) // 128))
+    # overlapping panels without a gather: row r = words[r*W : r*W + W + over]
+    # = the plain (rows, W) reshape with the next row's first `over` words
+    # appended (zeros beyond the stream)
+    pad = rows * W - Wtot
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.uint32)])
+    base = flat.reshape(rows, W)
+    nxt_rows = jnp.concatenate(
+        [base[1:, :over], jnp.zeros((1, over), jnp.uint32)], axis=0
+    ) if over <= W else None
+    if nxt_rows is None:  # huge query: overlap wider than a panel row
+        padded = jnp.concatenate([flat, jnp.zeros(over, jnp.uint32)])
+        nxt_rows = jnp.stack(
+            [jax.lax.dynamic_slice(padded, (r * W + W,), (over,)) for r in range(rows)]
+        )
+    panels = jnp.concatenate([base, nxt_rows], axis=1)
+    bits = match_bits_panels(panels, q, care, interpret=interpret)
+    # clear positions past the last valid start (n-1): lane (r, w) covers
+    # positions [16*(r*W + w), +16)
+    n = length - m + 1
+    lane_base = 16 * (
+        jax.lax.broadcasted_iota(jnp.int32, bits.shape, 0) * W
+        + jax.lax.broadcasted_iota(jnp.int32, bits.shape, 1)
+    )
+    v = jnp.clip(n - lane_base, 0, 16)  # valid position starts in this lane
+    return bits & ((jnp.uint32(1) << v.astype(jnp.uint32)) - 1)
+
+
+def match_bits(
+    words: jax.Array, length: int, query: bytes, *, interpret: bool = False
+) -> jax.Array:
+    """Packed occurrence bitmask of ``query``: -> u32[rows, 512] where bit
+    ``s`` of lane ``(r, w)`` flags a match at nucleotide
+    ``16*(512 r + w) + s``.  Pallas scan tier: one memory pass over the
+    stream, output 1/4 the size of the input words."""
+    if words.ndim != 1:
+        raise TypeError("match_bits takes a flat u32 word stream")
+    q, care, m = compile_query(query)
+    if length - m + 1 <= 0:
+        raise ValueError(f"stream length {length} shorter than query ({m})")
+    if length > words.shape[0] * spec.NT_PER_U32_2BIT:
+        raise ValueError("length exceeds stream capacity")
+    return _match_bits_impl(
+        words, length, tuple(int(v) for v in q), tuple(int(v) for v in care),
+        m, interpret,
+    )
+
+
+def match_count(
+    words: jax.Array, length: int, query: bytes, *, interpret: bool = False
+) -> jax.Array:
+    """Number of occurrences of ``query`` (scalar i32, on device)."""
+    bits = match_bits(words, length, query, interpret=interpret)
+    return jax.lax.population_count(bits).sum().astype(jnp.int32)
+
+
+def match_positions(
+    words: jax.Array, length: int, query: bytes, *, interpret: bool = False
+) -> np.ndarray:
+    """Sorted occurrence positions (host ndarray) — the `grep` output form."""
+    bits = np.asarray(match_bits(words, length, query, interpret=interpret))
+    r, w = np.nonzero(bits)
+    pos = []
+    for ri, wi in zip(r, w):
+        b = int(bits[ri, wi])
+        base = 16 * (ri * bits.shape[1] + wi)
+        pos.extend(base + s for s in range(16) if (b >> s) & 1)
+    return np.asarray(sorted(pos), dtype=np.int64)

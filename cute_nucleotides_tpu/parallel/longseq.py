@@ -186,6 +186,90 @@ def _decode_long(bits, length: int, codec: str, mesh: Mesh | None):
     return full[:length]
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_shard_match(mesh: Mesh, q: tuple, care: tuple, m: int, w_eq: int):
+    axis = mesh_lib.SEQ_AXIS
+    from ..ops import search as search_ops
+
+    S = mesh.shape[axis]
+    H = len(q) + 1  # words a window can read past its start word
+
+    def per_shard(w):  # u32[1, w_eq] — this shard's block of the stream
+        flat = w.reshape(-1)
+        # halo: the NEXT shard's first H words (ring ppermute over ICI);
+        # the last shard's wrap-around halo is never read by a valid
+        # window (they end inside the real stream — see match_long)
+        head = jax.lax.slice(flat, (0,), (H,))
+        halo = jax.lax.ppermute(
+            head, axis, [((i + 1) % S, i) for i in range(S)]
+        )
+        ext = jnp.concatenate([flat, halo])
+        # claim every position starting in this block: n_local = 16*w_eq
+        bits = search_ops._match_bits_impl(
+            ext, 16 * w_eq + m - 1, q, care, m, False
+        )
+        return bits.reshape(-1)[:w_eq].reshape(1, w_eq)
+
+    return jax.jit(
+        shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(axis, None),),
+            out_specs=P(axis, None),
+            check_vma=False,
+        )
+    )
+
+
+def match_long(bits, length: int, query: bytes, *, mesh: Mesh | None = None) -> np.ndarray:
+    """Find every occurrence of ``query`` in ONE long 2-bit stream, the word
+    stream block-sharded over the mesh's seq axis (``ops.search`` semantics:
+    ``N`` in the query is a wildcard).  Returns sorted global positions.
+
+    Each shard scans its own words; windows crossing a shard boundary read
+    a ``ppermute``-exchanged halo of the successor shard's head words, so
+    no hit is lost at boundaries and no position is double-counted (a
+    position belongs to the shard owning its start word).
+    """
+    from ..ops import search as search_ops
+
+    if mesh is None:
+        mesh = mesh_lib.make_mesh(data=1, seq=len(jax.devices()))
+    S = mesh.shape[mesh_lib.SEQ_AXIS]
+    q, care, m = search_ops.compile_query(query)
+    n = length - m + 1
+    if n <= 0:
+        raise ValueError(f"stream length {length} shorter than query ({m})")
+    bits = np.ascontiguousarray(bits, dtype=np.uint64)
+    if length > bits.size * spec.NT_PER_WORD_2BIT:
+        raise ValueError("length exceeds stream capacity")
+    w32 = spec.u64_to_u32_pairs(bits).reshape(-1)
+    W = w32.size
+    w_eq = max(-(-W // S), len(q) + 1)  # one halo must cover the overhang
+    pad = S * w_eq - W
+    if pad:
+        w32 = np.concatenate([w32, np.zeros(pad, np.uint32)])
+    sharding = NamedSharding(mesh, P(None, mesh_lib.SEQ_AXIS, None))
+    x = jax.device_put(
+        w32.reshape(1, S, w_eq), sharding
+    ).reshape(S, w_eq)
+    out = np.asarray(
+        _jit_shard_match(mesh, tuple(map(int, q)), tuple(map(int, care)), m, w_eq)(x)
+    ).reshape(-1)
+    # global tail mask: clear claimed positions past the last valid start
+    lane_base = 16 * np.arange(out.size, dtype=np.int64)
+    v = np.clip(n - lane_base, 0, 16).astype(np.uint32)
+    out = out & ((np.uint32(1) << v) - np.uint32(1))
+    w_idx, = np.nonzero(out)
+    pos = [
+        int(16 * w + s)
+        for w in w_idx
+        for s in range(16)
+        if (int(out[w]) >> s) & 1
+    ]
+    return np.asarray(pos, dtype=np.int64)
+
+
 def decode_long_2bit(bits, length: int, *, mesh: Mesh | None = None) -> np.ndarray:
     """Decode a long 2-bit word stream, words sharded over the seq axis."""
     return _decode_long(bits, length, "2bit", mesh)

@@ -220,3 +220,34 @@ def test_cli_region_errors(tmp_path, capsys):
         cli._parse_region("c")
     with pytest.raises(ValueError):
         cli._parse_region("c:5-2")
+
+
+def test_cli_grep(tmp_path, capsys):
+    fa = tmp_path / "in.fa"
+    #             0123456789...          GATTACA at 4; revcomp TGTAATC at 15
+    fa.write_bytes(b">r1\nACGTGATTACAGGGGTGTAATCCC\n>r2\nAAAA\n")
+    nup = str(tmp_path / "x.nup")
+    assert cli.main(["encode", str(fa), nup, "--tier", "oracle"]) == 0
+    capsys.readouterr()  # flush the encode summary line
+    assert cli.main(["grep", nup, "GATTACA", "--both"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {(d["record"], d["pos"], d["strand"]) for d in lines} == {
+        ("r1", 4, "+"), ("r1", 15, "-"),
+    }
+    # wildcard pattern + per-record counts
+    assert cli.main(["grep", nup, "GNTTANA", "--count"]) == 0
+    counts = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert counts == [{"record": "r1", "fwd": 1}, {"record": "r2", "fwd": 0}]
+    # no hits -> exit 1; bad pattern -> exit 1
+    assert cli.main(["grep", nup, "CCCCCCCCCC"]) == 1
+    assert cli.main(["grep", nup, "ACGX"]) == 1
+
+
+def test_cli_grep_rejects_base5(tmp_path):
+    fa = tmp_path / "in.fa"
+    fa.write_bytes(b">r\nACGTN\n")
+    nup = str(tmp_path / "x.nup")
+    assert cli.main(
+        ["encode", str(fa), nup, "--codec", "base5", "--tier", "oracle"]
+    ) == 0
+    assert cli.main(["grep", nup, "ACG"]) == 1

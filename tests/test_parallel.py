@@ -174,3 +174,34 @@ def test_checked_encode_in_shard_map(rng):
             if b == 5
             else oracle.n_to_bits_lut(batch[b]),
         )
+
+
+def test_match_long_sharded_boundaries(rng):
+    """Sharded pattern scan == single-device scan, incl. hits that straddle
+    the shard-boundary halo exchange."""
+    from cute_nucleotides_tpu.ops import search, spec
+
+    L = 50_000
+    s = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=L)
+    # plant GATTACA straddling each 8-way shard boundary of the word split
+    W = spec.num_words_2bit(L) * 2  # u32 words
+    w_eq = -(-W // 8)
+    q = b"GATTACA"
+    planted = []
+    for k in range(1, 8):
+        p = 16 * (k * w_eq) - 3  # spans the boundary between shards k-1, k
+        s[p : p + len(q)] = np.frombuffer(q, np.uint8)
+        planted.append(p)
+    bits = oracle.n_to_bits_lut(s)
+    got = longseq.match_long(bits, L, q)
+    w32 = jnp.asarray(spec.u64_to_u32_pairs(bits).reshape(-1))
+    want = search.match_positions(w32, L, q)
+    assert np.array_equal(got, want)
+    assert set(planted) <= set(got.tolist())
+    # wildcard + explicit mesh + tail position (start = n-1)
+    s2 = np.full(1000, ord("C"), np.uint8)
+    s2[-3:] = [ord("A"), ord("G"), ord("A")]
+    bits2 = oracle.n_to_bits_lut(s2)
+    m = parallel.make_mesh(data=1, seq=8)
+    got2 = longseq.match_long(bits2, 1000, b"ANA", mesh=m)
+    assert np.array_equal(got2, [997])

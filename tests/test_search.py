@@ -1,0 +1,135 @@
+"""Packed-domain pattern search vs a naive host-side oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cute_nucleotides_tpu.ops import oracle, search, spec
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+def _enc(seq) -> jnp.ndarray:
+    seq = np.frombuffer(bytes(seq), np.uint8) if isinstance(seq, bytes) else seq
+    return jnp.asarray(
+        spec.u64_to_u32_pairs(oracle.n_to_bits_lut(seq)).reshape(-1)
+    )
+
+
+def _naive(seq: bytes, query: bytes) -> np.ndarray:
+    """All match positions of query (N = wildcard) in the normalized seq."""
+    s = seq.upper().replace(b"U", b"T")
+    q = query.upper().replace(b"U", b"T")
+    out = []
+    for i in range(len(s) - len(q) + 1):
+        if all(qc in (ord("N"), sc) for sc, qc in zip(s[i:], q)):
+            out.append(i)
+    return np.asarray(out, dtype=np.int64)
+
+
+def test_compile_query_packing():
+    q, care, m = search.compile_query(b"ACGT" * 8 + b"NN")
+    assert m == 34 and q.shape == (3,)
+    # ACGT -> codes 0,1,3,2 LSB-first = 0b10_11_01_00 per 4 nt
+    assert int(q[0]) == int(q[1]) == 0xB4B4B4B4
+    assert int(care[0]) == 0xFFFFFFFF
+    assert int(q[2]) == 0 and int(care[2]) == 0  # the two wildcards
+
+
+def test_compile_query_rejects_junk():
+    with pytest.raises(ValueError):
+        search.compile_query(b"ACGTX")
+    with pytest.raises(ValueError):
+        search.compile_query(b"")
+
+
+def test_revcomp_query():
+    assert search.revcomp_query(b"AACGTN") == b"NACGTT"
+    assert search.revcomp_query(b"acgu") == b"ACGT"
+
+
+@pytest.mark.parametrize("query", [b"ACG", b"acgu", b"ANNT", b"GATTACA"])
+def test_match_mask_basic(rng, query):
+    seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=300))
+    got = np.flatnonzero(np.asarray(search.match_mask(_enc(seq), len(seq), query)))
+    assert np.array_equal(got, _naive(seq, query))
+
+
+def test_match_mask_multiword_query(rng):
+    seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=500))
+    # plant a long query at known offsets, incl. an unaligned one
+    query = seq[123:123 + 47]
+    got = np.flatnonzero(np.asarray(search.match_mask(_enc(seq), len(seq), query)))
+    want = _naive(seq, query)
+    assert 123 in want and np.array_equal(got, want)
+
+
+def test_match_bits_matches_mask(rng):
+    """The Pallas packed-bitmask tier agrees with the XLA mask tier."""
+    for L, query in (
+        (300, b"ACGT"),
+        (9000, b"GATTACA"),
+        (9000, b"ANNNT"),
+        (700, b"TTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTT"),  # 35 nt, 3 words
+    ):
+        seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=L))
+        w = _enc(seq)
+        mask = np.asarray(search.match_mask(w, L, query))
+        bits = np.asarray(search.match_bits(w, L, query))
+        pos = search.match_positions(w, L, query)
+        assert np.array_equal(pos, np.flatnonzero(mask))
+        # every set bit decodes to a masked position and vice versa
+        total = int(np.bitwise_count(bits).sum()) if hasattr(np, "bitwise_count") \
+            else sum(bin(int(v)).count("1") for v in bits.reshape(-1))
+        assert total == int(mask.sum())
+        assert int(search.match_count(w, L, query)) == int(mask.sum())
+
+
+def test_match_bits_tail_padding_no_false_hits():
+    """'A'-padding beyond the stream must not fabricate poly-A matches."""
+    L = 40
+    seq = b"C" * (L - 3) + b"AAA"
+    w = _enc(seq)
+    pos = search.match_positions(w, L, b"AAA")
+    assert np.array_equal(pos, [L - 3])
+    # a query of all-wildcards matches every valid start and nothing past it
+    n = L - 3 + 1
+    assert int(search.match_count(w, L, b"NNN")) == n
+
+
+def test_match_fuzz(rng):
+    for _ in range(40):
+        L = int(rng.integers(20, 400))
+        m = int(rng.integers(1, min(L, 70)))
+        seq = bytes(rng.choice(np.frombuffer(b"ACGTacgtu", np.uint8), size=L))
+        qs = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=m)
+        query = bytes(qs)
+        w = _enc(seq)
+        want = _naive(seq, query)
+        assert np.array_equal(
+            np.flatnonzero(np.asarray(search.match_mask(w, L, query))), want
+        ), (L, query)
+        assert np.array_equal(search.match_positions(w, L, query), want), (L, query)
+
+
+def test_match_strand_composition(rng):
+    """Reverse-strand hits = forward hits of the revcomp query."""
+    seq = b"AAAAACGTAGGGTTTCCC" + b"GATTACA" + b"TTTT"
+    w = _enc(seq)
+    rc = search.revcomp_query(b"TGTAATC")  # revcomp -> GATTACA
+    assert rc == b"GATTACA"
+    pos = search.match_positions(w, len(seq), rc)
+    assert np.array_equal(pos, [18])
+
+
+def test_match_errors():
+    w = _enc(b"ACGTACGT")
+    with pytest.raises(ValueError):
+        search.match_mask(w, 8, b"ACGTACGTT")  # query longer than stream
+    with pytest.raises(ValueError):
+        search.match_bits(w, 999, b"ACG")  # length exceeds capacity
+    with pytest.raises(TypeError):
+        search.match_mask(jnp.zeros((2, 2), jnp.uint32), 8, b"ACG")

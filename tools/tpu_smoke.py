@@ -205,6 +205,21 @@ def main() -> int:
         "revcomp_packed_b5",
         np.array_equal(spec.u32_pairs_to_u64(rcb5), want_rc5),
     )
+    # pattern search: the Pallas packed-bitmask scan (new kernel) vs the
+    # XLA mask tier, wildcard + multi-word query, on the 40 knt stream
+    from cute_nucleotides_tpu.ops import search
+
+    for q in (b"GATTACA", b"ANNTG", bytes(ks[1000:1000 + 45])):
+        mask = np.flatnonzero(np.asarray(search.match_mask(kw, kl, q)))
+        got_pos = search.match_positions(kw, kl, q)
+        ok(
+            f"search match_bits vs mask ({len(q)} nt)",
+            np.array_equal(got_pos, mask),
+        )
+    ok(
+        "search planted multiword hit",
+        1000 in search.match_positions(kw, kl, bytes(ks[1000:1000 + 45])),
+    )
 
     print(f"TPU SMOKE PASS ({checks} checks)", file=sys.stderr)
     print('{"tpu_smoke": "PASS", "checks": %d}' % checks)
