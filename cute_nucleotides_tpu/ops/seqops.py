@@ -38,6 +38,8 @@ __all__ = [
     "packed_concat",
     "packed_slice_b5",
     "packed_concat_b5",
+    "translate_packed",
+    "translate_6frame",
 ]
 
 
@@ -622,3 +624,68 @@ def packed_concat_b5(
         [jnp.zeros(1, jnp.uint32), carry.astype(jnp.uint32)[:-1]]
     )
     return s
+
+
+# ---------------------------------------------------------------------------
+# Codon translation on the packed domain
+# ---------------------------------------------------------------------------
+# DNA -> protein without decoding: a codon is the 6-bit window starting at
+# every third position of the 2-bit stream — exactly the k = 3 funnel of
+# :mod:`.kmer` — and the standard genetic code is one 64-entry LUT on that
+# code (first base in the LOW 2 bits, the stream's LSB-first convention).
+
+
+@functools.lru_cache(maxsize=1)
+def _codon_lut() -> "np.ndarray":
+    """64-entry codon -> amino-acid LUT indexed by ``c0 + 4 c1 + 16 c2``
+    (2-bit codes A=0 C=1 T=2 G=3).  NCBI standard code (table 1), built
+    from the canonical TCAG-order spelling so no codon is hand-transcribed;
+    stops are ``*``."""
+    import numpy as np
+
+    aas = b"FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG"
+    code = {ord("A"): 0, ord("C"): 1, ord("T"): 2, ord("G"): 3}
+    tcag = b"TCAG"
+    lut = np.zeros(64, np.uint8)
+    for i, aa in enumerate(aas):
+        b1, b2, b3 = tcag[i >> 4], tcag[(i >> 2) & 3], tcag[i & 3]
+        lut[code[b1] | (code[b2] << 2) | (code[b3] << 4)] = aa
+    return lut
+
+
+@functools.partial(jax.jit, static_argnames=("length", "frame"))
+def translate_packed(
+    words: jax.Array, length: int, frame: int = 0
+) -> jax.Array:
+    """Translate a 2-bit packed stream to amino acids: -> u8[(length-frame)//3].
+
+    ``frame`` in {0, 1, 2} is the forward reading-frame offset.  Codons are
+    read straight off the packed words (the k = 3 funnel window of
+    :func:`.kmer.kmer_codes` at stride 3) and mapped through the standard
+    genetic code; stop codons emit ``*``.  For reverse frames feed
+    :func:`revcomp_packed` output (:func:`translate_6frame` does).
+    """
+    from . import kmer
+
+    if frame not in (0, 1, 2):
+        raise ValueError("frame must be 0, 1 or 2")
+    n_cod = (length - frame) // 3
+    if n_cod <= 0:
+        raise ValueError(f"length {length} has no frame-{frame} codon")
+    codes = kmer.kmer_codes(words, length, 3)
+    sel = jax.lax.slice(codes, (frame,), (frame + 3 * (n_cod - 1) + 1,), (3,))
+    return jnp.take(jnp.asarray(_codon_lut()), sel).astype(jnp.uint8)
+
+
+def translate_6frame(words: jax.Array, length: int) -> list[jax.Array]:
+    """All six reading frames: ``[+0, +1, +2, -0, -1, -2]`` as u8 arrays.
+
+    Reverse frames translate the reverse complement (computed on the packed
+    domain by :func:`revcomp_packed` — still no decode pass); frame ``-j``
+    starts ``j`` nucleotides into the reverse-complemented sequence, the
+    samtools/EMBOSS convention.
+    """
+    rc = revcomp_packed(words, length)
+    return [translate_packed(words, length, f) for f in range(3)] + [
+        translate_packed(rc, length, f) for f in range(3)
+    ]

@@ -294,3 +294,76 @@ def test_packed_slice_roundtrip_with_concat(rng):
         right = seqops.packed_slice_b5(w5, k, n - k)
         back = np.asarray(seqops.packed_concat_b5(left, k, right, n - k))
         assert np.array_equal(back, np.asarray(w5)), k
+
+
+# ---------------------------------------------------------------------------
+# Packed-domain codon translation
+# ---------------------------------------------------------------------------
+
+_CODON_TABLE = {}
+
+
+def _fill_codon_table():
+    aas = "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG"
+    tcag = "TCAG"
+    for i, aa in enumerate(aas):
+        _CODON_TABLE[tcag[i >> 4] + tcag[(i >> 2) & 3] + tcag[i & 3]] = aa
+
+
+_fill_codon_table()
+
+
+def _naive_translate(seq: bytes, frame: int) -> bytes:
+    s = seq.upper().replace(b"U", b"T").decode()
+    return "".join(
+        _CODON_TABLE[s[i : i + 3]]
+        for i in range(frame, len(s) - 2, 3)
+    ).encode()
+
+
+def test_codon_table_spot_checks():
+    # classic anchors: start, stops, tryptophan
+    assert _CODON_TABLE["ATG"] == "M"
+    assert _CODON_TABLE["TAA"] == _CODON_TABLE["TAG"] == _CODON_TABLE["TGA"] == "*"
+    assert _CODON_TABLE["TGG"] == "W"
+    assert _CODON_TABLE["GAT"] == "D" and _CODON_TABLE["AAA"] == "K"
+
+
+@pytest.mark.parametrize("frame", [0, 1, 2])
+def test_translate_packed(rng, frame):
+    for L in (3, 4, 5, 47, 96, 300):
+        if (L - frame) // 3 <= 0:
+            continue
+        s = bytes(rng.choice(np.frombuffer(b"ACGTacgtu", np.uint8), size=L))
+        w = jnp.asarray(
+            spec.u64_to_u32_pairs(
+                oracle.n_to_bits_lut(np.frombuffer(s, np.uint8))
+            ).reshape(-1)
+        )
+        got = bytes(np.asarray(seqops.translate_packed(w, L, frame)))
+        assert got == _naive_translate(s, frame), (L, frame)
+
+
+def test_translate_6frame(rng):
+    L = 101
+    s = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=L))
+    w = jnp.asarray(
+        spec.u64_to_u32_pairs(
+            oracle.n_to_bits_lut(np.frombuffer(s, np.uint8))
+        ).reshape(-1)
+    )
+    frames = seqops.translate_6frame(w, L)
+    assert len(frames) == 6
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    rc = s.translate(comp)[::-1]
+    for f in range(3):
+        assert bytes(np.asarray(frames[f])) == _naive_translate(s, f)
+        assert bytes(np.asarray(frames[3 + f])) == _naive_translate(rc, f)
+
+
+def test_translate_errors():
+    w = jnp.zeros(2, jnp.uint32)
+    with pytest.raises(ValueError):
+        seqops.translate_packed(w, 2, 0)  # no whole codon
+    with pytest.raises(ValueError):
+        seqops.translate_packed(w, 9, 3)  # bad frame
