@@ -91,6 +91,12 @@ def load() -> ctypes.CDLL | None:
         lib.cutenuc_depad_nt4.restype = None
         lib.cutenuc_find_invalid.argtypes = [u8p, ctypes.c_size_t, ctypes.c_int]
         lib.cutenuc_find_invalid.restype = ctypes.c_longlong
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.cutenuc_fill_rows.argtypes = [
+            u8p, i64p, i64p, ctypes.c_size_t, u8p,
+            ctypes.c_size_t, ctypes.c_size_t,
+        ]
+        lib.cutenuc_fill_rows.restype = None
         _lib = lib
         return _lib
 

@@ -147,6 +147,28 @@ void cutenuc_depad_nt4(const uint8_t* panels, size_t rows, uint8_t* out) {
   }
 }
 
+// Batch-assembly fill: scatter `cnt` parsed reads into a fixed-shape padded
+// batch (the host stage of the streaming pipeline, utils/io.fastq_batches).
+// Row i < cnt gets buf[starts[i] .. starts[i]+min(lens[i],max_len)) followed
+// by 'A' padding; rows cnt..rows-1 are all-'A' (the encoder's pad rows).
+// One memcpy + one memset per row replaces a ~0.5 us/read Python slice loop —
+// the measured host-side cap of the streaming encoder once parsing itself is
+// vectorized.
+void cutenuc_fill_rows(const uint8_t* buf, const int64_t* starts,
+                       const int64_t* lens, size_t cnt, uint8_t* reads,
+                       size_t rows, size_t max_len) {
+  for (size_t i = 0; i < cnt; ++i) {
+    size_t l = static_cast<size_t>(lens[i]);
+    if (l > max_len) l = max_len;
+    uint8_t* row = reads + i * max_len;
+    std::memcpy(row, buf + starts[i], l);
+    std::memset(row + l, 'A', max_len - l);
+  }
+  if (rows > cnt) {
+    std::memset(reads + cnt * max_len, 'A', (rows - cnt) * max_len);
+  }
+}
+
 // Validation pass: returns the index of the first byte outside the accepted
 // alphabet, or (size_t)-1 if all bytes are valid.  alphabet_mask bit i set
 // means ASCII-ish class i is allowed; we accept {A,C,G,T,U} upper/lower and,

@@ -22,6 +22,8 @@ void cutenuc_bits_to_n(const uint64_t*, size_t, uint8_t*);
 void cutenuc_n_to_bits2(const uint8_t*, size_t, uint64_t*);
 void cutenuc_bits_to_n2(const uint64_t*, size_t, uint8_t*);
 long long cutenuc_find_invalid(const uint8_t*, size_t, int);
+void cutenuc_fill_rows(const uint8_t*, const int64_t*, const int64_t*, size_t,
+                       uint8_t*, size_t, size_t);
 }
 
 static int failures = 0;
@@ -94,6 +96,19 @@ int main() {
     cutenuc_n_to_bits(s.data(), s.size(), w.data());
     cutenuc_n_to_bits2(s.data(), s.size(), w5.data());
     CHECK(cutenuc_find_invalid(s.data(), s.size(), 1) == 0, "find_invalid");
+  }
+
+  // batch fill: ragged reads, truncation at max_len, pad rows all-'A'
+  {
+    const uint8_t buf[] = "ACGTACGTACGTACGTacgtNNNNuuuu";
+    const int64_t starts[3] = {0, 4, 16};
+    const int64_t lens[3] = {4, 12, 12};  // row 1 truncates at max_len 8
+    std::vector<uint8_t> reads(4 * 8, 0xEE);
+    cutenuc_fill_rows(buf, starts, lens, 3, reads.data(), 4, 8);
+    CHECK(std::memcmp(reads.data(), "ACGTAAAA", 8) == 0, "fill row 0 + pad");
+    CHECK(std::memcmp(reads.data() + 8, "ACGTACGT", 8) == 0, "fill truncated");
+    CHECK(std::memcmp(reads.data() + 16, "acgtNNNN", 8) == 0, "fill raw bytes");
+    CHECK(std::memcmp(reads.data() + 24, "AAAAAAAA", 8) == 0, "fill pad row");
   }
 
   if (failures == 0) {

@@ -345,6 +345,62 @@ def test_fastq_batches_matches_batchstream(tmp_path, rng):
             assert np.array_equal(x.lengths, y.lengths)
 
 
+def test_fill_rows_native_matches_fallback(rng, monkeypatch):
+    """ops.native.fill_rows: C path == NumPy fallback (ragged, truncation,
+    pad rows), and out-of-bounds spans are rejected before reaching C."""
+    from cute_nucleotides_tpu.ops import native
+
+    buf = rng.choice(np.frombuffer(b"ACGTNacgtn", np.uint8), 4096)
+    starts = rng.integers(0, 3800, 37).astype(np.int64)
+    lens = rng.integers(0, 300, 37).astype(np.int64)  # some exceed width 128
+    out_native = np.full((48, 128), 0xEE, np.uint8)
+    native.fill_rows(buf, starts, lens, out_native)
+    out_fb = np.full((48, 128), 0xEE, np.uint8)
+    monkeypatch.setattr(native, "_lib", lambda: None)
+    native.fill_rows(buf, starts, lens, out_fb)
+    assert np.array_equal(out_native, out_fb)
+    assert np.all(out_native[37:] == ord("A"))
+    monkeypatch.undo()
+
+    if native.available():
+        with pytest.raises(ValueError, match="out of buffer bounds"):
+            native.fill_rows(
+                buf,
+                np.array([4090], np.int64),
+                np.array([100], np.int64),
+                np.empty((1, 128), np.uint8),
+            )
+        with pytest.raises(ValueError, match="reads for"):
+            native.fill_rows(
+                buf,
+                np.zeros(3, np.int64),
+                np.zeros(3, np.int64),
+                np.empty((2, 8), np.uint8),
+            )
+
+
+def test_fastq_batches_fallback_matches_native(tmp_path, rng, monkeypatch):
+    """fastq_batches emits identical batches with and without the C fill."""
+    from cute_nucleotides_tpu.ops import native
+
+    parts = []
+    for i in range(150):
+        L = int(rng.integers(0, 90))
+        s = bytes(rng.choice(np.frombuffer(b"ACGTN", np.uint8), L))
+        parts.append(b"@r%d\n" % i + s + b"\r\n+\n" + b"I" * L + b"\n")
+    fq = tmp_path / "t.fastq"
+    fq.write_bytes(b"".join(parts))
+    a = list(io.fastq_batches(str(fq), 32, 96))
+    monkeypatch.setattr(native, "_lib", lambda: None)
+    b = list(io.fastq_batches(str(fq), 32, 96))
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert x.count == y.count
+        assert np.array_equal(x.reads, y.reads)
+        assert np.array_equal(x.lengths, y.lengths)
+        assert np.array_equal(x.indices, y.indices)
+
+
 def test_streaming_encoder_run_batches(tmp_path, rng):
     """run_batches (the fastq_batches fast path) delivers the same packed
     words as run() and honors the manifest resume contract."""
