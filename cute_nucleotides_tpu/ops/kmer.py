@@ -59,6 +59,7 @@ __all__ = [
     "canonical_codes",
     "canonical_codes_pair",
     "kmer_histogram",
+    "kmer_histogram_batch",
     "kmer_counts",
     "kmer_hashes",
     "minimizers",
@@ -407,6 +408,70 @@ def _kmer_histogram_scatter(
     if canonical:
         codes = canonical_codes(codes, k)
     return jnp.zeros(4**k, jnp.int32).at[codes].add(1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "canonical"))
+def kmer_histogram_batch(
+    words: jax.Array, lengths, k: int, *, canonical: bool = False
+) -> jax.Array:
+    """Summed per-read k-mer spectrum of a padded batch:
+    u32[B, W] + lengths i32[B] -> i32[4**k].
+
+    Each row is an independent read (the form the streaming pipeline
+    produces, 'A'-padded to a uniform width): the per-row successor stream
+    is zeroed at the row end so k-mer windows never span a read boundary
+    (flattening the batch would count (B-1)(k-1) phantom junction k-mers),
+    and ``lengths`` (scalar or per-read) masks both the padding tail and
+    rows shorter than k.  One planar-extraction pass + one histogram over
+    the whole batch — the vectorized replacement for a per-read host loop.
+    k <= 8 counts on the MXU (see :func:`kmer_histogram`); k in [9, 12]
+    scatter-adds into the dense array.
+    """
+    if not 1 <= k <= 12:
+        raise ValueError(
+            "kmer_histogram_batch covers k in [1, 12] (dense bins); use "
+            "kmer_counts per read for larger k"
+        )
+    if words.ndim != 2:
+        raise TypeError(f"expected u32[B, W] batch, got {words.shape}")
+    B, Wr = words.shape
+    lengths = jnp.broadcast_to(
+        jnp.asarray(lengths, jnp.int32).reshape(-1), (B,)
+    )
+    lengths = jnp.minimum(lengths, Wr * spec.NT_PER_U32_2BIT)
+    nxt = jnp.concatenate(
+        [words[:, 1:], jnp.zeros((B, 1), jnp.uint32)], axis=1
+    )
+    flat, nflat = words.reshape(-1), nxt.reshape(-1)
+    Wtot = B * Wr
+    rows = -(-Wtot // _PLANAR_W)
+    pad = rows * _PLANAR_W - Wtot
+    if pad:
+        z = jnp.zeros(pad, jnp.uint32)
+        flat = jnp.concatenate([flat, z])
+        nflat = jnp.concatenate([nflat, z])
+    shape = (rows, _PLANAR_W)
+    codes = kmer_codes_planar(flat.reshape(shape), nflat.reshape(shape), k)
+    if canonical:
+        codes = canonical_codes(codes, k)
+    # planar col W*s + w of panel row r holds the code at flat word
+    # q = r*W + w, in-word shift s — i.e. read q // Wr, position
+    # 16*(q % Wr) + s within it
+    W = _PLANAR_W
+    col = jax.lax.broadcasted_iota(jnp.int32, codes.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, codes.shape, 0)
+    q = row * W + col % W
+    pos = 16 * (q % Wr) + col // W
+    lim = jnp.take(lengths, jnp.minimum(q // Wr, B - 1)) - (k - 1)
+    valid = (q < Wtot) & (pos < lim)
+    codes = jnp.where(valid, codes, 0)
+    if k <= 8:
+        counts = _hist_mxu(codes.reshape(-1, W)).reshape(-1)[: 4**k]
+    else:
+        counts = jnp.zeros(4**k, jnp.int32).at[codes.reshape(-1)].add(1)
+    # masked positions all landed in bin 0; remove them
+    n_valid = jnp.sum(jnp.maximum(lengths - (k - 1), 0))
+    return counts.at[0].add(n_valid - codes.size)
 
 
 def kmer_histogram(

@@ -121,6 +121,53 @@ def data_parallel_decode(
     return _jit_dp(codec, variant, tier, mesh, gather, True)(words)
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_spectrum(k: int, canonical: bool, mesh: Mesh):
+    from ..ops import kmer as kmer_lib
+
+    axis = mesh_lib.DATA_AXIS
+
+    def per_shard(words, lengths):
+        h = kmer_lib.kmer_histogram_batch(words, lengths, k, canonical=canonical)
+        return jax.lax.psum(h, axis)
+
+    return jax.jit(
+        shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis)),
+            out_specs=P(None),
+            check_vma=False,
+        )
+    )
+
+
+def kmer_spectrum(
+    words: jax.Array,
+    lengths,
+    k: int,
+    *,
+    mesh: Mesh | None = None,
+    canonical: bool = False,
+) -> jax.Array:
+    """Global k-mer spectrum of a packed read batch over the mesh:
+    u32[B, W] + lengths -> replicated i32[4**k].
+
+    The distributed analysis pipeline in one collective: the batch axis
+    shards over the data axis, each device runs the planar-extraction +
+    histogram pass on its shard (:func:`..ops.kmer.kmer_histogram_batch` —
+    windows never span reads, padding masked via ``lengths``), and one
+    ``psum`` over ICI merges the 4**k-bin spectra.  B must divide by the
+    data-axis size; k <= 12 (dense bins).
+    """
+    if mesh is None:
+        mesh = mesh_lib.default_mesh()
+    lengths = jnp.broadcast_to(
+        jnp.asarray(lengths, jnp.int32).reshape(-1), (words.shape[0],)
+    )
+    return _jit_spectrum(k, canonical, mesh)(words, lengths)
+
+
 class ShardedCodec:
     """A codec model bound to a mesh: shard-in, shard-out batch codec.
 

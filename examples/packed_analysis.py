@@ -61,15 +61,14 @@ assert np.array_equal(np.asarray(rejoined), np.asarray(words[0]).reshape(-1))
 print(f"packed_slice(37, 61) + packed_concat splice back: ok")
 
 # --- k-mer spectrum (Pallas extraction + MXU histogram) --------------------
-# reads are independent sequences: histogram each row separately and sum,
-# so windows never span a read boundary (flattening the batch would count
-# (B-1)*(k-1) phantom k-mers joining the tail of one read to the head of
-# the next)
+# reads are independent sequences: kmer_histogram_batch zeroes the per-row
+# successor stream so windows never span a read boundary (flattening the
+# batch would count (B-1)*(k-1) phantom junction k-mers), and masks ragged
+# tails via lengths — one device pass for the whole batch
 k = 8
-per_read = jax.jit(lambda w: kmer.kmer_histogram(w, length=L, k=k))
-hist = np.zeros(4 ** k, np.int64)
-for b in range(B):
-    hist += np.asarray(per_read(jnp.asarray(words[b]).reshape(-1)))
+hist = np.asarray(
+    kmer.kmer_histogram_batch(jnp.asarray(words), L, k)
+).astype(np.int64)
 top = np.argsort(hist)[::-1][:5]
 
 

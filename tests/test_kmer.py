@@ -75,6 +75,58 @@ def test_kmer_histogram_canonical(rng):
     assert hist.tolist() == naive.tolist()
 
 
+@pytest.mark.parametrize("k,canonical", [(4, False), (8, True), (10, False)])
+def test_kmer_histogram_batch_ragged(rng, k, canonical):
+    """Batched spectrum == sum of per-read naive histograms over TRUE
+    lengths: padding and read junctions contribute nothing."""
+    B, L = 7, 96
+    reads = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(B, L))
+    lengths = rng.integers(0, L + 1, B).astype(np.int32)
+    lengths[0] = 0
+    lengths[1] = k - 1  # shorter than k: zero windows
+    lengths[2] = L
+    want = np.zeros(4**k, np.int64)
+    rows = []
+    for b in range(B):
+        seq = reads[b].copy()
+        seq[lengths[b]:] = ord("A")  # batch padding convention
+        rows.append(spec.u64_to_u32_pairs(oracle.n_to_bits_lut(seq)).reshape(-1))
+        for c in _naive_codes(bytes(seq[: lengths[b]]), k):
+            if canonical:
+                c = min(c, _naive_rc(c, k))
+            want[c] += 1
+    words = jnp.asarray(np.stack(rows))
+    got = np.asarray(
+        kmer.kmer_histogram_batch(words, jnp.asarray(lengths), k, canonical=canonical)
+    )
+    assert got.sum() == want.sum() == np.maximum(lengths - k + 1, 0).sum()
+    assert np.array_equal(got, want)
+
+
+def test_kmer_histogram_batch_uniform_scalar_length(rng):
+    """Scalar length broadcast; agrees with the flat kmer_histogram row sum."""
+    B, L, k = 4, 64, 6
+    reads = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(B, L))
+    rows = [
+        spec.u64_to_u32_pairs(oracle.n_to_bits_lut(reads[b])).reshape(-1)
+        for b in range(B)
+    ]
+    words = jnp.asarray(np.stack(rows))
+    got = np.asarray(kmer.kmer_histogram_batch(words, L, k))
+    want = sum(
+        np.asarray(kmer.kmer_histogram(jnp.asarray(r), L, k)) for r in rows
+    )
+    assert np.array_equal(got, want)
+
+
+def test_kmer_histogram_batch_errors():
+    w = jnp.zeros((2, 4), jnp.uint32)
+    with pytest.raises(ValueError, match="k in \\[1, 12\\]"):
+        kmer.kmer_histogram_batch(w, 64, 13)
+    with pytest.raises(TypeError, match="batch"):
+        kmer.kmer_histogram_batch(jnp.zeros(4, jnp.uint32), 64, 4)
+
+
 def test_kmer_errors():
     w = jnp.zeros(2, jnp.uint32)
     with pytest.raises(ValueError):

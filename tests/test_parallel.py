@@ -41,6 +41,39 @@ def test_data_parallel_encode_matches_oracle(rng, gather):
         )
 
 
+def test_kmer_spectrum_sharded_matches_single_device(rng):
+    """psum-merged spectrum over the 8-device mesh == the batched histogram
+    on one device, with ragged per-read lengths."""
+    from cute_nucleotides_tpu.ops import kmer
+
+    B, L, k = 16, 96, 6
+    reads = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(B, L))
+    lengths = rng.integers(0, L + 1, B).astype(np.int32)
+    for b in range(B):
+        reads[b, lengths[b]:] = ord("A")
+    words = jnp.asarray(
+        np.stack([
+            spec.u64_to_u32_pairs(oracle.n_to_bits_lut(reads[b])).reshape(-1)
+            for b in range(B)
+        ])
+    )
+    got = np.asarray(
+        parallel.kmer_spectrum(words, jnp.asarray(lengths), k)
+    )
+    want = np.asarray(kmer.kmer_histogram_batch(words, jnp.asarray(lengths), k))
+    assert got.shape == (4**k,)
+    assert int(got.sum()) == int(np.maximum(lengths - k + 1, 0).sum())
+    assert np.array_equal(got, want)
+    # canonical variant also merges correctly
+    got_c = np.asarray(
+        parallel.kmer_spectrum(words, jnp.asarray(lengths), k, canonical=True)
+    )
+    want_c = np.asarray(
+        kmer.kmer_histogram_batch(words, jnp.asarray(lengths), k, canonical=True)
+    )
+    assert np.array_equal(got_c, want_c)
+
+
 def test_data_parallel_decode_roundtrip(rng):
     B, L = 8, 64
     batch = rng.choice(ALPHABET, size=(B, L))
