@@ -421,30 +421,39 @@ def cmd_region(args) -> int:
 
 def cmd_grep(args) -> int:
     """Find every occurrence of a pattern in a .nup's records, scanning the
-    PACKED words (``ops.search`` — no decode pass; ``N`` in the pattern is
-    a wildcard).  Prints one JSON line per hit: record, 0-based position,
-    strand; ``--count`` prints one line per record with totals instead."""
+    PACKED words (``ops.search`` — no decode pass).  On 2-bit streams ``N``
+    in the pattern is a wildcard; on base-5 streams ``N`` is a literal (the
+    codec has a real N digit) and ``?`` is the wildcard.  Prints one JSON
+    line per hit: record, 0-based position, strand; ``--count`` prints one
+    line per record with totals instead."""
     import jax.numpy as jnp
 
     from .ops import search, spec
 
     codec, entries = read_nup(args.input)
-    if codec != "2bit":
-        print(
-            "error: grep scans 2-bit streams; decode base-5 records or "
-            "re-encode with --codec 2bit",
-            file=sys.stderr,
-        )
-        return 1
+    is_b5 = codec != "2bit"
+    compile_q = search.compile_query_b5 if is_b5 else search.compile_query
+    positions = search.match_positions_b5 if is_b5 else search.match_positions
     try:
-        search.compile_query(args.pattern.encode())
+        compile_q(args.pattern.encode())
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
     queries = [(args.pattern.encode(), "+")]
     if args.both:
-        rc = search.revcomp_query(args.pattern.encode())
-        if rc != queries[0][0].upper().replace(b"U", b"T"):
+        raw = args.pattern.encode()
+        if is_b5:
+            # '?' is not a base: complement via the N placeholder, then
+            # restore the wildcard at its reversed position (literal Ns
+            # keep mapping N -> N)
+            rc = search.revcomp_query(raw.replace(b"?", b"N"))
+            rc = bytes(
+                ord("?") if p == ord("?") else w
+                for p, w in zip(raw[::-1], rc)
+            )
+        else:
+            rc = search.revcomp_query(raw)
+        if rc != raw.upper().replace(b"U", b"T"):
             queries.append((rc, "-"))
     total = 0
     for name, length, words in entries:
@@ -457,7 +466,7 @@ def cmd_grep(args) -> int:
             w32 = jnp.asarray(
                 spec.u64_to_u32_pairs(np.ascontiguousarray(words)).reshape(-1)
             )
-            pos = search.match_positions(w32, length, q)
+            pos = positions(w32, length, q)
             counts[strand] = len(pos)
             hits.extend((int(p), strand) for p in pos)
         total += len(hits)
@@ -559,7 +568,8 @@ def main(argv=None) -> int:
 
     pg = sub.add_parser(
         "grep",
-        help="find a pattern (N = wildcard) in packed records, no decode",
+        help="find a pattern in packed records, no decode (2-bit: N = "
+        "wildcard; base-5: N literal, ? = wildcard)",
     )
     pg.add_argument("input")
     pg.add_argument("pattern")

@@ -49,6 +49,10 @@ __all__ = [
     "match_bits",
     "match_count",
     "match_positions",
+    "compile_query_b5",
+    "match_mask_b5",
+    "match_count_b5",
+    "match_positions_b5",
 ]
 
 #: query bytes allowed (N/n are wildcards; everything else must be ACGTU)
@@ -289,3 +293,145 @@ def match_positions(
         base = 16 * (ri * bits.shape[1] + wi)
         pos.extend(base + s for s in range(16) if (b >> s) & 1)
     return np.asarray(sorted(pos), dtype=np.int64)
+
+
+# --- base-5 codec ------------------------------------------------------------
+# The base-5 stream has a REAL ``N`` symbol, so ``N`` in a base-5 query is a
+# literal (matches stream N exactly) and the wildcard is ``?``.  Matching
+# works at the TRIPLET level: each packed 7-bit value v = a + 5b + 25c is
+# converted once to the digit-isolated base-8 form ``a | b<<3 | c<<6`` (two
+# exact multiply-shifts — the same Lemire constants the decoder uses,
+# reference src/n_to_bits2.rs:210-211), after which a per-digit comparison
+# is a plain XOR + care mask, exactly like the 2-bit tier.  A query at
+# stream position p only constrains triplets, so the scan runs three
+# phase-aligned folds (p mod 3 = 0, 1, 2) over the triplet stream and
+# interleaves the three masks.
+
+_QUERY_B5_OK = frozenset(b"ACGTUNacgtun?")
+
+
+def compile_query_b5(
+    query: bytes,
+) -> tuple[tuple[np.ndarray, np.ndarray], ...]:
+    """Pack an ASCII base-5 query into three phase-aligned
+    ``(q8 u32[T], care8 u32[T])`` tables (phase = start position mod 3).
+
+    ``q8[j]`` holds the query digits covering stream triplet ``j`` in
+    base-8 slots (3 bits per digit); ``care8`` has ``0b111`` per concrete
+    slot and 0 for ``?`` wildcards and slots outside the query.  Raises on
+    bytes outside ``{A,C,G,T,U,N,?}`` (either case).
+    """
+    if isinstance(query, str):
+        query = query.encode()
+    m = len(query)
+    if m == 0:
+        raise ValueError("empty query")
+    bad = set(query) - _QUERY_B5_OK
+    if bad:
+        raise ValueError(
+            f"query contains non-ACGTUN? bytes: {sorted(chr(b) for b in bad)}"
+        )
+    digits = [
+        None if b == ord("?") else int(spec.DIGIT_LUT8[b & 7])
+        for b in query
+    ]
+    out = []
+    for phase in range(3):
+        T = -(-(phase + m) // 3)
+        q8 = np.zeros(T, np.uint32)
+        care8 = np.zeros(T, np.uint32)
+        for i, d in enumerate(digits):
+            if d is None:
+                continue
+            j, slot = divmod(phase + i, 3)
+            q8[j] |= d << (3 * slot)
+            care8[j] |= 7 << (3 * slot)
+        out.append((q8, care8))
+    return tuple(out)
+
+
+def _b5_triplets_b8(words: jax.Array) -> jax.Array:
+    """Interleaved base-5 u32[2W] stream -> digit-isolated triplets
+    u32[9W] (``a | b<<3 | c<<6`` per triplet, stream order)."""
+    lo = words[0::2]
+    hi = words[1::2]
+    cols = []
+    for j in range(9):
+        b = 7 * j
+        if b + 7 <= 32:
+            t = lo >> b
+        elif b >= 32:
+            t = hi >> (b - 32)
+        else:
+            t = (lo >> b) | (hi << (32 - b))
+        cols.append(t & jnp.uint32(0x7F))
+    v = jnp.stack(cols, axis=1).reshape(-1)
+    v5 = (v * jnp.uint32(205)) >> 10
+    v25 = (v * jnp.uint32(41)) >> 10
+    return (v - 5 * v5) | ((v5 - 5 * v25) << 3) | (v25 << 6)
+
+
+@functools.partial(jax.jit, static_argnames=("length", "qc", "m"))
+def _match_mask_b5_impl(
+    words: jax.Array, length: int, qc: tuple, m: int
+) -> jax.Array:
+    n = length - m + 1
+    t8 = _b5_triplets_b8(words)
+    U = -(-n // 3)  # phase-fold length (triplet starts per phase)
+    Tmax = max(len(q8) for q8, _ in qc)
+    pad = U + Tmax - t8.shape[0]
+    if pad > 0:
+        # stream triplets past capacity read as 0 ('AAA'); masked below
+        t8 = jnp.concatenate([t8, jnp.zeros(pad, jnp.uint32)])
+    phase_masks = []
+    for phase in range(3):
+        q8, care8 = qc[phase]
+        diff = None
+        for j in range(len(q8)):
+            cj = int(care8[j])
+            if not cj:
+                continue
+            d = (t8[j : j + U] ^ jnp.uint32(int(q8[j]))) & jnp.uint32(cj)
+            diff = d if diff is None else diff | d
+        phase_masks.append(
+            jnp.ones(U, bool) if diff is None else diff == 0
+        )
+    mask = jnp.stack(phase_masks, axis=1).reshape(-1)[:n]
+    # positions past the last valid start were folded from padded/overhang
+    # triplets; the [:n] truncation above is exact because position
+    # p = 3u + phase lands at flat index 3u + phase
+    return mask
+
+
+def match_mask_b5(words: jax.Array, length: int, query: bytes) -> jax.Array:
+    """Occurrence mask of ``query`` in a base-5 packed u32[2W] interleaved
+    stream: -> bool[length - m + 1].  ``N`` in the query is a literal
+    (base-5 has a real N digit); ``?`` is the any-nucleotide wildcard."""
+    if words.ndim != 1 or words.shape[0] % 2:
+        raise TypeError(
+            "match_mask_b5 takes a flat interleaved u32[2W] stream"
+        )
+    qc = compile_query_b5(query)
+    m = len(query)
+    if length - m + 1 <= 0:
+        raise ValueError(f"stream length {length} shorter than query ({m})")
+    if length > (words.shape[0] // 2) * spec.NT_PER_WORD_B5:
+        raise ValueError("length exceeds stream capacity")
+    qc_h = tuple(
+        (tuple(int(v) for v in q8), tuple(int(v) for v in c8))
+        for q8, c8 in qc
+    )
+    return _match_mask_b5_impl(words, length, qc_h, m)
+
+
+def match_count_b5(words: jax.Array, length: int, query: bytes) -> jax.Array:
+    """Number of occurrences of ``query`` in a base-5 stream (i32, device)."""
+    return jnp.sum(match_mask_b5(words, length, query)).astype(jnp.int32)
+
+
+def match_positions_b5(
+    words: jax.Array, length: int, query: bytes
+) -> np.ndarray:
+    """Sorted occurrence positions in a base-5 stream (host ndarray)."""
+    mask = np.asarray(match_mask_b5(words, length, query))
+    return np.nonzero(mask)[0].astype(np.int64)

@@ -243,11 +243,30 @@ def test_cli_grep(tmp_path, capsys):
     assert cli.main(["grep", nup, "ACGX"]) == 1
 
 
-def test_cli_grep_rejects_base5(tmp_path):
+def test_cli_grep_base5(tmp_path, capsys):
     fa = tmp_path / "in.fa"
-    fa.write_bytes(b">r\nACGTN\n")
+    #              GATTACA at 4 (fwd); revcomp TGTAATC at 15; N run at 24
+    fa.write_bytes(b">r1\nACGTGATTACAGGGGTGTAATCCCNNA\n>r2\nAANAA\n")
     nup = str(tmp_path / "x.nup")
     assert cli.main(
         ["encode", str(fa), nup, "--codec", "base5", "--tier", "oracle"]
     ) == 0
-    assert cli.main(["grep", nup, "ACG"]) == 1
+    capsys.readouterr()
+    assert cli.main(["grep", nup, "GATTACA", "--both"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {(d["record"], d["pos"], d["strand"]) for d in lines} == {
+        ("r1", 4, "+"), ("r1", 15, "-"),
+    }
+    # N is a LITERAL on base-5 streams; '?' is the wildcard
+    assert cli.main(["grep", nup, "NN", "--count"]) == 0
+    counts = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert counts == [{"record": "r1", "fwd": 1}, {"record": "r2", "fwd": 0}]
+    assert cli.main(["grep", nup, "G?TTA?A", "--count"]) == 0
+    counts = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert counts == [{"record": "r1", "fwd": 1}, {"record": "r2", "fwd": 0}]
+    # wildcard survives --both (revcomp of A?C finds G?T)
+    assert cli.main(["grep", nup, "TG?AAT", "--both"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert ("r1", 15, "+") in {(d["record"], d["pos"], d["strand"]) for d in lines}
+    # bad pattern (X not in alphabet) -> exit 1
+    assert cli.main(["grep", nup, "ACGX"]) == 1

@@ -125,6 +125,97 @@ def test_match_strand_composition(rng):
     assert np.array_equal(pos, [18])
 
 
+def _enc5(seq) -> jnp.ndarray:
+    seq = np.frombuffer(bytes(seq), np.uint8) if isinstance(seq, bytes) else seq
+    return jnp.asarray(
+        spec.u64_to_u32_pairs(oracle.n_to_bits2_lut(seq)).reshape(-1)
+    )
+
+
+def _naive5(seq: bytes, query: bytes) -> np.ndarray:
+    """Match positions in the normalized seq; N literal, ? wildcard."""
+    s = seq.upper().replace(b"U", b"T")
+    q = query.upper().replace(b"U", b"T")
+    out = []
+    for i in range(len(s) - len(q) + 1):
+        if all(qc in (ord("?"), sc) for sc, qc in zip(s[i:], q)):
+            out.append(i)
+    return np.asarray(out, dtype=np.int64)
+
+
+def test_compile_query_b5_phases():
+    qc = search.compile_query_b5(b"AC?N")
+    assert len(qc) == 3
+    # phase 0: digits A=0,C=1,?,N=4 over triplets (0,1,?) (4,-,-)
+    q8, care8 = qc[0]
+    assert list(q8) == [0 | 1 << 3, 4]
+    assert list(care8) == [0o077, 0o007]
+    # phase 2: slots shift by 2 -> triplets (-,-,0) (1,?,4)
+    q8, care8 = qc[2]
+    assert list(q8) == [0 << 6, 1 | 4 << 6]
+    assert list(care8) == [0o700, 0o707]
+
+
+def test_compile_query_b5_rejects_junk():
+    with pytest.raises(ValueError):
+        search.compile_query_b5(b"ACGX")
+    with pytest.raises(ValueError):
+        search.compile_query_b5(b"")
+
+
+@pytest.mark.parametrize(
+    "query", [b"ACG", b"acgu", b"A??T", b"GATTACA", b"NNC", b"TAN?GA"]
+)
+def test_match_mask_b5_basic(rng, query):
+    seq = bytes(rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=301))
+    got = np.flatnonzero(
+        np.asarray(search.match_mask_b5(_enc5(seq), len(seq), query))
+    )
+    assert np.array_equal(got, _naive5(seq, query))
+
+
+def test_match_b5_fuzz(rng):
+    """Planted + random occurrences at every phase and near both ends."""
+    for trial in range(8):
+        L = int(rng.integers(30, 200))
+        seq = bytearray(rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=L))
+        qlen = int(rng.integers(1, 12))
+        query = bytes(rng.choice(np.frombuffer(b"ACGTN?", np.uint8), size=qlen))
+        concrete = bytes(b if b != ord("?") else ord("A") for b in query)
+        for p in (0, 1, 2, L - qlen):  # all phases + the last valid start
+            if 0 <= p <= L - qlen:
+                seq[p : p + qlen] = concrete
+        got = np.flatnonzero(
+            np.asarray(search.match_mask_b5(_enc5(bytes(seq)), L, query))
+        )
+        want = _naive5(bytes(seq), query)
+        assert np.array_equal(got, want), (trial, query, bytes(seq))
+        cnt = int(search.match_count_b5(_enc5(bytes(seq)), L, query))
+        assert cnt == want.size
+        assert np.array_equal(
+            search.match_positions_b5(_enc5(bytes(seq)), L, query), want
+        )
+
+
+def test_match_b5_n_is_literal(rng):
+    """N in a base-5 query matches only stream N — unlike the 2-bit tier."""
+    seq = b"ACGNNACG"
+    got = search.match_positions_b5(_enc5(seq), len(seq), b"NN")
+    assert got.tolist() == [3]
+    got_w = search.match_positions_b5(_enc5(seq), len(seq), b"??")
+    assert got_w.tolist() == list(range(7))
+
+
+def test_match_b5_errors():
+    w = _enc5(b"ACGTN" * 4)
+    with pytest.raises(ValueError, match="shorter than query"):
+        search.match_mask_b5(w, 3, b"ACGTN")
+    with pytest.raises(ValueError, match="capacity"):
+        search.match_mask_b5(w, 2000, b"ACG")
+    with pytest.raises(TypeError, match="interleaved"):
+        search.match_mask_b5(w.reshape(2, -1), 20, b"ACG")
+
+
 def test_match_errors():
     w = _enc(b"ACGTACGT")
     with pytest.raises(ValueError):
