@@ -772,5 +772,43 @@ def main() -> int:
     return 0
 
 
+def _backend_reachable(timeout_s: float) -> bool:
+    """Probe JAX backend init in a subprocess with a hard timeout.
+
+    The relayed TPU backend has been observed to HANG at init when the
+    relay is down (not fail) — and `import jax; jax.devices()` in-process
+    would hang this harness with it, so the driver would record nothing.
+    A subprocess probe turns that hang into a parseable outage line.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('OK')"],
+            capture_output=True,
+            timeout=timeout_s,
+            text=True,
+        )
+        return "OK" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 if __name__ == "__main__":
+    probe_s = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "240"))
+    if probe_s > 0 and not _backend_reachable(probe_s):
+        print(
+            f"backend init did not complete within {probe_s:.0f}s "
+            "(TPU relay down?) — emitting outage line",
+            file=sys.stderr,
+        )
+        print(json.dumps({
+            "metric": "encode_2bit_pallas",
+            "value": 0.0,
+            "unit": "GiB/s",
+            "vs_baseline": 0.0,
+            "error": "tpu backend unreachable (init hang > probe timeout)",
+        }))
+        sys.exit(0)
     sys.exit(main())
