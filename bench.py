@@ -587,6 +587,19 @@ def main() -> int:
                 R(4 * words_flat.size, 4 * words_flat.size),
             )
         wb5_flat = w_b5.reshape(-1)
+        # base-5 packed search (XLA triplet base-8 phase folds); same
+        # in-bytes denominator convention as the 2-bit scan rows
+        run(
+            "search_b5_7nt",
+            chained(
+                lambda w: search.match_mask_b5(
+                    w, (wb5_flat.size // 2) * 27, b"GATTACA"
+                )
+            ),
+            jnp.asarray(wb5_flat),
+            4 * wb5_flat.size,
+            R(4 * wb5_flat.size, 4 * wb5_flat.size),
+        )
         run(
             "gc_content_packed_b5",
             chained(lambda w: seqops.gc_content_packed_b5(w)[None]),

@@ -97,6 +97,10 @@ def load() -> ctypes.CDLL | None:
             ctypes.c_size_t, ctypes.c_size_t,
         ]
         lib.cutenuc_fill_rows.restype = None
+        lib.cutenuc_fastq_scan.argtypes = [
+            u8p, ctypes.c_size_t, i64p, i64p, ctypes.c_size_t, i64p,
+        ]
+        lib.cutenuc_fastq_scan.restype = ctypes.c_longlong
         _lib = lib
         return _lib
 

@@ -169,6 +169,48 @@ void cutenuc_fill_rows(const uint8_t* buf, const int64_t* starts,
   }
 }
 
+// FASTQ chunk scan: parse complete 4-line records from buf[0..n), writing
+// the sequence-line span (start, CR-stripped length) per record.  Returns
+// the record count (at most cap), or -1 on a malformed record (header not
+// '@' or separator line not '+' — the same framing check the NumPy parser
+// does).  *consumed is set to the offset just past the last complete
+// record; the caller carries buf[consumed..n) into the next chunk.  One
+// memchr-driven pass replaces a whole-chunk newline indexing + fancy-slice
+// validation pipeline on the Python side.
+long long cutenuc_fastq_scan(const uint8_t* buf, size_t n, int64_t* starts,
+                             int64_t* lens, size_t cap, int64_t* consumed) {
+  size_t p = 0, cnt = 0;
+  while (cnt < cap) {
+    const uint8_t* h_end =
+        static_cast<const uint8_t*>(std::memchr(buf + p, '\n', n - p));
+    if (h_end == nullptr) break;
+    size_t s0 = static_cast<size_t>(h_end - buf) + 1;
+    const uint8_t* s_end = s0 < n
+        ? static_cast<const uint8_t*>(std::memchr(buf + s0, '\n', n - s0))
+        : nullptr;
+    if (s_end == nullptr) break;
+    size_t p0 = static_cast<size_t>(s_end - buf) + 1;
+    const uint8_t* p_end = p0 < n
+        ? static_cast<const uint8_t*>(std::memchr(buf + p0, '\n', n - p0))
+        : nullptr;
+    if (p_end == nullptr) break;
+    size_t q0 = static_cast<size_t>(p_end - buf) + 1;
+    const uint8_t* q_end = q0 < n
+        ? static_cast<const uint8_t*>(std::memchr(buf + q0, '\n', n - q0))
+        : nullptr;
+    if (q_end == nullptr) break;
+    if (buf[p] != '@' || buf[p0] != '+') return -1;
+    size_t slen = p0 - 1 - s0;
+    if (slen && buf[s0 + slen - 1] == '\r') --slen;
+    starts[cnt] = static_cast<int64_t>(s0);
+    lens[cnt] = static_cast<int64_t>(slen);
+    ++cnt;
+    p = static_cast<size_t>(q_end - buf) + 1;
+  }
+  *consumed = static_cast<int64_t>(p);
+  return static_cast<long long>(cnt);
+}
+
 // Validation pass: returns the index of the first byte outside the accepted
 // alphabet, or (size_t)-1 if all bytes are valid.  alphabet_mask bit i set
 // means ASCII-ish class i is allowed; we accept {A,C,G,T,U} upper/lower and,

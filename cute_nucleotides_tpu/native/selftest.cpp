@@ -24,6 +24,8 @@ void cutenuc_bits_to_n2(const uint64_t*, size_t, uint8_t*);
 long long cutenuc_find_invalid(const uint8_t*, size_t, int);
 void cutenuc_fill_rows(const uint8_t*, const int64_t*, const int64_t*, size_t,
                        uint8_t*, size_t, size_t);
+long long cutenuc_fastq_scan(const uint8_t*, size_t, int64_t*, int64_t*,
+                             size_t, int64_t*);
 }
 
 static int failures = 0;
@@ -109,6 +111,28 @@ int main() {
     CHECK(std::memcmp(reads.data() + 8, "ACGTACGT", 8) == 0, "fill truncated");
     CHECK(std::memcmp(reads.data() + 16, "acgtNNNN", 8) == 0, "fill raw bytes");
     CHECK(std::memcmp(reads.data() + 24, "AAAAAAAA", 8) == 0, "fill pad row");
+  }
+
+  // FASTQ scan: CRLF strip, incomplete-tail carry, malformed detection
+  {
+    const char fq[] = "@r1\nACGT\r\n+\nIIII\n@r2\nGG\n+x\nII\n@r3\nAC";
+    size_t n = sizeof(fq) - 1;
+    int64_t starts[8], lens[8], consumed = 0;
+    long long cnt = cutenuc_fastq_scan(
+        reinterpret_cast<const uint8_t*>(fq), n, starts, lens, 8, &consumed);
+    CHECK(cnt == 2, "fastq_scan count");
+    CHECK(starts[0] == 4 && lens[0] == 4, "fastq_scan rec0 (CR stripped)");
+    CHECK(std::memcmp(fq + starts[1], "GG", 2) == 0 && lens[1] == 2,
+          "fastq_scan rec1");
+    CHECK(consumed == 30, "fastq_scan consumed stops before partial rec");
+    const char bad[] = "@r\nAC\nX\nII\n";
+    cnt = cutenuc_fastq_scan(reinterpret_cast<const uint8_t*>(bad),
+                             sizeof(bad) - 1, starts, lens, 8, &consumed);
+    CHECK(cnt == -1, "fastq_scan malformed separator");
+    // cap smaller than record count: parse stops cleanly at cap
+    cnt = cutenuc_fastq_scan(reinterpret_cast<const uint8_t*>(fq), n, starts,
+                             lens, 1, &consumed);
+    CHECK(cnt == 1 && consumed == 17, "fastq_scan cap");
   }
 
   if (failures == 0) {

@@ -27,6 +27,7 @@ __all__ = [
     "bits_to_n2",
     "find_invalid",
     "fill_rows",
+    "fastq_scan",
     "memcpy",
 ]
 
@@ -174,6 +175,39 @@ def fill_rows(
         rows,
         width,
     )
+
+
+def fastq_scan(buf: np.ndarray):
+    """Parse complete 4-line FASTQ records from a chunk buffer.
+
+    Returns ``(starts i64[n], lens i64[n], consumed)`` — sequence-line
+    spans (CR already stripped) and the offset past the last complete
+    record (the caller carries the remainder) — or ``None`` when the
+    native library is unavailable (callers fall back to the NumPy
+    newline-indexing parser).  Raises ``ValueError`` on a malformed
+    record, matching the NumPy path's framing check.
+    """
+    lib = _lib()
+    if lib is None:
+        return None
+    if buf.dtype != np.uint8 or buf.ndim != 1:
+        raise TypeError("expected a 1-D uint8 chunk buffer")
+    cap = buf.size // 6 + 1  # minimum well-formed record is 6 bytes
+    starts = np.empty(cap, np.int64)
+    lens = np.empty(cap, np.int64)
+    consumed = ctypes.c_int64(0)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    n = lib.cutenuc_fastq_scan(
+        buf.ctypes.data_as(_u8p),
+        buf.size,
+        starts.ctypes.data_as(i64p),
+        lens.ctypes.data_as(i64p),
+        cap,
+        ctypes.byref(consumed),
+    )
+    if n < 0:
+        raise ValueError("malformed FASTQ record")
+    return starts[:n], lens[:n], int(consumed.value)
 
 
 def memcpy(seq) -> np.ndarray:

@@ -283,15 +283,18 @@ def fastq_batches(
         emitted += 1
         return Batch(reads, lengths, indices, take)
 
-    def push(buf_bytes: bytes, starts: np.ndarray, ends: np.ndarray):
+    def push(arr: np.ndarray, starts: np.ndarray, lens: np.ndarray):
         nonlocal pending
+        pend_buf.append(arr)
+        pend_start.append(starts.astype(np.int64))
+        pend_len.append(lens.astype(np.int64))
+        pending += starts.size
+
+    def push_ends(buf_bytes: bytes, starts: np.ndarray, ends: np.ndarray):
         arr = np.frombuffer(buf_bytes, np.uint8)
         # strip trailing \r (CRLF input)
         ends = ends - (arr[np.maximum(ends - 1, 0)] == ord("\r"))
-        pend_buf.append(arr)
-        pend_start.append(starts.astype(np.int64))
-        pend_len.append((ends - starts).astype(np.int64))
-        pending += starts.size
+        push(arr, starts, ends - starts)
 
     carry = b""
     with open(path, "rb") as f:
@@ -301,20 +304,30 @@ def fastq_batches(
                 break
             buf = carry + chunk
             arr = np.frombuffer(buf, np.uint8)
-            nl = np.flatnonzero(arr == ord("\n"))
-            nrec = nl.size // 4
-            if nrec == 0:
-                carry = buf
-                continue
-            nl4 = nl[: 4 * nrec]
-            carry = buf[int(nl4[-1]) + 1 :]
-            starts = np.concatenate([[0], nl4[:-1] + 1])
-            if not (
-                np.all(arr[starts[0::4]] == ord("@"))
-                and np.all(arr[starts[2::4]] == ord("+"))
-            ):
-                raise ValueError("malformed FASTQ record")
-            push(buf, starts[1::4], nl4[1::4])
+            scan = _native.fastq_scan(arr)
+            if scan is not None:
+                # one memchr-driven C pass: spans + framing validation
+                starts, lens, consumed = scan
+                if starts.size == 0:
+                    carry = buf
+                    continue
+                carry = buf[consumed:]
+                push(arr, starts, lens)
+            else:
+                nl = np.flatnonzero(arr == ord("\n"))
+                nrec = nl.size // 4
+                if nrec == 0:
+                    carry = buf
+                    continue
+                nl4 = nl[: 4 * nrec]
+                carry = buf[int(nl4[-1]) + 1 :]
+                starts = np.concatenate([[0], nl4[:-1] + 1])
+                if not (
+                    np.all(arr[starts[0::4]] == ord("@"))
+                    and np.all(arr[starts[2::4]] == ord("+"))
+                ):
+                    raise ValueError("malformed FASTQ record")
+                push_ends(buf, starts[1::4], nl4[1::4])
             while pending >= batch_size:
                 b = assemble()
                 if emitted > skip:
@@ -326,7 +339,7 @@ def fastq_batches(
             arr = np.frombuffer(seqs, np.uint8)
             ends = np.flatnonzero(arr == ord("\n"))
             starts = np.concatenate([[0], ends[:-1] + 1])
-            push(seqs, starts, ends)
+            push_ends(seqs, starts, ends)
     while pending:
         b = assemble()
         if emitted > skip:
