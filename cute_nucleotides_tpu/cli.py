@@ -419,6 +419,69 @@ def cmd_region(args) -> int:
     return 0
 
 
+def _grep_batched(args, entries, queries, is_b5: bool) -> int:
+    """Batched grep: fixed-shape device batches (word width bucketed by
+    ``pack_words_batch``, the decode-path convention), ONE device call per
+    batch and strand instead of one per record — the production path when
+    a .nup holds many records (each device round trip costs ~30-40 ms
+    through a relayed backend)."""
+    import jax.numpy as jnp
+
+    from .ops import search
+    from .utils import io as io_lib
+
+    mask_fn = search.match_mask_b5_batch if is_b5 else search.match_mask_batch
+    total = 0
+    emit = []
+    for start in range(0, len(entries), args.batch):
+        chunk = entries[start : start + args.batch]
+        w32 = io_lib.pack_words_batch(chunk, args.batch)
+        lengths = np.zeros(args.batch, np.int32)
+        for i, (_, length, _) in enumerate(chunk):
+            lengths[i] = length
+        per_strand = {}
+        for q, strand in queries:
+            cap = (
+                (w32.shape[1] // 2) * 27 if is_b5 else w32.shape[1] * 16
+            )
+            if cap - len(q) + 1 <= 0:  # every record shorter than the query
+                per_strand[strand] = np.zeros(
+                    (args.batch, 0), dtype=bool
+                )
+                continue
+            per_strand[strand] = np.asarray(
+                mask_fn(jnp.asarray(w32), jnp.asarray(lengths), q)
+            )
+        for i, (name, length, _) in enumerate(chunk):
+            rec = name.decode(errors="replace")
+            if args.count:
+                print(
+                    json.dumps(
+                        {"record": rec, **{
+                            ("fwd" if s == "+" else "rev"): int(m[i].sum())
+                            for s, m in per_strand.items()
+                        }}
+                    )
+                )
+                total += sum(int(m[i].sum()) for m in per_strand.values())
+            else:
+                hits = sorted(
+                    (int(p), s)
+                    for s, m in per_strand.items()
+                    for p in np.flatnonzero(m[i])
+                )
+                total += len(hits)
+                for p, strand in hits:
+                    emit.append(
+                        json.dumps(
+                            {"record": rec, "pos": p, "strand": strand}
+                        )
+                    )
+    for line in emit:
+        print(line)
+    return 0 if total or args.count else 1
+
+
 def cmd_grep(args) -> int:
     """Find every occurrence of a pattern in a .nup's records, scanning the
     PACKED words (``ops.search`` — no decode pass).  On 2-bit streams ``N``
@@ -455,6 +518,8 @@ def cmd_grep(args) -> int:
             rc = search.revcomp_query(raw)
         if rc != raw.upper().replace(b"U", b"T"):
             queries.append((rc, "-"))
+    if args.batch:
+        return _grep_batched(args, entries, queries, is_b5)
     total = 0
     for name, length, words in entries:
         counts = {}
@@ -580,6 +645,11 @@ def main(argv=None) -> int:
     pg.add_argument(
         "--count", action="store_true",
         help="print per-record totals instead of individual hits",
+    )
+    pg.add_argument(
+        "--batch", type=int, default=0, metavar="N",
+        help="scan N records per device call (fixed-shape batches; one "
+        "dispatch per batch+strand instead of one per record)",
     )
     pg.set_defaults(fn=cmd_grep)
 

@@ -49,10 +49,13 @@ __all__ = [
     "match_bits",
     "match_count",
     "match_positions",
+    "match_mask_batch",
+    "match_counts_batch",
     "compile_query_b5",
     "match_mask_b5",
     "match_count_b5",
     "match_positions_b5",
+    "match_mask_b5_batch",
 ]
 
 #: query bytes allowed (N/n are wildcards; everything else must be ACGTU)
@@ -293,6 +296,90 @@ def match_positions(
         base = 16 * (ri * bits.shape[1] + wi)
         pos.extend(base + s for s in range(16) if (b >> s) & 1)
     return np.asarray(sorted(pos), dtype=np.int64)
+
+
+# --- batched search ----------------------------------------------------------
+# The streaming pipeline's unit is a padded batch of independent reads
+# (u8[B, L] -> packed u32[B, W]); the batched scans run the single-stream
+# match per row under vmap (rows never see each other's words) and mask
+# ragged tails with the true per-read lengths — same shape discipline as
+# kmer_histogram_batch.
+
+
+def _ragged_mask(mask: jax.Array, lengths: jax.Array, m: int) -> jax.Array:
+    i = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1)
+    return mask & (i < (lengths - (m - 1))[:, None])
+
+
+@functools.partial(jax.jit, static_argnames=("qt", "ct", "m"))
+def _match_mask_batch_impl(
+    words: jax.Array, lengths: jax.Array, qt: tuple, ct: tuple, m: int
+) -> jax.Array:
+    q = jnp.asarray(np.array(qt, np.uint32))
+    care = jnp.asarray(np.array(ct, np.uint32))
+    cap = words.shape[1] * spec.NT_PER_U32_2BIT
+    mask = jax.vmap(lambda w: _match_mask_impl(w, q, care, cap, m))(words)
+    return _ragged_mask(mask, lengths, m)
+
+
+def _norm_lengths(lengths, B: int) -> jax.Array:
+    return jnp.broadcast_to(jnp.asarray(lengths, jnp.int32).reshape(-1), (B,))
+
+
+def match_mask_batch(words: jax.Array, lengths, query: bytes) -> jax.Array:
+    """Occurrence mask of ``query`` in each row of a packed 2-bit batch:
+    u32[B, W] + lengths -> bool[B, 16 W - m + 1]; entry ``(b, i)`` true iff
+    the query matches read ``b`` at position ``i`` (positions past
+    ``lengths[b] - m`` are always false)."""
+    if words.ndim != 2:
+        raise TypeError("match_mask_batch takes a packed u32[B, W] batch")
+    q, care, m = compile_query(query)
+    if words.shape[1] * spec.NT_PER_U32_2BIT - m + 1 <= 0:
+        raise ValueError(f"row capacity shorter than query ({m})")
+    return _match_mask_batch_impl(
+        words,
+        _norm_lengths(lengths, words.shape[0]),
+        tuple(int(v) for v in q),
+        tuple(int(v) for v in care),
+        m,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("qc", "m"))
+def _match_mask_b5_batch_impl(
+    words: jax.Array, lengths: jax.Array, qc: tuple, m: int
+) -> jax.Array:
+    cap = (words.shape[1] // 2) * spec.NT_PER_WORD_B5
+    mask = jax.vmap(lambda w: _match_mask_b5_impl(w, cap, qc, m))(words)
+    return _ragged_mask(mask, lengths, m)
+
+
+def match_mask_b5_batch(words: jax.Array, lengths, query: bytes) -> jax.Array:
+    """Batched :func:`match_mask_b5`: interleaved u32[B, 2 Wb] + lengths ->
+    bool[B, 27 Wb - m + 1] (``N`` literal, ``?`` wildcard)."""
+    if words.ndim != 2 or words.shape[1] % 2:
+        raise TypeError(
+            "match_mask_b5_batch takes an interleaved u32[B, 2W] batch"
+        )
+    qc = compile_query_b5(query)
+    m = len(query)
+    if (words.shape[1] // 2) * spec.NT_PER_WORD_B5 - m + 1 <= 0:
+        raise ValueError(f"row capacity shorter than query ({m})")
+    qc_h = tuple(
+        (tuple(int(v) for v in q8), tuple(int(v) for v in c8))
+        for q8, c8 in qc
+    )
+    return _match_mask_b5_batch_impl(
+        words, _norm_lengths(lengths, words.shape[0]), qc_h, m
+    )
+
+
+def match_counts_batch(
+    words: jax.Array, lengths, query: bytes, *, codec: str = "2bit"
+) -> jax.Array:
+    """Per-read occurrence counts: -> i32[B] (on device)."""
+    fn = match_mask_batch if codec == "2bit" else match_mask_b5_batch
+    return jnp.sum(fn(words, lengths, query), axis=1).astype(jnp.int32)
 
 
 # --- base-5 codec ------------------------------------------------------------

@@ -168,6 +168,49 @@ def kmer_spectrum(
     return _jit_spectrum(k, canonical, mesh)(words, lengths)
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_match_counts(query: bytes, codec: str, mesh: Mesh):
+    from ..ops import search as search_lib
+
+    axis = mesh_lib.DATA_AXIS
+
+    def per_shard(words, lengths):
+        c = search_lib.match_counts_batch(words, lengths, query, codec=codec)
+        return jax.lax.all_gather(c, axis, axis=0, tiled=True)
+
+    return jax.jit(
+        shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis)),
+            out_specs=P(None),
+            check_vma=False,
+        )
+    )
+
+
+def match_counts(
+    words: jax.Array,
+    lengths,
+    query: bytes,
+    *,
+    mesh: Mesh | None = None,
+    codec: str = "2bit",
+) -> jax.Array:
+    """Distributed grep over a packed read batch: per-read occurrence
+    counts of ``query``, batch sharded over the data axis, all-gathered to
+    a replicated i32[B].  ``codec="base5"`` scans interleaved base-5 rows
+    (``N`` literal, ``?`` wildcard); B must divide by the data-axis size."""
+    if mesh is None:
+        mesh = mesh_lib.default_mesh()
+    if isinstance(query, str):
+        query = query.encode()
+    lengths = jnp.broadcast_to(
+        jnp.asarray(lengths, jnp.int32).reshape(-1), (words.shape[0],)
+    )
+    return _jit_match_counts(bytes(query), codec, mesh)(words, lengths)
+
+
 class ShardedCodec:
     """A codec model bound to a mesh: shard-in, shard-out batch codec.
 

@@ -238,8 +238,18 @@ def test_cli_grep(tmp_path, capsys):
     assert cli.main(["grep", nup, "GNTTANA", "--count"]) == 0
     counts = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert counts == [{"record": "r1", "fwd": 1}, {"record": "r2", "fwd": 0}]
+    # batched path: identical hit set, one device call per batch+strand
+    assert cli.main(["grep", nup, "GATTACA", "--both", "--batch", "2"]) == 0
+    blines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {(d["record"], d["pos"], d["strand"]) for d in blines} == {
+        ("r1", 4, "+"), ("r1", 15, "-"),
+    }
+    assert cli.main(["grep", nup, "GNTTANA", "--count", "--batch", "8"]) == 0
+    bcounts = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert bcounts == [{"record": "r1", "fwd": 1}, {"record": "r2", "fwd": 0}]
     # no hits -> exit 1; bad pattern -> exit 1
     assert cli.main(["grep", nup, "CCCCCCCCCC"]) == 1
+    assert cli.main(["grep", nup, "CCCCCCCCCC", "--batch", "4"]) == 1
     assert cli.main(["grep", nup, "ACGX"]) == 1
 
 
@@ -268,5 +278,11 @@ def test_cli_grep_base5(tmp_path, capsys):
     assert cli.main(["grep", nup, "TG?AAT", "--both"]) == 0
     lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert ("r1", 15, "+") in {(d["record"], d["pos"], d["strand"]) for d in lines}
+    # batched base-5 path: identical hits
+    assert cli.main(["grep", nup, "G?TTA?A", "--batch", "2"]) == 0
+    blines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {(d["record"], d["pos"], d["strand"]) for d in blines} == {
+        ("r1", 4, "+"),
+    }
     # bad pattern (X not in alphabet) -> exit 1
     assert cli.main(["grep", nup, "ACGX"]) == 1

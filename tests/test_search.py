@@ -216,6 +216,63 @@ def test_match_b5_errors():
         search.match_mask_b5(w.reshape(2, -1), 20, b"ACG")
 
 
+@pytest.mark.parametrize("codec", ["2bit", "base5"])
+def test_match_batch_ragged(rng, codec):
+    """Batched per-read masks == per-read single-stream scans over true
+    lengths; padding tails never match."""
+    B, L = 6, 64 if codec == "2bit" else 54
+    alpha = b"ACGT" if codec == "2bit" else b"ACGTN"
+    query = b"GAT?ACA" if codec == "base5" else b"GANTACA"
+    reads = rng.choice(np.frombuffer(alpha, np.uint8), size=(B, L))
+    lengths = rng.integers(0, L + 1, B).astype(np.int32)
+    lengths[0], lengths[1] = 0, L
+    enc = oracle.n_to_bits_lut if codec == "2bit" else oracle.n_to_bits2_lut
+    naive = _naive if codec == "2bit" else _naive5
+    rows = []
+    for b in range(B):
+        reads[b, lengths[b]:] = ord("A")
+        # plant one hit inside the valid region when it fits
+        concrete = query.replace(b"?", b"C").replace(b"N", b"C")
+        if lengths[b] > len(query) + 2:
+            reads[b, 1 : 1 + len(query)] = np.frombuffer(concrete, np.uint8)
+        rows.append(spec.u64_to_u32_pairs(enc(reads[b])).reshape(-1))
+    words = jnp.asarray(np.stack(rows))
+    fn = search.match_mask_batch if codec == "2bit" else search.match_mask_b5_batch
+    mask = np.asarray(fn(words, jnp.asarray(lengths), query))
+    counts = np.asarray(
+        search.match_counts_batch(words, jnp.asarray(lengths), query, codec=codec)
+    )
+    for b in range(B):
+        want = naive(bytes(reads[b][: lengths[b]]), query)
+        assert np.array_equal(np.flatnonzero(mask[b]), want), (codec, b)
+        assert counts[b] == want.size
+
+
+def test_match_counts_sharded(rng):
+    """parallel.match_counts over the 8-device mesh == batched counts."""
+    from cute_nucleotides_tpu import parallel
+
+    B, L = 16, 64
+    query = b"GATTACA"
+    reads = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(B, L))
+    reads[3, 10:17] = np.frombuffer(query, np.uint8)
+    lengths = np.full(B, L, np.int32)
+    lengths[5] = 20
+    words = jnp.asarray(np.stack([
+        spec.u64_to_u32_pairs(oracle.n_to_bits_lut(reads[b])).reshape(-1)
+        for b in range(B)
+    ]))
+    got = np.asarray(
+        parallel.match_counts(words, jnp.asarray(lengths), query)
+    )
+    want = np.asarray(
+        search.match_counts_batch(words, jnp.asarray(lengths), query)
+    )
+    assert got.shape == (B,)
+    assert np.array_equal(got, want)
+    assert got[3] >= 1
+
+
 def test_match_errors():
     w = _enc(b"ACGTACGT")
     with pytest.raises(ValueError):
