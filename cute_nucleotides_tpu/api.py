@@ -26,6 +26,25 @@ from .ops import oracle, spec, xla
 
 __all__ = ["n_to_bits", "bits_to_n", "n_to_bits2", "bits_to_n2"]
 
+#: device-dispatch tiers these entry points accept ("auto" resolves per
+#: backend); the host C++ tier is its own surface: ``ops.native.n_to_bits``
+_TIERS = ("oracle", "xla", "pallas", "auto")
+
+
+def _check_tier(tier: str) -> str:
+    if tier not in _TIERS:
+        hint = (
+            " (the host C++ tier is driven via ops.native.*)"
+            if tier == "native"
+            else ""
+        )
+        raise ValueError(f"unknown tier {tier!r}; expected one of {_TIERS}{hint}")
+    if tier == "auto":
+        from .models import _default_tier
+
+        return _default_tier()
+    return tier
+
 
 def _as_u8(seq) -> np.ndarray:
     if isinstance(seq, (bytes, bytearray, memoryview)):
@@ -107,6 +126,7 @@ def n_to_bits(seq, *, tier: str = "xla", variant: str | None = None) -> np.ndarr
     ``variant=None`` resolves to the tier's benched champion ("dot" on xla —
     3.8x the "mul" form there — "mul" on pallas); see models.CodecConfig.
     """
+    tier = _check_tier(tier)
     if variant is None:
         from .models import default_encode_variant
 
@@ -140,6 +160,7 @@ def bits_to_n(bits, length: int, *, tier: str = "xla", variant: str | None = Non
     benched champion ("broadcast" on xla — 2x the "shuffle" form there —
     "swar" on pallas); see models.CodecConfig.
     """
+    tier = _check_tier(tier)
     if variant is None:
         from .models import default_decode_variant
 
@@ -174,6 +195,7 @@ def n_to_bits2(seq, *, tier: str = "xla") -> np.ndarray:
 
     Bit-exact to the reference (reference src/n_to_bits2.rs:37-189).
     """
+    tier = _check_tier(tier)
     n = _as_u8(seq)
     if tier == "oracle":
         return oracle.n_to_bits2_lut(n)
@@ -207,6 +229,7 @@ def bits_to_n2(bits, length: int, *, tier: str = "xla") -> np.ndarray:
     Raises ``ValueError`` on capacity overflow (reference panic,
     src/n_to_bits2.rs:78-80).
     """
+    tier = _check_tier(tier)
     bits = np.ascontiguousarray(bits, dtype=np.uint64)
     if length > bits.size * spec.NT_PER_WORD_B5:
         raise ValueError(

@@ -150,3 +150,30 @@ def test_default_variants_resolve_to_tier_champions():
     assert bytes(api.bits_to_n(w, s.size, tier="xla")) == bytes(
         oracle.bits_to_n_lut(w, s.size)
     )
+
+
+def test_api_rejects_unknown_tier_and_resolves_auto():
+    import pytest
+
+    from cute_nucleotides_tpu import api
+    from cute_nucleotides_tpu.ops import oracle
+
+    s = np.frombuffer(b"ACGTNacgtnACGTNacgtnACGTNac", np.uint8)
+    for fn, args in (
+        (api.n_to_bits, (s,)),
+        (api.bits_to_n, (oracle.n_to_bits_lut(s), s.size)),
+        (api.n_to_bits2, (s,)),
+        (api.bits_to_n2, (oracle.n_to_bits2_lut(s), s.size)),
+    ):
+        with pytest.raises(ValueError, match="unknown tier"):
+            fn(*args, tier="nonsense")
+    # the host C++ tier lives at ops.native; point there instead of KeyError
+    with pytest.raises(ValueError, match="ops.native"):
+        api.n_to_bits(s, tier="native")
+    # "auto" resolves to the backend's tier (xla on CPU) and stays bit-exact
+    assert np.array_equal(api.n_to_bits(s, tier="auto"), oracle.n_to_bits_lut(s))
+    w2 = oracle.n_to_bits2_lut(s)
+    assert np.array_equal(api.n_to_bits2(s, tier="auto"), w2)
+    assert bytes(api.bits_to_n2(w2, s.size, tier="auto")) == bytes(
+        oracle.bits_to_n2_lut(w2, s.size)
+    )
