@@ -45,31 +45,89 @@ def write_nup(path: str, names: list[bytes], seqs_words: list[np.ndarray],
             f.write(np.ascontiguousarray(words, dtype="<u8").tobytes())
 
 
-def read_nup(path: str):
-    from .ops import spec
+class NupReader:
+    """Seekable random access to a .nup container.
 
-    with open(path, "rb") as f:
-        if f.read(4) != MAGIC:
-            raise ValueError("not a .nup file")
-        version, code = struct.unpack("<IB3x", f.read(8))
-        if version != VERSION:
-            raise ValueError(f"unsupported version {version}")
-        if code == 2:
-            codec = "2bit"
-        elif code == 5:
-            codec = "base5"
-        else:
-            raise ValueError(f"unknown codec byte {code} (expected 2 or 5)")
-        (count,) = struct.unpack("<Q", f.read(8))
-        meta = [struct.unpack("<IQ", f.read(12)) for _ in range(count)]
-        names = [f.read(nl) for nl, _ in meta]
-        per_word = spec.NT_PER_WORD_2BIT if codec == "2bit" else spec.NT_PER_WORD_B5
-        out = []
-        for (_, length), name in zip(meta, names):
-            nwords = spec.cdiv(length, per_word)
-            words = np.frombuffer(f.read(8 * nwords), dtype="<u8")
-            out.append((name, int(length), words))
-        return codec, out
+    Only the header (magic + per-record name/length table) is read
+    eagerly; a record's packed words are fetched with one ``seek`` at
+    access time.  Extracting one region from a many-GB container
+    therefore touches the header plus that record's words — the
+    faidx-style access pattern ``cmd_region`` needs (the eager
+    :func:`read_nup` remains for whole-file consumers).  Duplicate
+    record names resolve to the first occurrence.
+    """
+
+    def __init__(self, path: str):
+        from .ops import spec
+
+        self._f = open(path, "rb")
+        try:
+            if self._f.read(4) != MAGIC:
+                raise ValueError("not a .nup file")
+            version, code = struct.unpack("<IB3x", self._f.read(8))
+            if version != VERSION:
+                raise ValueError(f"unsupported version {version}")
+            if code == 2:
+                self.codec = "2bit"
+            elif code == 5:
+                self.codec = "base5"
+            else:
+                raise ValueError(f"unknown codec byte {code} (expected 2 or 5)")
+            (count,) = struct.unpack("<Q", self._f.read(8))
+            meta = [struct.unpack("<IQ", self._f.read(12)) for _ in range(count)]
+            self.names = [self._f.read(nl) for nl, _ in meta]
+            self.lengths = [int(length) for _, length in meta]
+            per_word = (
+                spec.NT_PER_WORD_2BIT if self.codec == "2bit"
+                else spec.NT_PER_WORD_B5
+            )
+            off = self._f.tell()
+            self._offsets, self._nwords = [], []
+            for length in self.lengths:
+                nw = spec.cdiv(length, per_word)
+                self._offsets.append(off)
+                self._nwords.append(nw)
+                off += 8 * nw
+            self._by_name: dict[bytes, int] = {}
+            for i, name in enumerate(self.names):
+                self._by_name.setdefault(name, i)
+        except Exception:
+            self._f.close()
+            raise
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    def __contains__(self, name: bytes) -> bool:
+        return name in self._by_name
+
+    def words(self, i: int) -> np.ndarray:
+        """Packed u64 words of record ``i`` (one seek + one read)."""
+        self._f.seek(self._offsets[i])
+        return np.frombuffer(self._f.read(8 * self._nwords[i]), dtype="<u8")
+
+    def get(self, name: bytes) -> tuple[int, np.ndarray]:
+        """``(length, words)`` for the first record named ``name``."""
+        i = self._by_name[name]
+        return self.lengths[i], self.words(i)
+
+    def __iter__(self):
+        for i, (name, length) in enumerate(zip(self.names, self.lengths)):
+            yield name, length, self.words(i)
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self) -> "NupReader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def read_nup(path: str):
+    with NupReader(path) as r:
+        return r.codec, list(r)
 
 
 def cmd_encode(args) -> int:
@@ -367,21 +425,22 @@ def cmd_region(args) -> int:
     from . import api
     from .ops import seqops, spec
 
-    codec, entries = read_nup(args.input)
-    by_name = {name: (length, words) for name, length, words in entries}
+    reader = NupReader(args.input)
+    codec = reader.codec
     packed_out: list[tuple[bytes, int, np.ndarray]] = []
     out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
     try:
         for reg in args.regions:
             name, start, end = _parse_region(reg)
-            if name not in by_name:
+            if name not in reader:
                 print(
                     f"error: no record {name.decode(errors='replace')!r} "
                     f"in {args.input}",
                     file=sys.stderr,
                 )
                 return 1
-            length, words = by_name[name]
+            # seek-based: reads only this record's words, not the container
+            length, words = reader.get(name)
             if end > length:
                 print(
                     f"error: region {reg} overruns record length {length}",
@@ -414,6 +473,7 @@ def cmd_region(args) -> int:
                 codec,
             )
     finally:
+        reader.close()
         if out is not sys.stdout.buffer and not out.closed:
             out.close()
     return 0

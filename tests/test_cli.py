@@ -286,3 +286,29 @@ def test_cli_grep_base5(tmp_path, capsys):
     }
     # bad pattern (X not in alphabet) -> exit 1
     assert cli.main(["grep", nup, "ACGX"]) == 1
+
+
+def test_nup_reader_random_access(tmp_path):
+    names = [b"a", b"b", b"dup", b"dup"]
+    seqs = [b"ACGTN" * 7, b"N" * 28, b"ACG", b"TTT"]
+    words = [oracle.n_to_bits2_lut(np.frombuffer(s, np.uint8)) for s in seqs]
+    p = str(tmp_path / "r.nup")
+    cli.write_nup(p, names, words, [len(s) for s in seqs], "base5")
+    with cli.NupReader(p) as r:
+        assert r.codec == "base5"
+        assert len(r) == 4
+        assert r.names == names and r.lengths == [35, 28, 3, 3]
+        # out-of-order random access returns exactly each record's words
+        assert np.array_equal(r.words(2), words[2])
+        assert np.array_equal(r.words(0), words[0])
+        length, w = r.get(b"b")
+        assert length == 28 and np.array_equal(w, words[1])
+        # duplicate names resolve to the first occurrence
+        assert np.array_equal(r.get(b"dup")[1], words[2])
+        assert b"a" in r and b"zzz" not in r
+        with pytest.raises(KeyError):
+            r.get(b"zzz")
+        # iteration matches the eager reader
+        assert [(n, L) for n, L, _ in r] == [(n, len(s)) for n, s in zip(names, seqs)]
+    codec, entries = cli.read_nup(p)
+    assert codec == "base5" and [e[0] for e in entries] == names
