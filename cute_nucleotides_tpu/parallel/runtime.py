@@ -272,34 +272,50 @@ class StreamingDecoder:
         mine = (
             e for i, e in enumerate(entries) if i % self.num_hosts == self.host_id
         )
-        batch_idx = 0
-        chunk: list[tuple[bytes, int, np.ndarray]] = []
         self.logger.start()
 
-        def flush(chunk):
-            nonlocal batch_idx
-            if not chunk:
-                return
-            if batch_idx >= skip:
-                w32 = io_lib.pack_words_batch(chunk, cfg.batch_size)
-                x = jax.device_put(w32, self.sharded.batch_sharding)
-                dec = np.asarray(self.sharded.decode(x))
-                for i, (name, length, _) in enumerate(chunk):
-                    sink(name, bytes(dec[i, :length]))
-                self.logger.batch_done(
-                    nt=sum(e[1] for e in chunk), reads=len(chunk)
-                )
-                if self.manifest:
-                    self.manifest.advance(self.host_id, 1, len(chunk))
-                    self.manifest.save()
-            batch_idx += 1
+        def chunks():
+            chunk: list[tuple[bytes, int, np.ndarray]] = []
+            for entry in mine:
+                chunk.append(entry)
+                if len(chunk) == cfg.batch_size:
+                    yield chunk
+                    chunk = []
+            if chunk:
+                yield chunk
 
-        for entry in mine:
-            chunk.append(entry)
-            if len(chunk) == cfg.batch_size:
-                flush(chunk)
-                chunk = []
-        flush(chunk)
+        def prepped():
+            for i, chunk in enumerate(chunks()):
+                if i < skip:
+                    continue
+                yield chunk, io_lib.pack_words_batch(chunk, cfg.batch_size)
+
+        def finish(pending):
+            """Read back, sink, account — then (and only then) advance the
+            manifest, preserving the at-least-once contract."""
+            chunk, dec = pending
+            dec_np = np.asarray(dec)
+            for i, (name, length, _) in enumerate(chunk):
+                sink(name, bytes(dec_np[i, :length]))
+            self.logger.batch_done(
+                nt=sum(e[1] for e in chunk), reads=len(chunk)
+            )
+            if self.manifest:
+                self.manifest.advance(self.host_id, 1, len(chunk))
+                self.manifest.save()
+
+        # three-stage software pipeline, mirroring the encoder: the
+        # prefetch thread packs batch N+2's words, the device (async
+        # dispatch) decodes N+1, and the host reads back/sinks N
+        pending = None
+        for chunk, w32 in _prefetch(prepped(), depth=1):
+            x = jax.device_put(w32, self.sharded.batch_sharding)
+            dec = self.sharded.decode(x)
+            if pending is not None:
+                finish(pending)
+            pending = (chunk, dec)
+        if pending is not None:
+            finish(pending)
         agg = self.logger.aggregate()
         agg["host_id"] = self.host_id
         agg["num_hosts"] = self.num_hosts
