@@ -142,6 +142,19 @@ def main(argv=None) -> int:
         if not np.array_equal(np.sort(got_c), want_c):
             print(f"FAIL kmer_counts L={kl} k={kp} round {rnd}", file=sys.stderr)
             failures += 1
+        # --- packed pattern search: Pallas bitmask scan vs the XLA mask -----
+        # query is a planted substring of this round's fresh stream (new
+        # random data every round; query length rotates so each compiled
+        # scan kernel shape gets re-exercised)
+        from cute_nucleotides_tpu.ops import search
+
+        qlen = (7, 19, 45)[rnd % 3]
+        q = bytes(ks[100 : 100 + qlen])
+        want_pos = np.flatnonzero(np.asarray(search.match_mask(kw, kl, q)))
+        got_pos = search.match_positions(kw, kl, q)
+        if not (np.array_equal(got_pos, want_pos) and 100 in got_pos):
+            print(f"FAIL search L={kl} qlen={qlen} round {rnd}", file=sys.stderr)
+            failures += 1
         print(
             f"round {rnd + 1}/{args.rounds} done ({time.time() - t0:.0f}s, "
             f"{failures} failures)",
