@@ -177,6 +177,7 @@ def main() -> int:
                     "encode_2bit_checked": champion("encode_2bit_pallas_checked"),
                     "encode_b5_checked": champion("encode_b5_pallas_checked"),
                     "stream_encode": champion("stream_encode_e2e"),
+                    "stream_decode": champion("stream_decode_e2e"),
                 },
                 "detail_file": detail_path,
             }
@@ -719,6 +720,66 @@ def main() -> int:
             stream_row(
                 "stream_encode_records",
                 lambda enc, sink: enc.run(io_lib.open_reads(fq), sink),
+            )
+
+            # decode direction: pre-encode the reads into .nup-style entries
+            # (outside the timer), then time the pipelined StreamingDecoder
+            # back to exact-length ASCII
+            entries = []
+            enc0 = rt.StreamingEncoder(
+                batch_size=stream_batch, max_len=read_len
+            )
+
+            def collect(w, b):
+                for i in range(b.count):
+                    nw = -(-int(b.lengths[i]) // 32)
+                    entries.append(
+                        (
+                            b"r%d" % int(b.indices[i]),
+                            int(b.lengths[i]),
+                            np.ascontiguousarray(w[i]).view("<u8")[:nw],
+                        )
+                    )
+
+            enc0.run_batches(
+                io_lib.fastq_batches(fq, stream_batch, read_len), collect
+            )
+            dec = rt.StreamingDecoder(
+                batch_size=stream_batch, max_len=read_len
+            )
+            w32_0 = io_lib.pack_words_batch(
+                entries[:stream_batch], stream_batch
+            )
+            np.asarray(  # warm the decode executable outside the timer
+                dec.sharded.decode(
+                    jax.device_put(w32_0, dec.sharded.batch_sharding)
+                )
+            )
+            sunk = [0]
+            t0 = time.perf_counter()
+            agg = dec.run(
+                iter(entries),
+                sink=lambda n, s: sunk.__setitem__(0, sunk[0] + len(s)),
+            )
+            dt = time.perf_counter() - t0
+            nt = n_reads * read_len
+            results["stream_decode_e2e"] = nt / dt / 2**30
+            stream_stats["stream_decode_e2e"] = {
+                "gbp_s": round(nt / dt / 1e9, 3),
+                "reads_per_s": round(n_reads / dt, 1),
+                "ms_per_batch": round(dt * 1e3 * stream_batch / n_reads, 1),
+                "sunk_bytes": sunk[0],
+                **{
+                    k: v
+                    for k, v in agg.items()
+                    if isinstance(v, (int, float))
+                },
+            }
+            print(
+                f"{'stream_decode_e2e':30s} {dt * 1e3:9.1f} ms   "
+                f"{results['stream_decode_e2e']:9.2f} GiB/s-nt  "
+                f"({n_reads / dt:,.0f} reads/s)",
+                file=sys.stderr,
             )
         except Exception as e:  # pragma: no cover
             print(f"stream rows FAILED: {type(e).__name__}: {e}", file=sys.stderr)
