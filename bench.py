@@ -731,13 +731,15 @@ def main() -> int:
             )
 
             def collect(w, b):
+                from cute_nucleotides_tpu.ops import spec
+
                 for i in range(b.count):
                     nw = -(-int(b.lengths[i]) // 32)
                     entries.append(
                         (
                             b"r%d" % int(b.indices[i]),
                             int(b.lengths[i]),
-                            np.ascontiguousarray(w[i]).view("<u8")[:nw],
+                            spec.u32_pairs_to_u64(w[i])[:nw],
                         )
                     )
 

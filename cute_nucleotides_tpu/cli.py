@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import struct
 import sys
 
@@ -28,6 +29,11 @@ import numpy as np
 
 MAGIC = b"NUPK"
 VERSION = 1
+
+#: mirror of api._TIERS (hardcoded so --help stays jax-import-free; a test
+#: asserts the two stay equal) — argparse rejects typos before any output
+#: file is opened/truncated
+_TIERS = ("oracle", "xla", "pallas", "auto")
 
 
 def write_nup(path: str, names: list[bytes], seqs_words: list[np.ndarray],
@@ -440,6 +446,13 @@ def cmd_region(args) -> int:
                 )
                 return 1
             # seek-based: reads only this record's words, not the container
+            if reader.names.count(name) > 1:
+                print(
+                    f"warning: {len([n for n in reader.names if n == name])} "
+                    f"records named {name.decode(errors='replace')!r}; "
+                    "using the first",
+                    file=sys.stderr,
+                )
             length, words = reader.get(name)
             if end > length:
                 print(
@@ -636,7 +649,7 @@ def main(argv=None) -> int:
     pe.add_argument("input")
     pe.add_argument("output")
     pe.add_argument("--codec", choices=["2bit", "base5"], default="2bit")
-    pe.add_argument("--tier", default="xla")
+    pe.add_argument("--tier", default="xla", choices=_TIERS)
     pe.add_argument("--validate", action="store_true")
     pe.add_argument(
         "--batch", type=int, default=0,
@@ -649,7 +662,7 @@ def main(argv=None) -> int:
     pd = sub.add_parser("decode", help="decode a .nup file to FASTA")
     pd.add_argument("input")
     pd.add_argument("output", nargs="?", default="-")
-    pd.add_argument("--tier", default="xla")
+    pd.add_argument("--tier", default="xla", choices=_TIERS)
     pd.add_argument(
         "--verify-stream",
         action="store_true",
@@ -674,7 +687,7 @@ def main(argv=None) -> int:
     ps.add_argument("-k", type=int, default=8)
     ps.add_argument("--top", type=int, default=5)
     ps.add_argument("--canonical", action="store_true")
-    ps.add_argument("--tier", default="xla")
+    ps.add_argument("--tier", default="xla", choices=_TIERS)
     ps.set_defaults(fn=cmd_stats)
 
     pr = sub.add_parser(
@@ -688,7 +701,7 @@ def main(argv=None) -> int:
         "--packed", action="store_true",
         help="write a .nup of the still-packed windows instead of FASTA",
     )
-    pr.add_argument("--tier", default="xla")
+    pr.add_argument("--tier", default="xla", choices=_TIERS)
     pr.set_defaults(fn=cmd_region)
 
     pg = sub.add_parser(
@@ -717,7 +730,14 @@ def main(argv=None) -> int:
     pb.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except BrokenPipeError:
+        # downstream pipe closed early (e.g. `decode out.nup - | head`):
+        # the conventional exit for SIGPIPE, not a traceback
+        devnull = os.open(os.devnull, os.O_WRONLY)
+        os.dup2(devnull, sys.stdout.fileno())
+        return 141
 
 
 if __name__ == "__main__":

@@ -312,3 +312,13 @@ def test_nup_reader_random_access(tmp_path):
         assert [(n, L) for n, L, _ in r] == [(n, len(s)) for n, s in zip(names, seqs)]
     codec, entries = cli.read_nup(p)
     assert codec == "base5" and [e[0] for e in entries] == names
+
+
+def test_cli_tier_choices_match_api():
+    from cute_nucleotides_tpu import api
+
+    assert cli._TIERS == api._TIERS
+    # a typo'd tier dies as a clean argparse usage error, before any
+    # output file is opened
+    with pytest.raises(SystemExit):
+        cli.main(["region", "x.nup", "chr1:0-5", "-o", "y.fa", "--tier", "pallsa"])

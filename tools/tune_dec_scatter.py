@@ -312,10 +312,8 @@ def main() -> int:
     base = max(res.get("shipped", [0]))
     print("--- best-of-2 vs shipped ---", flush=True)
     for name, gs in sorted(res.items(), key=lambda kv: -max(kv[1])):
-        print(
-            f"{name:28s} {max(gs):8.2f} GiB/s  {(max(gs) / base - 1) * 100:+6.1f}%",
-            flush=True,
-        )
+        rel = f"{(max(gs) / base - 1) * 100:+6.1f}%" if base else "  n/a"
+        print(f"{name:28s} {max(gs):8.2f} GiB/s  {rel}", flush=True)
     return 0
 
 

@@ -120,10 +120,13 @@ def main() -> int:
             flush=True,
         )
     if rates:
-        best = max(rates)
+        # median of pairwise slopes: one jittery sample must not be able to
+        # inflate the number this feeds the decode roofline as denominator
+        best = float(np.median(rates))
         print(
             f"sustained u32 VPU throughput ~= {best / 1e12:.3f} Tops/s  "
-            f"({best / 940e6 / 128 / 8:.1f} lanes-equiv ALUs at 940 MHz)",
+            f"(median of pairwise slopes; "
+            f"{best / 940e6 / 128 / 8:.1f} lanes-equiv ALUs at 940 MHz)",
             flush=True,
         )
     return 0
