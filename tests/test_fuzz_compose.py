@@ -1,0 +1,82 @@
+"""Compositional fuzz: random programs over the packed-domain op algebra.
+
+The beyond-reference ops (slice / concat / revcomp, both codecs) are each
+oracle-tested in isolation; this fuzz chains them into random PROGRAMS and
+asserts the packed stream still decodes to the byte-domain result of the
+same program — the composition contract real pipelines rely on (e.g.
+revcomp(concat(slice(a), slice(b))) without ever leaving the packed
+domain).  Lengths are drawn from a small bucket set so the jit cache stays
+bounded on the CPU suite.
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from cute_nucleotides_tpu.ops import oracle, seqops, spec  # noqa: E402
+
+LENS = (5, 27, 32, 59, 128)  # bucket set bounds the per-shape jit compiles
+STEPS = 4
+PROGRAMS = 12
+
+
+def _case(codec):
+    if codec == "2bit":
+        return dict(
+            alpha=b"ACGT",
+            enc=lambda s: spec.u64_to_u32_pairs(
+                oracle.n_to_bits_lut(np.frombuffer(s, np.uint8))
+            ).reshape(-1),
+            dec=lambda w, n: bytes(
+                oracle.bits_to_n_lut(spec.u32_pairs_to_u64(np.asarray(w).reshape(-1, 2)).reshape(-1), n)
+            ),
+            rc=seqops.revcomp_packed,
+            sl=seqops.packed_slice,
+            cc=seqops.packed_concat,
+            comp=bytes.maketrans(b"ACGT", b"TGCA"),
+        )
+    return dict(
+        alpha=b"ACGTN",
+        enc=lambda s: spec.u64_to_u32_pairs(
+            oracle.n_to_bits2_lut(np.frombuffer(s, np.uint8))
+        ).reshape(-1),
+        dec=lambda w, n: bytes(
+            oracle.bits_to_n2_lut(spec.u32_pairs_to_u64(np.asarray(w).reshape(-1, 2)).reshape(-1), n)
+        ),
+        rc=seqops.revcomp_packed_b5,
+        sl=seqops.packed_slice_b5,
+        cc=seqops.packed_concat_b5,
+        comp=bytes.maketrans(b"ACGTN", b"TGCAN"),
+    )
+
+
+@pytest.mark.parametrize("codec", ["2bit", "base5"])
+def test_random_op_programs_match_byte_oracle(codec):
+    c = _case(codec)
+    rng = np.random.default_rng(0xF0552 if codec == "2bit" else 0xF0555)
+
+    for prog in range(PROGRAMS):
+        n = int(rng.choice(LENS))
+        seq = bytes(rng.choice(np.frombuffer(c["alpha"], np.uint8), n))
+        words = jnp.asarray(c["enc"](seq))
+        for step in range(STEPS):
+            op = rng.integers(0, 3)
+            if op == 0 and n > 0:  # slice to a bucketed length
+                m = int(min(rng.choice(LENS), n))
+                start = int(rng.integers(0, n - m + 1))
+                words = c["sl"](words, start, m)
+                seq, n = seq[start : start + m], m
+            elif op == 1:  # revcomp in place
+                words = c["rc"](words, n)
+                seq = seq.translate(c["comp"])[::-1]
+            else:  # concat with a fresh bucketed tail
+                m = int(rng.choice(LENS))
+                tail = bytes(
+                    rng.choice(np.frombuffer(c["alpha"], np.uint8), m)
+                )
+                words = c["cc"](words, n, jnp.asarray(c["enc"](tail)), m)
+                seq, n = seq + tail, n + m
+            assert c["dec"](words, n) == seq, (
+                codec, prog, step, op, n
+            )
