@@ -69,6 +69,23 @@ REF_TABLE = {                  # reference README.md:346-377 (for context)
 # relayed TPU link is degraded (H2D of the full batch has been observed to
 # take tens of minutes on bad days) — throughput numbers at scale >= 4 are
 # within a few % of full-size for the memory-bound rows.
+_SECTIONS = {
+    s.strip()
+    for s in os.environ.get("BENCH_SECTIONS", "").split(",")
+    if s.strip()
+}
+
+
+def _section_on(name: str, t_start: float) -> bool:
+    """Section gate: the time budget, plus an opt-in BENCH_SECTIONS filter
+    (comma list of {core,xla,packed,stream,host}) for re-running one
+    section in isolation (e.g. BENCH_SECTIONS=stream after a stream-path
+    change). The core rows always run unless explicitly filtered out."""
+    if _SECTIONS and name not in _SECTIONS:
+        return False
+    return time.time() - t_start < BUDGET_S
+
+
 _SCALE = max(int(os.environ.get("BENCH_SCALE", "1")), 1)
 ROWS = 32768 // _SCALE
 NT_PER_ROW = 8192          # % 16 == 0 (2-bit block)
@@ -108,6 +125,7 @@ def main() -> int:
     hbm_gibs = profiling.HBM_GIBS[chip]
 
     t_start = time.time()
+    cur_sec = ["core"]  # updated at each gated section for the run() filter
     rng = np.random.default_rng(0xC0DEC)
     alphabet = np.frombuffer(b"ACGTUacgtu", np.uint8)
     alphabet_n = np.frombuffer(b"ACGTUNacgtun", np.uint8)
@@ -228,6 +246,10 @@ def main() -> int:
 
     def run(name, step, state, denom, roofline=None, k_lo=CHAIN_LO,
             k_hi=CHAIN_HI, trials=TRIALS):
+        # BENCH_SECTIONS filter: rows belong to the section marked in
+        # cur_sec (rows outside any gated section are "core")
+        if _SECTIONS and cur_sec[0] not in _SECTIONS:
+            return 0.0
         # a single failing row must not prevent the headline JSON line
         try:
             # warm/compile, then profile for device truth
@@ -418,7 +440,8 @@ def main() -> int:
         )
 
     # --- XLA portability tier (reduced workload by default) ------------------
-    if time.time() - t_start < BUDGET_S:
+    if _section_on("xla", t_start):
+        cur_sec[0] = "xla"
         xrows = ROWS if BENCH_FULL else ROWS // XLA_SCALE
         x_u8 = host_u8[:xrows]
         x_nt = xrows * NT_PER_ROW
@@ -480,7 +503,8 @@ def main() -> int:
         )
 
     # --- packed-domain ops ---------------------------------------------------
-    if time.time() - t_start < BUDGET_S:
+    if _section_on("packed", t_start):
+        cur_sec[0] = "packed"
         words_flat = packed_np.reshape(-1).view(np.uint32)
         kwords = words_flat[:KMER_WORDS]
         klen = 16 * KMER_WORDS
@@ -654,11 +678,12 @@ def main() -> int:
 
     # --- end-to-end streaming pipeline (BASELINE's north star: reads/s
     # through host IO -> batch assembly -> H2D -> kernel -> D2H) -------------
-    if time.time() - t_start < BUDGET_S:
+    if _section_on("stream", t_start):
+        cur_sec[0] = "stream"
         from cute_nucleotides_tpu.parallel import runtime as rt
         from cute_nucleotides_tpu.utils import io as io_lib
 
-        n_reads, read_len = 32768, 2048  # 64 Mnt synthetic FASTQ on tmpfs
+        n_reads, read_len = 32768 // _SCALE, 2048  # 64 Mnt synthetic FASTQ on tmpfs
         fq = "/dev/shm/cn_bench_reads.fastq"
         try:
             sq = rng.choice(alphabet, size=(n_reads, read_len))
@@ -790,7 +815,8 @@ def main() -> int:
                 os.unlink(fq)
 
     # --- host-native C++ oracle (the scalar-tier rows) -----------------------
-    if time.time() - t_start < BUDGET_S:
+    if _section_on("host", t_start):
+        cur_sec[0] = "host"
         from cute_nucleotides_tpu.ops import native
 
         if native.available():
