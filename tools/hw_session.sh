@@ -23,4 +23,8 @@ run tune_enc_checked python tools/tune_enc_checked.py
 run tune_enc2 python tools/tune_enc2.py
 run tune_dec2 python tools/tune_dec2.py
 run vpu_peak python tools/vpu_peak.py
+# Fresh full-scale bench of the committed kernels (durable numbers even if
+# nobody ships tune winners before the relay drops again); detail JSON goes
+# to the log dir, not the repo tree.
+TMO=2400 BENCH_DETAIL_PATH="$L/bench_detail.json" run bench_full python bench.py
 echo "ALL-DONE $(date +%H:%M:%S)" >> "$L/status.txt"
