@@ -465,3 +465,31 @@ def test_b5_kernel_macs_shapes():
     assert (i8, bf) == (8 * 768 * 128, 8 * 128 * 256)
     i8, bf = pk.b5_kernel_macs("enc_inter")
     assert (i8, bf) == (0, 2 * 1728 * 256)
+
+
+def test_bench_outage_line_falls_back_to_committed_hw_run(tmp_path, monkeypatch):
+    """Relay-down bench runs must surface the round's committed hardware
+    headline (tagged stale) rather than zeros, and must degrade to the
+    zero line when no artifact exists."""
+    import importlib.util
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    spec_ = importlib.util.spec_from_file_location("bench_mod", root / "bench.py")
+    bench = importlib.util.module_from_spec(spec_)
+    monkeypatch.setenv("BENCH_PROBE_TIMEOUT_S", "0")  # never probe on import-run
+    spec_.loader.exec_module(bench)
+
+    # with the committed artifact present: headline values + stale tag
+    line = bench._outage_line()
+    assert line["unit"] == "GiB/s"
+    assert line["stale_hardware_run"] == "BENCH_LOCAL_r03.json"
+    assert line["value"] > 0 and line["vs_baseline"] > 0
+    assert "relay down" in line["error"]
+    json.loads(json.dumps(line))  # driver-parseable
+
+    # with a missing artifact: the honest zero line
+    monkeypatch.setenv("BENCH_LAST_HW_PATH", "does_not_exist.json")
+    line = bench._outage_line()
+    assert line["value"] == 0.0 and "unreachable" in line["error"]
+    assert "stale_hardware_run" not in line
