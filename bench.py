@@ -95,7 +95,9 @@ CHAIN_LO = 8
 CHAIN_HI = 40
 TRIALS = 3
 KMER_K = 8
-KMER_WORDS = 1 << 20       # 16.8 Mnt slice for the k-mer rows
+# 16.8 Mnt slice for the k-mer rows; scales with the row count so scaled
+# runs never ask for more words than the encode rows produced
+KMER_WORDS = max((1 << 20) // _SCALE, 1 << 10)
 
 
 def main() -> int:
@@ -373,9 +375,13 @@ def main() -> int:
 
     def b5_roof(base, kernel, rows=rows_b5):
         i8, bf = pk.b5_kernel_macs(kernel)
+        try:
+            vpu = rows * pk.b5_kernel_vpu_lane_ops(kernel)
+        except KeyError:
+            vpu = 0  # only the VPU-bound champion carries a lane-op audit
         return R(
             base.read_bytes, base.write_bytes,
-            int8_macs=rows * i8, bf16_macs=rows * bf,
+            int8_macs=rows * i8, bf16_macs=rows * bf, vpu_lane_ops=vpu,
         )
 
     run(

@@ -1387,3 +1387,32 @@ def b5_kernel_macs(kernel: str) -> tuple[int, int]:
             B5_SLICES * (pa.shape[0] * pa.shape[1] + pb.shape[0] * pb.shape[1]),
         )
     raise KeyError(kernel)
+
+
+def b5_kernel_vpu_lane_ops(kernel: str) -> int:
+    """Static elementwise u32 VPU lane-op count of one 3456-nt row.
+
+    The interleaved decoder runs ~3x above max(HBM, MXU) time — the VPU is
+    its binding resource — so its honest roofline needs this third
+    denominator (paired with the measured sustained rate from
+    tools/vpu_peak.py via utils.profiling.VPU_U32_GOPS).  The count is a
+    hand audit of :func:`_decode_b5_inter_kernel` in the reference
+    README's port-pressure style (reference README.md:383-402): one op =
+    one elementwise ALU/convert/copy per lane; u32<->i32 reinterprets are
+    free; MXU matmuls and stores are excluded (they are the other two
+    roofline terms).
+    """
+    if kernel != "dec_inter":
+        raise KeyError(kernel)
+    hoisted = 256 * (2 + 3 + 3 + 2)  # byte planes: ands/shifts + bf16 converts
+    per_slice = (
+        128 * 1            # 4x32-lane plane concat copies
+        + 256 * 3          # t: f32->i32 convert, >>7, &0x7F
+        + 256 * 2 * 2      # q5, q25 multiply-shift divisions
+        + 256 * 2 * 2      # digits: t-5*q5, q5-5*q25 (mul+sub each)
+        + 768 * 2          # digit concat copies + int8 converts
+        + 128 * 6          # v5/v25/v125 multiply-shift splits
+        + 128 * 6          # linear packed-digit assembly (3 mul + 3 add)
+        + 112 * 15         # SWAR digits->chars (shifts/nots/ands/muls/adds)
+    )
+    return hoisted + B5_SLICES * per_slice

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import contextlib
 import dataclasses
+import os
 
 
 @contextlib.contextmanager
@@ -131,6 +132,23 @@ HBM_GIBS = {
 MXU_INT8_TOPS = {"v4": 275.0, "v5e": 394.0, "v5p": 918.0, "v6e": 1836.0}
 MXU_BF16_TFLOPS = {"v4": 275.0, "v5e": 197.0, "v5p": 459.0, "v6e": 918.0}
 
+#: MEASURED sustained elementwise u32 throughput, G lane-ops/s — there is
+#: no published VPU number, so this is the slope measured by
+#: tools/vpu_peak.py on the real chip (None until measured; env
+#: CUTENUC_VPU_GOPS overrides for experiments).  The VPU is the third
+#: roofline resource: the base-5 interleaved decoder runs ~3x above
+#: max(HBM, MXU) time, so without this denominator its efficiency cannot
+#: be stated honestly (docs/DESIGN.md §4).
+VPU_U32_GOPS: dict = {"v4": None, "v5e": None, "v5p": None, "v6e": None}
+
+
+def vpu_peak_gops(chip: str = "v5e"):
+    """Sustained VPU u32 lane-ops/s for ``chip`` (None if not measured)."""
+    env = os.environ.get("CUTENUC_VPU_GOPS")
+    if env:
+        return float(env)
+    return VPU_U32_GOPS.get(chip)
+
 
 @dataclasses.dataclass
 class Roofline:
@@ -153,6 +171,9 @@ class Roofline:
     int8_macs: int = 0
     #: dense MXU multiply-accumulates on the bf16 path
     bf16_macs: int = 0
+    #: elementwise u32 VPU lane-ops (static count; see
+    #: ops.pallas_kernels.b5_kernel_vpu_lane_ops for the derivation style)
+    vpu_lane_ops: int = 0
 
     @property
     def total(self) -> int:
@@ -170,17 +191,27 @@ class Roofline:
             s += 2.0 * self.bf16_macs / (MXU_BF16_TFLOPS[chip] * 1e12)
         return s
 
+    def vpu_s(self, chip: str = "v5e") -> float:
+        """Minimum seconds at the MEASURED sustained VPU rate (0.0 when the
+        chip's rate is unmeasured or the op carries no lane-op count — the
+        VPU term then simply doesn't participate in the max)."""
+        peak = vpu_peak_gops(chip)
+        if not self.vpu_lane_ops or not peak:
+            return 0.0
+        return self.vpu_lane_ops / (peak * 1e9)
+
     def speed_of_light_s(self, hbm_gibs: float, chip: str = "v5e") -> float:
-        """Minimum seconds: both the HBM and the MXU bound must be met."""
-        return max(self.memory_s(hbm_gibs), self.compute_s(chip))
+        """Minimum seconds: the HBM, MXU and VPU bounds must all be met
+        (the three resources run concurrently, so the ceiling is the max)."""
+        return max(self.memory_s(hbm_gibs), self.compute_s(chip),
+                   self.vpu_s(chip))
 
     def bound_kind(self, hbm_gibs: float, chip: str = "v5e") -> str:
-        """Which resource sets the ceiling: "memory" or "compute"."""
-        return (
-            "compute"
-            if self.compute_s(chip) > self.memory_s(hbm_gibs)
-            else "memory"
-        )
+        """Which resource sets the ceiling: "memory", "compute" or "vpu"."""
+        m, c, v = self.memory_s(hbm_gibs), self.compute_s(chip), self.vpu_s(chip)
+        if v > m and v > c:
+            return "vpu"
+        return "compute" if c > m else "memory"
 
     def efficiency(
         self, measured_s: float, hbm_gibs: float, chip: str = "v5e"

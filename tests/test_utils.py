@@ -493,3 +493,33 @@ def test_bench_outage_line_falls_back_to_committed_hw_run(tmp_path, monkeypatch)
     line = bench._outage_line()
     assert line["value"] == 0.0 and "unreachable" in line["error"]
     assert "stale_hardware_run" not in line
+
+
+def test_roofline_vpu_term(monkeypatch):
+    """The VPU term participates in the SoL max only when both a lane-op
+    count and a measured chip rate exist."""
+    r = profiling.Roofline(2**20, 2**20, vpu_lane_ops=10**9)
+    # unmeasured chip rate -> the term vanishes
+    assert r.vpu_s("v5e") == 0.0
+    assert r.bound_kind(763.0, "v5e") == "memory"
+    # measured rate (env override): 1e9 ops at 1 Gops/s = 1 s >> memory time
+    monkeypatch.setenv("CUTENUC_VPU_GOPS", "1.0")
+    assert r.vpu_s("v5e") == 1.0
+    assert r.bound_kind(763.0, "v5e") == "vpu"
+    assert r.speed_of_light_s(763.0, "v5e") == 1.0
+    # no lane-op count -> never vpu-bound even with a measured rate
+    rm = profiling.Roofline(2**20, 2**20)
+    assert rm.vpu_s("v5e") == 0.0 and rm.bound_kind(763.0, "v5e") == "memory"
+
+
+def test_b5_kernel_vpu_lane_ops():
+    from cute_nucleotides_tpu.ops import pallas_kernels as pk
+
+    ops = pk.b5_kernel_vpu_lane_ops("dec_inter")
+    # the audited stage table: hoisted plane extraction + 8 slices
+    per_slice = 128 + 256 * 3 + 1024 + 1024 + 1536 + 768 + 768 + 1680
+    assert ops == 2560 + 8 * per_slice
+    # ~18.6 lane-ops per nt; sanity-bound the audit against gross drift
+    assert 15 * pk.B5_ROW_NT < ops < 25 * pk.B5_ROW_NT
+    with pytest.raises(KeyError):
+        pk.b5_kernel_vpu_lane_ops("enc_inter")

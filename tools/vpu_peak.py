@@ -129,6 +129,11 @@ def main() -> int:
             f"{best / 940e6 / 128 / 8:.1f} lanes-equiv ALUs at 940 MHz)",
             flush=True,
         )
+        print(
+            "plug into utils/profiling.py: "
+            f'VPU_U32_GOPS["v5e"] = {best / 1e9:.0f}.0  # measured by this tool',
+            flush=True,
+        )
     return 0
 
 
