@@ -523,3 +523,43 @@ def test_b5_kernel_vpu_lane_ops():
     assert 15 * pk.B5_ROW_NT < ops < 25 * pk.B5_ROW_NT
     with pytest.raises(KeyError):
         pk.b5_kernel_vpu_lane_ops("enc_inter")
+
+
+def test_vpu_lane_op_audit_matches_kernel_jaxpr():
+    """Drift guard: the hand-audited lane-op count must track the actual
+    kernel.  The count is recomputed from the decode kernel's own jaxpr
+    (elementwise ALU ops + concat copies + real dtype converts; same-width
+    int reinterprets are free) and the audit must stay within 10%."""
+    import jax
+    import jax.numpy as jnp
+    from cute_nucleotides_tpu.ops import pallas_kernels as pk
+
+    rb = 8
+    jx = jax.make_jaxpr(
+        lambda w: pk.decode_b5_interleaved_panels(w, interpret=True, row_block=rb)
+    )(jnp.zeros((rb, 2 * pk.B5_ROW_WORDS), jnp.uint32))
+    (call,) = [e for e in jx.jaxpr.eqns if e.primitive.name == "pallas_call"]
+    alu = {
+        "add", "sub", "mul", "and", "or", "xor", "not",
+        "shift_left", "shift_right_logical", "shift_right_arithmetic",
+        "concatenate",
+    }
+    lanes = 0
+    for eqn in call.params["jaxpr"].eqns:
+        out = eqn.outvars[0].aval
+        if not getattr(out, "shape", None) or len(out.shape) != 2:
+            continue
+        if eqn.primitive.name in alu:
+            lanes += out.shape[1]
+        elif eqn.primitive.name == "convert_element_type":
+            src = eqn.invars[0].aval.dtype
+            dst = out.dtype
+            free = (
+                jnp.issubdtype(src, jnp.integer)
+                and jnp.issubdtype(dst, jnp.integer)
+                and src.itemsize == dst.itemsize
+            )
+            if not free:
+                lanes += out.shape[1]
+    audited = pk.b5_kernel_vpu_lane_ops("dec_inter")
+    assert abs(audited - lanes) / lanes < 0.10, (audited, lanes)
