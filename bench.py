@@ -436,6 +436,19 @@ def main() -> int:
             "dec_inter",
         ),
     )
+    # fused stream-integrity check riding the decode's read (vs a separate
+    # first_invalid_word_b5 pass; roofline reuses dec_inter — the check adds
+    # ~4% more VPU lane-ops, understating SoL for this row slightly)
+    run(
+        "decode_b5_pallas_checked",
+        chained(lambda w: pk.decode_b5_interleaved_panels_checked(w)[0]),
+        jnp.asarray(w_b5.reshape(rows_b5, 2 * pk.B5_ROW_WORDS)),
+        nt_b5,
+        b5_roof(
+            R(8 * (nt_b5 // 27), nt_b5 * pk.B5_NT4_PAD_LANES * 4 // pk.B5_ROW_NT),
+            "dec_inter",
+        ),
+    )
     if BENCH_FULL:
         run(
             "decode_b5_pallas_u8",

@@ -237,10 +237,13 @@ def cmd_decode(args) -> int:
     from .ops import spec
 
     codec, entries = read_nup(args.input)
-    if getattr(args, "verify_stream", False) and codec == "base5":
+    verify = getattr(args, "verify_stream", False) and codec == "base5"
+    if verify and not args.batch:
         # cheap whole-stream integrity scan before decode: base-5 words
         # waste 3 of 128 triplet codes + the pad bit, so corruption is
-        # detectable (the 2-bit stream has no invalid states)
+        # detectable (the 2-bit stream has no invalid states).  The batch
+        # path skips this second pass — its check is FUSED into the decode
+        # kernel (see below).
         import jax.numpy as jnp
 
         from .ops import seqops
@@ -274,7 +277,41 @@ def cmd_decode(args) -> int:
             for start in range(0, len(entries), args.batch):
                 chunk = entries[start : start + args.batch]
                 w32 = io_lib.pack_words_batch(chunk, args.batch)
-                dec = np.asarray(cd.decode(jnp.asarray(w32)))
+                if verify:
+                    # integrity check fused into the decode's own HBM read
+                    # (device flag per batch; the host scan diagnoses the
+                    # record + word index only on flagged batches)
+                    dec_d, bad = cd.decode_checked(jnp.asarray(w32))
+                    dec = np.asarray(dec_d)
+                    if bool(bad):
+                        from .ops import seqops
+
+                        diagnosed = False
+                        for name, _, words in chunk:
+                            v = spec.u64_to_u32_pairs(
+                                np.ascontiguousarray(words)
+                            ).reshape(-1)
+                            w = int(seqops.first_invalid_word_b5(jnp.asarray(v)))
+                            if w >= 0:
+                                print(
+                                    f"error: corrupt base-5 word {w} in "
+                                    f"record {name.decode(errors='replace')}",
+                                    file=sys.stderr,
+                                )
+                                diagnosed = True
+                        if not diagnosed:
+                            # device flag without a host diagnosis would mean
+                            # the fused check drifted from the scan — fail
+                            # loudly rather than silently decode corruption
+                            print(
+                                "error: fused integrity check flagged the "
+                                "batch but the host scan found no corrupt "
+                                "word (check/scan divergence)",
+                                file=sys.stderr,
+                            )
+                        return 1
+                else:
+                    dec = np.asarray(cd.decode(jnp.asarray(w32)))
                 for i, (name, length, _) in enumerate(chunk):
                     _write_fasta(out, name, bytes(dec[i, :length]))
         else:

@@ -81,6 +81,15 @@ def _jit_any_invalid_scalar_n():
     return jax.jit(lambda x: jnp.any(~validate.valid_mask(x, allow_n=True)))
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_any_corrupt_scalar_b5():
+    from ..ops import seqops
+
+    return jax.jit(
+        lambda w: jnp.any(seqops.first_invalid_word_b5(w) >= 0)
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class CodecConfig:
     """Typed configuration (the config system the reference lacks; SURVEY §5).
@@ -327,6 +336,24 @@ class Base5Codec(_CodecBase):
     def decode(self, words: jax.Array) -> jax.Array:
         """u32[..., 2*W] -> u8[..., 27*W] (full blocks; caller truncates)."""
         return self._decode(words)
+
+    def decode_checked(self, words: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Decode + stream-integrity flag: u32[..., 2*W] ->
+        (u8[..., 27*W], bool scalar).
+
+        The flag is True iff ANY u64 word of the stream is corrupt (a
+        triplet value >= 125 or pad bit 63 set — base-5 words waste 3 of
+        128 triplet codes, so container corruption is detectable; the
+        2-bit stream has no invalid states).  Fused into the decode kernel
+        on the pallas tier (it rides the decode's own HBM read); composed
+        with :func:`..ops.seqops.first_invalid_word_b5` elsewhere — and
+        use that scan to diagnose the word index on flagged batches.
+        """
+        if self.tier == "pallas":
+            from ..ops import pallas_kernels as pk
+
+            return pk.jit_decode_b5_checked()(words)
+        return self.decode(words), _jit_any_corrupt_scalar_b5()(words)
 
     def words_per_read(self, length: int) -> int:
         return 2 * spec.num_words_b5(length)

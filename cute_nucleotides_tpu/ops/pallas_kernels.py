@@ -684,6 +684,39 @@ def decode_b5_bytes_pallas(words: jax.Array, *, interpret: bool = False) -> jax.
     return out.reshape(-1)[: n * 27 * W].reshape(*lead, 27 * W)
 
 
+def decode_b5_bytes_checked(
+    words: jax.Array, *, interpret: bool = False
+) -> tuple[jax.Array, jax.Array]:
+    """Fused words-API base-5 decode + integrity flag:
+    u32[..., 2W] -> (u8[..., 27W], bool scalar).
+
+    The flag is True iff ANY u64 word of the stream is corrupt (a triplet
+    value >= 125 or pad bit 63 set); the zero words padding the last panel
+    row are valid, so they cannot false-positive.  On a flagged batch,
+    diagnose with :func:`..ops.seqops.first_invalid_word_b5` (the rare
+    path).  Mirrors :func:`..ops.pallas_kernels.encode_b5_words_checked`.
+    """
+    if words.shape[-1] % 2:
+        raise ValueError("base-5 packed stream must have even u32 count")
+    lead = words.shape[:-1]
+    W = words.shape[-1] // 2
+    n = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    flat = words.reshape(-1)
+    rows = _cdiv(max(n * W, 1), B5_ROW_WORDS)
+    pad = 2 * rows * B5_ROW_WORDS - flat.shape[0]
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.uint32)])
+    panels, badplane = decode_b5_interleaved_panels_checked(
+        flat.reshape(rows, 2 * B5_ROW_WORDS), interpret=interpret
+    )
+    data = panels.reshape(rows, B5_SLICES, 112)[:, :, :108]
+    out = jax.lax.bitcast_convert_type(data, jnp.uint8)
+    return (
+        out.reshape(-1)[: n * 27 * W].reshape(*lead, 27 * W),
+        jnp.any(badplane != 0),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Base-5 codec (Pallas tier) — registry hooks
 # ---------------------------------------------------------------------------
@@ -705,6 +738,11 @@ def jit_encode_b5():
 @functools.lru_cache(maxsize=None)
 def jit_decode_b5():
     return jax.jit(decode_b5_bytes_pallas)
+
+
+@functools.lru_cache(maxsize=None)
+def jit_decode_b5_checked():
+    return jax.jit(decode_b5_bytes_checked)
 
 
 # ---------------------------------------------------------------------------
@@ -1149,7 +1187,7 @@ def _b5_dec_gather_fold_bf16():
     return np.asarray(g, dtype=jnp.bfloat16)
 
 
-def _decode_b5_inter_kernel(x_ref, g_ref, s_ref, o_ref):
+def _decode_b5_inter_kernel_impl(x_ref, g_ref, s_ref, o_ref, b_ref=None):
     """Interleaved u32[rb, 256] words -> padded nt4 u32[rb, 896].
 
     Two r03 VPU trims (same-process A/B +6.9%, tools/tune_dec_vpu.py):
@@ -1159,6 +1197,16 @@ def _decode_b5_inter_kernel(x_ref, g_ref, s_ref, o_ref):
     digit word is assembled LINEARLY — ``pd = v + 251·v5 + 64256·v25 +
     16449536·v125`` (what the sub/shift/or chain algebraically expands to;
     3 mul + 3 add for 9 sub/shift/or, exact in i32: max < 2^27).
+
+    With ``b_ref`` the kernel additionally flags stream corruption on the
+    decode's own HBM read (the decode mirror of the fused checked encode):
+    the t domain already holds every triplet value, so ``t >= 125`` is one
+    add+shift per t-lane — ``(t + 3) >> 7``, exact since t <= 127 — and
+    the TPAD columns cannot false-positive (their gather columns are
+    all-zero, so t = 0 there).  The u64 pad bit 63 is bit 31 of each odd
+    (hi) u32 input lane.  Semantics identical to
+    :func:`..ops.seqops.first_invalid_word_b5` (which diagnoses the word
+    index on flagged batches — the rare path).
     """
     x = x_ref[:]
     rb = x.shape[0]
@@ -1169,6 +1217,7 @@ def _decode_b5_inter_kernel(x_ref, g_ref, s_ref, o_ref):
     p1 = ((x >> 8) & m8).astype(jnp.int32).astype(jnp.bfloat16)
     p2 = ((x >> 16) & m8).astype(jnp.int32).astype(jnp.bfloat16)
     p3 = (x >> 24).astype(jnp.int32).astype(jnp.bfloat16)
+    bad = None
     for g in range(B5_SLICES):
         planes = jnp.concatenate(
             [
@@ -1179,6 +1228,9 @@ def _decode_b5_inter_kernel(x_ref, g_ref, s_ref, o_ref):
         )
         z = jnp.dot(planes, g_ref[:], preferred_element_type=jnp.float32)
         t = (z.astype(jnp.int32) >> 7) & 0x7F
+        if b_ref is not None:
+            badt = (t + 3) >> 7  # 1 iff triplet value >= 125
+            bad = badt if bad is None else (bad | badt)
         q5 = (t * 205) >> 10
         q25 = (t * 41) >> 10
         digs = jnp.concatenate(
@@ -1195,6 +1247,21 @@ def _decode_b5_inter_kernel(x_ref, g_ref, s_ref, o_ref):
         o_ref[:, 112 * g : 112 * (g + 1)] = _swar_digits_to_chars(
             jax.lax.slice(pd, (0, 0), (rb, 112))
         )
+    if b_ref is not None:
+        odd = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) & 1
+        bad = bad | (((x >> 31).astype(jnp.int32)) & odd)
+        b_ref[:] = (
+            jax.lax.slice(bad, (0, 0), (rb, 128))
+            | jax.lax.slice(bad, (0, 128), (rb, 256))
+        ).astype(jnp.uint32)
+
+
+def _decode_b5_inter_kernel(x_ref, g_ref, s_ref, o_ref):
+    _decode_b5_inter_kernel_impl(x_ref, g_ref, s_ref, o_ref)
+
+
+def _decode_b5_inter_checked_kernel(x_ref, g_ref, s_ref, o_ref, b_ref):
+    _decode_b5_inter_kernel_impl(x_ref, g_ref, s_ref, o_ref, b_ref)
 
 
 def decode_b5_interleaved_panels(
@@ -1209,6 +1276,31 @@ def decode_b5_interleaved_panels(
     :func:`decode_b5_nt4_panels` on why 896 lanes: XLA's result-relayout
     copy).  This is the fast path behind :func:`decode_b5_bytes_pallas`.
     """
+    return _decode_b5_inter_call(
+        words, checked=False, interpret=interpret, row_block=row_block
+    )
+
+
+def decode_b5_interleaved_panels_checked(
+    words: jax.Array, *, interpret: bool = False, row_block: int = 512
+) -> tuple[jax.Array, jax.Array]:
+    """Fused base-5 decode + stream-integrity check: interleaved
+    u32[R, 256] -> (padded nt4 u32[R, 896], badplane u32[R, 128]).
+
+    Any nonzero bit in ``badplane[r]`` means row ``r`` contains a corrupt
+    u64 word (a triplet value >= 125 or pad bit 63 set) — the semantics of
+    :func:`..ops.seqops.first_invalid_word_b5`, but riding the decode's
+    own HBM read instead of a second whole-stream pass.  Diagnose flagged
+    rows with that scan (the rare path).
+    """
+    return _decode_b5_inter_call(
+        words, checked=True, interpret=interpret, row_block=row_block
+    )
+
+
+def _decode_b5_inter_call(
+    words: jax.Array, *, checked: bool, interpret: bool, row_block: int
+):
     if words.dtype != jnp.uint32 or words.ndim != 2 or words.shape[1] != 2 * B5_ROW_WORDS:
         raise TypeError(f"expected u32[R, {2 * B5_ROW_WORDS}], got {words.dtype}{words.shape}")
     interpret = _auto_interpret(interpret)
@@ -1219,15 +1311,29 @@ def decode_b5_interleaved_panels(
         pl.BlockSpec(m.shape, lambda i: (0,) * m.ndim, memory_space=pltpu.VMEM)
         for m in mats
     ]
+    panels_spec = pl.BlockSpec(
+        (rb, B5_NT4_PAD_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    panels_shape = jax.ShapeDtypeStruct((R, B5_NT4_PAD_LANES), jnp.uint32)
+    if checked:
+        kernel = _decode_b5_inter_checked_kernel
+        out_specs = [
+            panels_spec,
+            pl.BlockSpec((rb, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [panels_shape, jax.ShapeDtypeStruct((R, 128), jnp.uint32)]
+    else:
+        kernel = _decode_b5_inter_kernel
+        out_specs, out_shape = panels_spec, panels_shape
     return pl.pallas_call(
-        _decode_b5_inter_kernel,
+        kernel,
         grid=(_cdiv(R, rb),),
         in_specs=[
             pl.BlockSpec((rb, 2 * B5_ROW_WORDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
             *mat_specs,
         ],
-        out_specs=pl.BlockSpec((rb, B5_NT4_PAD_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R, B5_NT4_PAD_LANES), jnp.uint32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(words, *mats)
 

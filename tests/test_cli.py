@@ -322,3 +322,33 @@ def test_cli_tier_choices_match_api():
     # output file is opened
     with pytest.raises(SystemExit):
         cli.main(["region", "x.nup", "chr1:0-5", "-o", "y.fa", "--tier", "pallsa"])
+
+
+def test_cli_decode_batch_fused_verify(tmp_path, capsys):
+    """--batch --verify-stream rides the FUSED checked decode: clean streams
+    decode identically, corrupt streams die with the diagnosed record."""
+    fa = tmp_path / "in.fa"
+    fa.write_bytes(
+        b">a\nACGTNACGTNACGTNACGTNACGTNAC\n>b\nNNNACGTACGTACGT\n"
+    )
+    nup = str(tmp_path / "o.nup")
+    assert cli.main(["encode", str(fa), nup, "--codec", "base5", "--tier", "oracle"]) == 0
+    capsys.readouterr()
+    out_fa = str(tmp_path / "out.fa")
+    assert cli.main(
+        ["decode", nup, out_fa, "--verify-stream", "--batch", "4", "--tier", "pallas"]
+    ) == 0
+    plain = str(tmp_path / "plain.fa")
+    assert cli.main(["decode", nup, plain, "--batch", "4", "--tier", "pallas"]) == 0
+    assert open(out_fa, "rb").read() == open(plain, "rb").read()
+    # corrupt record b's word: pad bit 63 of its (only) u64 word
+    blob = bytearray(open(nup, "rb").read())
+    blob[-1] |= 0x80
+    bad_nup = str(tmp_path / "bad.nup")
+    open(bad_nup, "wb").write(bytes(blob))
+    rc = cli.main(
+        ["decode", bad_nup, out_fa, "--verify-stream", "--batch", "4", "--tier", "pallas"]
+    )
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "corrupt base-5 word 0 in record b" in err

@@ -107,6 +107,20 @@ def test_base5_encode_checked(tier, rng):
     assert bool(np.any(np.asarray(bad)))
 
 
+@pytest.mark.parametrize("tier", ["pallas", "xla"])
+def test_base5_decode_checked(tier, rng):
+    codec = Base5Codec(tier=tier)
+    s = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=(4, 27 * 19))
+    words = np.asarray(codec.encode(jnp.asarray(s))).copy()
+    out, bad = codec.decode_checked(jnp.asarray(words))
+    assert np.array_equal(np.asarray(out), np.asarray(codec.decode(jnp.asarray(words))))
+    assert not bool(np.any(np.asarray(bad)))
+    # corrupt one word: out-of-range triplet in row 2
+    words[2, 4] |= np.uint32(0x7F)
+    _, bad = codec.decode_checked(jnp.asarray(words))
+    assert bool(np.any(np.asarray(bad)))
+
+
 def test_tier_exclusive_variants_raise_clearly():
     with pytest.raises(ValueError, match="XLA-tier"):
         TwoBitCodec(tier="pallas", encode_variant="dot")

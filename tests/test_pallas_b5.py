@@ -183,3 +183,49 @@ def test_b5_checked_encode_accept_set_exhaustive():
     assert np.array_equal(flag, want)
     w0 = pk.encode_b5_panels_v2(jnp.asarray(x), interpret=True)
     assert np.array_equal(np.asarray(w), np.asarray(w0))
+
+
+def test_decode_b5_checked_parity_and_flags(rng):
+    """The fused checked decode: panels bit-exact to the unchecked kernel,
+    badplane flags exactly the rows holding a corrupt u64 word (triplet
+    >= 125 or pad bit 63) — first_invalid_word_b5's semantics on the
+    decode's own HBM read."""
+    R = 8
+    s = rng.choice(ALPHABET, size=R * pk.B5_ROW_NT)
+    words = oracle.n_to_bits2_lut(s)
+    inter = np.ascontiguousarray(words).view("<u4").reshape(R, 256).copy()
+    out, badplane = pk.decode_b5_interleaved_panels_checked(
+        jnp.asarray(inter), interpret=True
+    )
+    ref = np.asarray(pk.decode_b5_interleaved_panels(jnp.asarray(inter), interpret=True))
+    assert np.array_equal(np.asarray(out), ref)
+    assert not np.asarray(badplane).any()
+    # corrupt: row 1 word 3 triplet 0 -> 125; row 4 word 77 triplet 8 -> 127;
+    # row 6 word 10 pad bit 63
+    inter[1, 6] = (inter[1, 6] & ~np.uint32(0x7F)) | np.uint32(125)
+    inter[4, 2 * 77 + 1] |= np.uint32(0x7F) << (7 * 8 - 32)
+    inter[6, 2 * 10 + 1] |= np.uint32(1) << 31
+    out2, badplane = pk.decode_b5_interleaved_panels_checked(
+        jnp.asarray(inter), interpret=True
+    )
+    flags = np.asarray(badplane).any(axis=-1)
+    assert list(np.nonzero(flags)[0]) == [1, 4, 6]
+    # boundary: the largest VALID triplet (124) must not flag
+    inter2 = np.ascontiguousarray(words).view("<u4").reshape(R, 256).copy()
+    inter2[0, 0] = (inter2[0, 0] & ~np.uint32(0x7F)) | np.uint32(124)
+    _, bp = pk.decode_b5_interleaved_panels_checked(jnp.asarray(inter2), interpret=True)
+    assert not np.asarray(bp)[0].any()
+
+
+def test_decode_b5_bytes_checked_scalar_flag(rng):
+    s = rng.choice(np.frombuffer(b"ATCGN", np.uint8), size=27 * 100 + 13)
+    w64 = oracle.n_to_bits2_lut(s)
+    w = spec.u64_to_u32_pairs(w64).reshape(-1)
+    out, bad = pk.decode_b5_bytes_checked(jnp.asarray(w), interpret=True)
+    want = oracle.bits_to_n2_lut(w64, s.size)
+    assert np.array_equal(np.asarray(out)[: s.size], want)
+    assert not bool(bad)
+    wbad = w.copy()
+    wbad[11] |= np.uint32(1) << 31  # word 5 pad bit
+    _, bad = pk.decode_b5_bytes_checked(jnp.asarray(wbad), interpret=True)
+    assert bool(bad)
