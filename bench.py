@@ -87,7 +87,7 @@ def _section_on(name: str, t_start: float) -> bool:
 
 
 _SCALE = max(int(os.environ.get("BENCH_SCALE", "1")), 1)
-ROWS = 32768 // _SCALE
+ROWS = max(32768 // _SCALE, 8)
 NT_PER_ROW = 8192          # % 16 == 0 (2-bit block)
 NT_PER_ROW_B5 = 8208       # % 27 == 0 (base-5 block)
 XLA_SCALE = 8              # XLA-tier rows run at 1/8 workload
@@ -96,8 +96,10 @@ CHAIN_HI = 40
 TRIALS = 3
 KMER_K = 8
 # 16.8 Mnt slice for the k-mer rows; scales with the row count so scaled
-# runs never ask for more words than the encode rows produced
-KMER_WORDS = max((1 << 20) // _SCALE, 1 << 10)
+# runs never ask for more words than the encode rows produced.  Rounded to
+# a multiple of 128 (the planar-codes kernels reshape to 128-lane rows)
+# with a 128-word floor; clamped again at the use site.
+KMER_WORDS = max(((1 << 20) // _SCALE) & ~127, 128)
 
 
 def main() -> int:
@@ -437,15 +439,19 @@ def main() -> int:
         ),
     )
     # fused stream-integrity check riding the decode's read (vs a separate
-    # first_invalid_word_b5 pass; roofline reuses dec_inter — the check adds
-    # ~4% more VPU lane-ops, understating SoL for this row slightly)
+    # first_invalid_word_b5 pass).  Roofline: the MACs are dec_inter's, the
+    # writes include the u32[R, 128] badplane; the ~4% extra VPU lane-ops of
+    # the check itself are not modeled (slight SoL understatement).
     run(
         "decode_b5_pallas_checked",
         chained(lambda w: pk.decode_b5_interleaved_panels_checked(w)[0]),
         jnp.asarray(w_b5.reshape(rows_b5, 2 * pk.B5_ROW_WORDS)),
         nt_b5,
         b5_roof(
-            R(8 * (nt_b5 // 27), nt_b5 * pk.B5_NT4_PAD_LANES * 4 // pk.B5_ROW_NT),
+            R(
+                8 * (nt_b5 // 27),
+                nt_b5 * (pk.B5_NT4_PAD_LANES + 128) * 4 // pk.B5_ROW_NT,
+            ),
             "dec_inter",
         ),
     )
@@ -525,11 +531,15 @@ def main() -> int:
     if _section_on("packed", t_start):
         cur_sec[0] = "packed"
         words_flat = packed_np.reshape(-1).view(np.uint32)
-        kwords = words_flat[:KMER_WORDS]
-        klen = 16 * KMER_WORDS
+        # clamp to what the encode rows actually produced (128-multiple so
+        # the planar reshape below always divides), THEN derive the length
+        # from the real slice so the two can never disagree
+        kmw = max(min(KMER_WORDS, words_flat.size) & ~127, 128)
+        kwords = words_flat[:kmw]
+        klen = 16 * kmw
         # k-mer EXTRACTION alone (funnel-shift kernel; output 16 codes/word
         # dominates traffic: 4 B in + 64 B out per input word)
-        kw2d = words_flat[:KMER_WORDS].reshape(-1, 128)  # 64 MiB output/step
+        kw2d = words_flat[:kmw].reshape(-1, 128)  # 64 MiB output/step
         knxt = np.roll(kw2d.reshape(-1), -1).reshape(kw2d.shape)
         run(
             "kmer_codes_k15",
@@ -549,8 +559,8 @@ def main() -> int:
             ),
             jnp.asarray(kwords),
             klen,
-            R(4 * KMER_WORDS, 4 * 4**KMER_K,
-              int8_macs=65536 * 16 * KMER_WORDS),
+            R(4 * kmw, 4 * 4**KMER_K,
+              int8_macs=65536 * 16 * kmw),
             k_lo=4, k_hi=20, trials=3,
         )
         # production-k extraction: u32-pair codes, two successor taps
@@ -577,7 +587,7 @@ def main() -> int:
             k_lo=2, k_hi=8, trials=3,
         )
         # (w=10, k=15)-minimizer sketch: hash + two log-depth windowed passes
-        mz_words = words_flat[: KMER_WORDS // 2]
+        mz_words = words_flat[: kmw // 2]
         mz_len = 16 * mz_words.size
         run(
             "minimizers_w10_k15",

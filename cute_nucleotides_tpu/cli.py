@@ -260,7 +260,14 @@ def cmd_decode(args) -> int:
                     file=sys.stderr,
                 )
                 return 1
-    out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+    # file output is written to a temp path and renamed only on success, so
+    # a corruption abort (or any mid-run failure) can neither leave a
+    # truncated FASTA behind nor clobber a pre-existing file (stdout output
+    # streams as written — consumers must honor the exit code there)
+    to_file = args.output != "-"
+    tmp_path = args.output + ".tmp" if to_file else None
+    out = open(tmp_path, "wb") if to_file else sys.stdout.buffer
+    rc = 0
     try:
         if args.batch:
             # production path, symmetric to `encode --batch`: fixed-shape
@@ -309,7 +316,8 @@ def cmd_decode(args) -> int:
                                 "word (check/scan divergence)",
                                 file=sys.stderr,
                             )
-                        return 1
+                        rc = 1
+                        return rc
                 else:
                     dec = np.asarray(cd.decode(jnp.asarray(w32)))
                 for i, (name, length, _) in enumerate(chunk):
@@ -319,9 +327,16 @@ def cmd_decode(args) -> int:
             for name, length, words in entries:
                 seq = fn(words, length, tier=args.tier)
                 _write_fasta(out, name, bytes(seq))
+    except BaseException:
+        rc = 1
+        raise
     finally:
-        if out is not sys.stdout.buffer:
+        if to_file:
             out.close()
+            if rc == 0:
+                os.replace(tmp_path, args.output)
+            else:
+                os.unlink(tmp_path)
     return 0
 
 

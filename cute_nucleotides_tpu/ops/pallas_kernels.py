@@ -655,6 +655,35 @@ def jit_encode_b5_panels():
     return jax.jit(encode_b5_panels_v2)
 
 
+def _decode_b5_bytes_impl(words: jax.Array, checked: bool, interpret: bool):
+    """Shared bytes-API scaffolding: flatten to padded panel rows, decode
+    through the interleaved kernel (checked or not), strip the tile pad,
+    re-split.  Returns ``(bytes, badplane | None)``."""
+    if words.shape[-1] % 2:
+        raise ValueError("base-5 packed stream must have even u32 count")
+    lead = words.shape[:-1]
+    W = words.shape[-1] // 2
+    n = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    flat = words.reshape(-1)
+    rows = _cdiv(max(n * W, 1), B5_ROW_WORDS)
+    pad = 2 * rows * B5_ROW_WORDS - flat.shape[0]
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.uint32)])
+    panel_rows = flat.reshape(rows, 2 * B5_ROW_WORDS)
+    if checked:
+        panels, badplane = decode_b5_interleaved_panels_checked(
+            panel_rows, interpret=interpret
+        )
+    else:
+        panels, badplane = (
+            decode_b5_interleaved_panels(panel_rows, interpret=interpret),
+            None,
+        )
+    data = panels.reshape(rows, B5_SLICES, 112)[:, :, :108]
+    out = jax.lax.bitcast_convert_type(data, jnp.uint8)
+    return out.reshape(-1)[: n * 27 * W].reshape(*lead, 27 * W), badplane
+
+
 def decode_b5_bytes_pallas(words: jax.Array, *, interpret: bool = False) -> jax.Array:
     """Drop-in Pallas analogue of :func:`..ops.xla.decode_b5_bytes`:
     u32[..., 2*W] -> u8[..., 27*W].
@@ -666,22 +695,7 @@ def decode_b5_bytes_pallas(words: jax.Array, *, interpret: bool = False) -> jax.
     and skip that pass (host consumers get it free via
     :func:`depad_nt4_host` — see api.bits_to_n2).
     """
-    if words.shape[-1] % 2:
-        raise ValueError("base-5 packed stream must have even u32 count")
-    lead = words.shape[:-1]
-    W = words.shape[-1] // 2
-    n = int(np.prod(lead, dtype=np.int64)) if lead else 1
-    flat = words.reshape(-1)
-    rows = _cdiv(max(n * W, 1), B5_ROW_WORDS)
-    pad = 2 * rows * B5_ROW_WORDS - flat.shape[0]
-    if pad:
-        flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.uint32)])
-    panels = decode_b5_interleaved_panels(
-        flat.reshape(rows, 2 * B5_ROW_WORDS), interpret=interpret
-    )
-    data = panels.reshape(rows, B5_SLICES, 112)[:, :, :108]
-    out = jax.lax.bitcast_convert_type(data, jnp.uint8)
-    return out.reshape(-1)[: n * 27 * W].reshape(*lead, 27 * W)
+    return _decode_b5_bytes_impl(words, checked=False, interpret=interpret)[0]
 
 
 def decode_b5_bytes_checked(
@@ -696,25 +710,8 @@ def decode_b5_bytes_checked(
     diagnose with :func:`..ops.seqops.first_invalid_word_b5` (the rare
     path).  Mirrors :func:`..ops.pallas_kernels.encode_b5_words_checked`.
     """
-    if words.shape[-1] % 2:
-        raise ValueError("base-5 packed stream must have even u32 count")
-    lead = words.shape[:-1]
-    W = words.shape[-1] // 2
-    n = int(np.prod(lead, dtype=np.int64)) if lead else 1
-    flat = words.reshape(-1)
-    rows = _cdiv(max(n * W, 1), B5_ROW_WORDS)
-    pad = 2 * rows * B5_ROW_WORDS - flat.shape[0]
-    if pad:
-        flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.uint32)])
-    panels, badplane = decode_b5_interleaved_panels_checked(
-        flat.reshape(rows, 2 * B5_ROW_WORDS), interpret=interpret
-    )
-    data = panels.reshape(rows, B5_SLICES, 112)[:, :, :108]
-    out = jax.lax.bitcast_convert_type(data, jnp.uint8)
-    return (
-        out.reshape(-1)[: n * 27 * W].reshape(*lead, 27 * W),
-        jnp.any(badplane != 0),
-    )
+    out, badplane = _decode_b5_bytes_impl(words, checked=True, interpret=interpret)
+    return out, jnp.any(badplane != 0)
 
 
 # ---------------------------------------------------------------------------
@@ -1498,7 +1495,7 @@ def b5_kernel_macs(kernel: str) -> tuple[int, int]:
 def b5_kernel_vpu_lane_ops(kernel: str) -> int:
     """Static elementwise u32 VPU lane-op count of one 3456-nt row.
 
-    The interleaved decoder runs ~3x above max(HBM, MXU) time — the VPU is
+    The interleaved decoder runs ~2.3x above max(HBM, MXU) time — the VPU is
     its binding resource — so its honest roofline needs this third
     denominator (paired with the measured sustained rate from
     tools/vpu_peak.py via utils.profiling.VPU_U32_GOPS).  The count is a

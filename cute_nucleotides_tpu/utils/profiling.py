@@ -136,7 +136,7 @@ MXU_BF16_TFLOPS = {"v4": 275.0, "v5e": 197.0, "v5p": 459.0, "v6e": 918.0}
 #: no published VPU number, so this is the slope measured by
 #: tools/vpu_peak.py on the real chip (None until measured; env
 #: CUTENUC_VPU_GOPS overrides for experiments).  The VPU is the third
-#: roofline resource: the base-5 interleaved decoder runs ~3x above
+#: roofline resource: the base-5 interleaved decoder runs ~2.3x above
 #: max(HBM, MXU) time, so without this denominator its efficiency cannot
 #: be stated honestly (docs/DESIGN.md §4).
 VPU_U32_GOPS: dict = {"v4": None, "v5e": None, "v5p": None, "v6e": None}

@@ -346,9 +346,13 @@ def test_cli_decode_batch_fused_verify(tmp_path, capsys):
     blob[-1] |= 0x80
     bad_nup = str(tmp_path / "bad.nup")
     open(bad_nup, "wb").write(bytes(blob))
+    before = open(out_fa, "rb").read()  # pre-existing output must survive
     rc = cli.main(
         ["decode", bad_nup, out_fa, "--verify-stream", "--batch", "4", "--tier", "pallas"]
     )
     assert rc == 1
     err = capsys.readouterr().err
     assert "corrupt base-5 word 0 in record b" in err
+    # the abort neither clobbered the existing file nor left a temp behind
+    assert open(out_fa, "rb").read() == before
+    assert not (tmp_path / "out.fa.tmp").exists()

@@ -132,13 +132,12 @@ def main() -> int:
         "pallas decode_b5 interleaved",
         np.array_equal(pk.depad_nt4_host(out_i), want_seq5),
     )
-    out_c, badp = jax.jit(pk.decode_b5_interleaved_panels_checked)(inter)
+    dec5_chk = jax.jit(pk.decode_b5_interleaved_panels_checked)
+    out_c, badp = dec5_chk(inter)
     inter_bad = np.asarray(inter).copy()
     inter_bad[1, 7] |= np.uint32(1) << 31     # pad bit 63 of word 3
     inter_bad[3, 0] |= np.uint32(0x7F)        # triplet 0 -> 127 (>= 125)
-    _, badpx = jax.jit(pk.decode_b5_interleaved_panels_checked)(
-        jnp.asarray(inter_bad)
-    )
+    _, badpx = dec5_chk(jnp.asarray(inter_bad))
     flags = np.asarray(badpx).any(axis=-1)
     ok(
         "pallas decode_b5 checked (parity + flags)",

@@ -1,6 +1,6 @@
 """On-TPU A/B for decode_b5 scatter-restructure variants (round 3, session 3).
 
-The interleaved decoder is VPU-bound at ~3x its max(mem, MXU) roofline and
+The interleaved decoder is VPU-bound at ~2.3x its max(mem, MXU) roofline and
 ~44% of its t-domain lanes are TPAD padding (9 used of 16 per word,
 docs/DESIGN.md SS4).  These variants restructure the MATMULS — unlike
 tools/tune_dec_vpu.py, which only trimmed vector ops around them:

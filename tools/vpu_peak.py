@@ -1,7 +1,7 @@
 """Measure the chip's sustained VPU throughput (u32 lane-ops/s).
 
 The base-5 interleaved decoder is VPU-bound (docs/DESIGN.md SS4): its time
-is ~3x the max of its HBM and MXU rooflines, so neither roofline can say
+is ~2.3x the max of its HBM and MXU rooflines, so neither roofline can say
 how close to "speed of light" it actually runs.  This tool measures the
 missing denominator — sustained elementwise u32 vector throughput — with a
 Pallas kernel that runs K independent-stream ALU ops per loaded element and
