@@ -122,6 +122,54 @@ def data_parallel_decode(
 
 
 @functools.lru_cache(maxsize=None)
+def _jit_dp_decode_checked(tier: str, mesh: Mesh):
+    from ..ops import seqops
+
+    axis = mesh_lib.DATA_AXIS
+    resolved = _default_tier() if tier == "auto" else tier
+
+    def per_shard(words):
+        if resolved == "pallas":
+            from ..ops import pallas_kernels as pk
+
+            dec, bad = pk.decode_b5_bytes_checked(words)
+        else:
+            dec = xla.decode_b5_bytes(words)
+            bad = jnp.any(seqops.first_invalid_word_b5(words) >= 0)
+        # psum'd count of flagged shards: 0 iff every device's slice is clean
+        return dec, jax.lax.psum(bad.astype(jnp.int32), axis)
+
+    return jax.jit(
+        shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(axis, None),),
+            out_specs=(P(axis, None), P()),
+            check_vma=False,
+        )
+    )
+
+
+def data_parallel_decode_checked(
+    words: jax.Array,
+    *,
+    mesh: Mesh | None = None,
+    tier: str = "auto",
+) -> tuple[jax.Array, jax.Array]:
+    """Base-5 decode + fused stream-integrity flag over the data axis:
+    u32[B, 2W] -> (u8[B, 27W] sharded, replicated i32 flagged-shard count).
+
+    The per-shard check rides the decode kernel's own HBM read on the
+    pallas tier (:func:`..ops.pallas_kernels.decode_b5_bytes_checked`) and
+    composes the standalone scan elsewhere; one ``psum`` merges the flags.
+    Base-5 only — every 2-bit pattern decodes, there is nothing to check.
+    """
+    if mesh is None:
+        mesh = mesh_lib.default_mesh()
+    return _jit_dp_decode_checked(tier, mesh)(words)
+
+
+@functools.lru_cache(maxsize=None)
 def _jit_spectrum(k: int, canonical: bool, mesh: Mesh):
     from ..ops import kmer as kmer_lib
 
@@ -262,4 +310,16 @@ class ShardedCodec:
             variant=self.decode_variant,
             tier=self.tier,
             gather=gather,
+        )
+
+    def decode_checked(self, words: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Sharded decode + integrity flag (base-5 only; see
+        :func:`data_parallel_decode_checked`)."""
+        if self.codec != "base5":
+            raise ValueError(
+                "decode_checked is base-5 only: every 2-bit pattern decodes, "
+                "there is no invalid state to detect"
+            )
+        return data_parallel_decode_checked(
+            words, mesh=self.mesh, tier=self.tier
         )

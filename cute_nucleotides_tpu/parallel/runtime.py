@@ -28,6 +28,7 @@ import threading
 from typing import Callable, Iterable, Iterator
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..utils import checkpoint as ckpt_lib
@@ -104,6 +105,10 @@ class StreamConfig:
     manifest_path: str | None = None
     log_every: int = 0
     allow_truncate: bool = False
+    #: decode-side stream-integrity verification (base-5 only): the check
+    #: is fused into the decode kernel's own HBM read; a corrupt batch
+    #: raises before anything is sunk or the manifest advances
+    verify: bool = False
 
 
 class StreamingEncoder:
@@ -239,6 +244,11 @@ class StreamingDecoder:
         elif overrides:
             config = dataclasses.replace(config, **overrides)
         self.config = config
+        if config.verify and config.codec != "base5":
+            raise ValueError(
+                "verify=True is base-5 only: every 2-bit pattern decodes, "
+                "there is no invalid state to detect"
+            )
         self.host_id = jax.process_index()
         self.num_hosts = jax.process_count()
         self.mesh = mesh_lib.make_mesh(devices=jax.local_devices())
@@ -291,10 +301,29 @@ class StreamingDecoder:
                 yield chunk, io_lib.pack_words_batch(chunk, cfg.batch_size)
 
         def finish(pending):
-            """Read back, sink, account — then (and only then) advance the
-            manifest, preserving the at-least-once contract."""
-            chunk, dec = pending
+            """Read back, verify, sink, account — then (and only then)
+            advance the manifest, preserving the at-least-once contract."""
+            chunk, dec, bad = pending
             dec_np = np.asarray(dec)
+            if bad is not None and int(bad):
+                # corrupt stream: diagnose host-side (the rare path) and
+                # raise BEFORE anything is sunk or the manifest advances
+                from ..ops import seqops
+
+                for name, _, words in chunk:
+                    v = spec.u64_to_u32_pairs(
+                        np.ascontiguousarray(words)
+                    ).reshape(-1)
+                    w = int(seqops.first_invalid_word_b5(jnp.asarray(v)))
+                    if w >= 0:
+                        raise ValueError(
+                            f"corrupt base-5 word {w} in record "
+                            f"{name.decode(errors='replace')!s}"
+                        )
+                raise ValueError(
+                    "fused integrity check flagged the batch but the host "
+                    "scan found no corrupt word (check/scan divergence)"
+                )
             for i, (name, length, _) in enumerate(chunk):
                 sink(name, bytes(dec_np[i, :length]))
             self.logger.batch_done(
@@ -310,10 +339,13 @@ class StreamingDecoder:
         pending = None
         for chunk, w32 in _prefetch(prepped(), depth=1):
             x = jax.device_put(w32, self.sharded.batch_sharding)
-            dec = self.sharded.decode(x)
+            if cfg.verify:
+                dec, bad = self.sharded.decode_checked(x)
+            else:
+                dec, bad = self.sharded.decode(x), None
             if pending is not None:
                 finish(pending)
-            pending = (chunk, dec)
+            pending = (chunk, dec, bad)
         if pending is not None:
             finish(pending)
         agg = self.logger.aggregate()

@@ -563,3 +563,36 @@ def test_vpu_lane_op_audit_matches_kernel_jaxpr():
                 lanes += out.shape[1]
     audited = pk.b5_kernel_vpu_lane_ops("dec_inter")
     assert abs(audited - lanes) / lanes < 0.10, (audited, lanes)
+
+
+def test_streaming_decoder_verify():
+    """verify=True rides the fused checked decode: clean base-5 streams
+    decode normally; a corrupt word raises with the diagnosed record before
+    anything is sunk; 2-bit verify is rejected at construction."""
+    from cute_nucleotides_tpu.ops import oracle as orc
+    from cute_nucleotides_tpu.parallel import runtime as rt
+
+    rng = np.random.default_rng(11)
+    seqs = [
+        bytes(rng.choice(np.frombuffer(b"ACGTN", np.uint8), n))
+        for n in (27, 54, 13, 100, 7, 81, 40, 64, 9, 120)
+    ]
+    entries = [
+        (b"r%d" % i, len(s), orc.n_to_bits2_lut(np.frombuffer(s, np.uint8)))
+        for i, s in enumerate(seqs)
+    ]
+    got = {}
+    dec = rt.StreamingDecoder(batch_size=8, max_len=128, codec="base5", verify=True)
+    dec.run(entries, sink=lambda name, seq: got.__setitem__(name, seq))
+    assert got == {b"r%d" % i: s for i, s in enumerate(seqs)}
+
+    bad_entries = [(n, l, w.copy()) for n, l, w in entries]
+    bad_entries[4][2][0] |= np.uint64(1) << np.uint64(63)  # r4's pad bit
+    sunk = []
+    dec2 = rt.StreamingDecoder(batch_size=8, max_len=128, codec="base5", verify=True)
+    with pytest.raises(ValueError, match="corrupt base-5 word 0 in record r4"):
+        dec2.run(bad_entries, sink=lambda name, seq: sunk.append(name))
+    assert b"r4" not in sunk  # the corrupt batch was never sunk
+
+    with pytest.raises(ValueError, match="base-5 only"):
+        rt.StreamingDecoder(codec="2bit", verify=True)
