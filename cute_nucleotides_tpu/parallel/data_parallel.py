@@ -122,6 +122,69 @@ def data_parallel_decode(
 
 
 @functools.lru_cache(maxsize=None)
+def _jit_dp_encode_checked(
+    codec: str, variant: str, tier: str, mesh: Mesh, gather: bool
+):
+    from ..ops import validate
+
+    axis = mesh_lib.DATA_AXIS
+    resolved = _default_tier() if tier == "auto" else tier
+    fused = resolved == "pallas" and not (codec == "2bit" and variant == "mxu")
+
+    def per_shard(reads):
+        if fused:
+            from ..ops import pallas_kernels as pk
+
+            if codec == "2bit":
+                words, bad_rows = pk.encode_2bit_words_checked(reads, variant)
+                bad = jnp.any(bad_rows)
+            else:
+                words, bad = pk.encode_b5_words_checked(reads)
+        else:
+            words = _encode_fn(codec, variant, resolved)(reads)
+            bad = jnp.any(
+                ~validate.valid_mask(reads, allow_n=codec == "base5")
+            )
+        if gather:
+            words = jax.lax.all_gather(words, axis, axis=0, tiled=True)
+        return words, jax.lax.psum(bad.astype(jnp.int32), axis)
+
+    return jax.jit(
+        shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(axis, None),),
+            out_specs=(P(None if gather else axis, None), P()),
+            check_vma=False,
+        )
+    )
+
+
+def data_parallel_encode_checked(
+    reads: jax.Array,
+    *,
+    mesh: Mesh | None = None,
+    codec: str = "2bit",
+    variant: str | None = None,
+    tier: str = "auto",
+    gather: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Encode + fused input-validity flag over the data axis:
+    u8[B, L] -> (packed words sharded, replicated i32 flagged-shard count).
+
+    The per-shard check rides the encode kernel's single HBM read on the
+    pallas tier and composes :func:`..ops.validate.valid_mask` elsewhere;
+    one ``psum`` merges the flags (0 iff every byte on every device is in
+    the codec's alphabet, either case).
+    """
+    if mesh is None:
+        mesh = mesh_lib.default_mesh()
+    if variant is None:
+        variant = default_encode_variant(tier)
+    return _jit_dp_encode_checked(codec, variant, tier, mesh, gather)(reads)
+
+
+@functools.lru_cache(maxsize=None)
 def _jit_dp_decode_checked(tier: str, mesh: Mesh):
     from ..ops import seqops
 
@@ -308,6 +371,20 @@ class ShardedCodec:
             mesh=self.mesh,
             codec=self.codec,
             variant=self.decode_variant,
+            tier=self.tier,
+            gather=gather,
+        )
+
+    def encode_checked(
+        self, reads: jax.Array, gather: bool = False
+    ) -> tuple[jax.Array, jax.Array]:
+        """Sharded encode + input-validity flag (see
+        :func:`data_parallel_encode_checked`)."""
+        return data_parallel_encode_checked(
+            reads,
+            mesh=self.mesh,
+            codec=self.codec,
+            variant=self.variant,
             tier=self.tier,
             gather=gather,
         )

@@ -109,6 +109,10 @@ class StreamConfig:
     #: is fused into the decode kernel's own HBM read; a corrupt batch
     #: raises before anything is sunk or the manifest advances
     verify: bool = False
+    #: encode-side input validation (both codecs): the check is fused into
+    #: the encode kernel's single HBM read; a batch containing a byte
+    #: outside the codec's alphabet raises before anything is sunk
+    validate: bool = False
 
 
 class StreamingEncoder:
@@ -190,10 +194,28 @@ class StreamingEncoder:
         self.logger.start()
 
         def finish(pending):
-            """Read back, sink, account — then (and only then) advance the
-            manifest, preserving the at-least-once contract."""
-            words, batch = pending
+            """Read back, validate, sink, account — then (and only then)
+            advance the manifest, preserving the at-least-once contract."""
+            words, batch, bad = pending
             words_np = np.asarray(words)
+            if bad is not None and int(bad):
+                # invalid input byte somewhere in the batch: diagnose
+                # host-side (the rare path) and raise BEFORE sinking
+                from ..ops import native
+
+                allow_n = cfg.codec == "base5"
+                for row in range(batch.count):
+                    seq = bytes(batch.reads[row, : int(batch.lengths[row])])
+                    pos = native.find_invalid(seq, allow_n=allow_n)
+                    if pos >= 0:
+                        raise ValueError(
+                            f"invalid byte {seq[pos:pos + 1]!r} at position "
+                            f"{pos} of record index {int(batch.indices[row])}"
+                        )
+                raise ValueError(
+                    "fused validity check flagged the batch but the host "
+                    "scan found no invalid byte (kernel/oracle drift)"
+                )
             if sink is not None:
                 sink(words_np, batch)
             self.logger.batch_done(
@@ -210,10 +232,13 @@ class StreamingEncoder:
         pending = None
         for batch in _prefetch(batches, depth=1):
             x = self.sharded.shard(batch.reads)
-            words = self.sharded.encode(x, gather=cfg.gather)
+            if cfg.validate:
+                words, bad = self.sharded.encode_checked(x, gather=cfg.gather)
+            else:
+                words, bad = self.sharded.encode(x, gather=cfg.gather), None
             if pending is not None:
                 finish(pending)
-            pending = (words, batch)
+            pending = (words, batch, bad)
         if pending is not None:
             finish(pending)
         agg = self.logger.aggregate()

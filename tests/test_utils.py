@@ -596,3 +596,36 @@ def test_streaming_decoder_verify():
 
     with pytest.raises(ValueError, match="base-5 only"):
         rt.StreamingDecoder(codec="2bit", verify=True)
+
+
+def test_streaming_encoder_validate():
+    """validate=True rides the fused checked encode: clean inputs stream
+    normally (both codecs); an out-of-alphabet byte raises with position +
+    record index before the batch is sunk."""
+    from cute_nucleotides_tpu.parallel import runtime as rt
+    from cute_nucleotides_tpu.utils import io as io_lib
+
+    rng = np.random.default_rng(13)
+    for codec, alpha in (("2bit", b"ACGTUacgtu"), ("base5", b"ACGTUNacgtun")):
+        seqs = [
+            rng.choice(np.frombuffer(alpha, np.uint8), n).tobytes()
+            for n in (8, 33, 100, 64, 31, 7, 200, 16)
+        ]
+        records = [io_lib.Record(b"r%d" % i, s) for i, s in enumerate(seqs)]
+        sunk = []
+        enc = rt.StreamingEncoder(
+            batch_size=8, max_len=256, codec=codec, validate=True
+        )
+        agg = enc.run(records, sink=lambda w, b: sunk.append(b.count))
+        assert agg["total_reads"] == len(seqs) and sunk == [8]
+
+        bad = list(seqs)
+        bad[5] = bad[5][:3] + b"@" + bad[5][4:]
+        records = [io_lib.Record(b"r%d" % i, s) for i, s in enumerate(bad)]
+        sunk2 = []
+        enc2 = rt.StreamingEncoder(
+            batch_size=8, max_len=256, codec=codec, validate=True
+        )
+        with pytest.raises(ValueError, match="invalid byte b'@'.*record index 5"):
+            enc2.run(records, sink=lambda w, b: sunk2.append(b.count))
+        assert sunk2 == []  # nothing delivered from the poisoned batch
