@@ -64,3 +64,16 @@ lo, hi, counts = kmer.kmer_counts(jnp.asarray(flat), int(lengths[0]), k=21,
 n_distinct = int((np.asarray(counts) > 0).sum())
 print("distinct canonical 21-mers:", n_distinct,
       "total:", int(np.asarray(counts).sum()))
+
+# --- 8. validated pipelines (corruption can't slip through) -----------------
+# encode side: a byte outside the alphabet flags on the encode's own HBM
+# read; decode side (base-5): a corrupt word (triplet >= 125 / pad bit)
+# flags on the decode's read.  Both raise before anything is delivered.
+from cute_nucleotides_tpu.models import Base5Codec
+
+b5 = Base5Codec()
+reads5, lens5 = b5.pad([b"ACGTN" * 27] * 8)
+words5, bad = b5.encode_checked(jnp.asarray(reads5))
+print("encode valid:", not bool(np.any(np.asarray(bad))))
+decoded, corrupt = b5.decode_checked(words5)
+print("stream intact:", not bool(corrupt))
