@@ -80,3 +80,11 @@ def test_random_op_programs_match_byte_oracle(codec):
             assert c["dec"](words, n) == seq, (
                 codec, prog, step, op, n
             )
+            if codec == "base5":
+                # every composition of packed-domain ops must preserve
+                # stream integrity: the fused checked decode stays clean
+                from cute_nucleotides_tpu.ops import pallas_kernels as pk
+
+                dec_b, bad = pk.decode_b5_bytes_checked(words)
+                assert not bool(bad), (prog, step, op, n)
+                assert bytes(np.asarray(dec_b)[:n]) == seq
