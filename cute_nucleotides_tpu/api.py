@@ -119,14 +119,36 @@ def _decode_fn_2bit(tier: str, variant: str):
     return _jit_decode_2bit(variant)
 
 
-def n_to_bits(seq, *, tier: str = "xla", variant: str | None = None) -> np.ndarray:
+def _validate_input(seq: np.ndarray, allow_n: bool) -> None:
+    """Raise on the first byte outside the codec alphabet (host-side C++
+    scan — for single reads this beats a device round-trip; batch pipelines
+    get the device-FUSED check via the models/runtime encode_checked)."""
+    from .ops import native
+
+    pos = native.find_invalid(seq, allow_n=allow_n)
+    if pos >= 0:
+        raise ValueError(
+            f"invalid byte {bytes(seq[pos:pos + 1])!r} at position {pos} "
+            f"(alphabet: ACGTU{'N' if allow_n else ''}, either case)"
+        )
+
+
+def n_to_bits(
+    seq, *, tier: str = "xla", variant: str | None = None,
+    validate: bool = False,
+) -> np.ndarray:
     """Encode {A,C,G,T/U} bytes to 2-bit packed u64 words (LSB-first).
 
     Bit-exact to the reference's encoders (reference src/n_to_bits.rs:34-259).
     ``variant=None`` resolves to the tier's benched champion ("dot" on xla —
     3.8x the "mul" form there — "mul" on pallas); see models.CodecConfig.
+    ``validate=True`` raises ``ValueError`` on out-of-alphabet input (the
+    reference leaves it UB; unvalidated encode here uses the defined
+    ``(byte >> 1) & 3`` contract).
     """
     tier = _check_tier(tier)
+    if validate:
+        _validate_input(_as_u8(seq), allow_n=False)
     if variant is None:
         from .models import default_encode_variant
 
@@ -190,13 +212,16 @@ def bits_to_n(bits, length: int, *, tier: str = "xla", variant: str | None = Non
     return out[:length]
 
 
-def n_to_bits2(seq, *, tier: str = "xla") -> np.ndarray:
+def n_to_bits2(seq, *, tier: str = "xla", validate: bool = False) -> np.ndarray:
     """Encode {A,C,G,T/U,N} bytes to base-5 packed u64 words.
 
     Bit-exact to the reference (reference src/n_to_bits2.rs:37-189).
+    ``validate=True`` raises ``ValueError`` on out-of-alphabet input.
     """
     tier = _check_tier(tier)
     n = _as_u8(seq)
+    if validate:
+        _validate_input(n, allow_n=True)
     if tier == "oracle":
         return oracle.n_to_bits2_lut(n)
     x = _pad_to(n, spec.NT_PER_WORD_B5)

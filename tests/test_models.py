@@ -191,3 +191,16 @@ def test_api_rejects_unknown_tier_and_resolves_auto():
     assert bytes(api.bits_to_n2(w2, s.size, tier="auto")) == bytes(
         oracle.bits_to_n2_lut(w2, s.size)
     )
+
+
+def test_api_validate_kwarg():
+    from cute_nucleotides_tpu import api
+
+    assert api.n_to_bits(b"ACGTacgtu" + b"A" * 23, validate=True).size == 1
+    assert api.n_to_bits2(b"ACGTN" * 6, validate=True).size == 2
+    with pytest.raises(ValueError, match=r"invalid byte b'N' at position 2"):
+        api.n_to_bits(b"ACNT", validate=True)  # N invalid in the 2-bit set
+    with pytest.raises(ValueError, match=r"invalid byte b'@' at position 5"):
+        api.n_to_bits2(b"ACGTN@", validate=True)
+    # unvalidated stays on the defined out-of-alphabet contract
+    assert api.n_to_bits(b"ACNT").size == 1
