@@ -40,6 +40,8 @@ __all__ = [
     "packed_concat_b5",
     "translate_packed",
     "translate_6frame",
+    "translate_packed_b5",
+    "translate_6frame_b5",
 ]
 
 
@@ -688,4 +690,66 @@ def translate_6frame(words: jax.Array, length: int) -> list[jax.Array]:
     rc = revcomp_packed(words, length)
     return [translate_packed(words, length, f) for f in range(3)] + [
         translate_packed(rc, length, f) for f in range(3)
+    ]
+
+
+@functools.lru_cache(maxsize=1)
+def _codon_lut_b5() -> "np.ndarray":
+    """125-entry codon LUT on the base-5 TRIPLET value ``a + 5b + 25c``.
+
+    The packed triplet IS the codon: base-5 digits 0-3 equal the 2-bit
+    codes (A C T G in the same order), so non-N entries reuse
+    :func:`_codon_lut`; any codon containing N (digit 4) translates to
+    ``X`` (the IUPAC unknown amino acid).  Padded to 128 entries so take()
+    stays in range for the (unreachable in valid streams) values 125-127.
+    """
+    import numpy as np
+
+    lut64 = _codon_lut()
+    lut = np.full(128, ord("X"), np.uint8)
+    for t in range(125):
+        a, b, c = t % 5, (t // 5) % 5, t // 25
+        if a < 4 and b < 4 and c < 4:
+            lut[t] = lut64[a | (b << 2) | (c << 4)]
+    return lut
+
+
+@functools.partial(jax.jit, static_argnames=("length", "frame"))
+def translate_packed_b5(
+    words: jax.Array, length: int, frame: int = 0
+) -> jax.Array:
+    """Translate a base-5 packed u32[2W] stream: -> u8[(length-frame)//3].
+
+    No decode pass and — unlike the 2-bit path — not even a funnel: a
+    frame-0 codon occupies exactly one packed TRIPLET, so translation is a
+    per-triplet 125-entry LUT; frames 1/2 first shift the digit stream
+    with :func:`packed_slice_b5` (digit-domain, one fused pass).  Codons
+    containing N emit ``X``; stops emit ``*``.
+    """
+    if words.ndim != 1 or words.shape[0] % 2:
+        raise TypeError("translate_packed_b5 takes a flat interleaved u32[2W]")
+    if frame not in (0, 1, 2):
+        raise ValueError("frame must be 0, 1 or 2")
+    if length > (words.shape[0] // 2) * spec.NT_PER_WORD_B5:
+        raise ValueError(f"length {length} exceeds capacity")
+    n_cod = (length - frame) // 3
+    if n_cod <= 0:
+        raise ValueError(f"length {length} has no frame-{frame} codon")
+    w = packed_slice_b5(words, frame, length - frame) if frame else words
+    lo, hi = w[0::2], w[1::2]
+    trips = jnp.stack(
+        [_b5_word_triplet(lo, hi, j).astype(jnp.int32) for j in range(9)],
+        axis=1,
+    )
+    codes = trips.reshape(-1)[:n_cod]
+    return jnp.take(jnp.asarray(_codon_lut_b5()), codes).astype(jnp.uint8)
+
+
+def translate_6frame_b5(words: jax.Array, length: int) -> list[jax.Array]:
+    """All six frames of a base-5 stream (N-aware), packed-domain reverse
+    complement for the minus strand — the base-5 mirror of
+    :func:`translate_6frame`."""
+    rc = revcomp_packed_b5(words, length)
+    return [translate_packed_b5(words, length, f) for f in range(3)] + [
+        translate_packed_b5(rc, length, f) for f in range(3)
     ]

@@ -367,3 +367,72 @@ def test_translate_errors():
         seqops.translate_packed(w, 2, 0)  # no whole codon
     with pytest.raises(ValueError):
         seqops.translate_packed(w, 9, 3)  # bad frame
+
+
+def _naive_translate_n(seq: bytes, frame: int) -> bytes:
+    s = seq.upper().replace(b"U", b"T").decode()
+    out = []
+    for i in range(frame, len(s) - 2, 3):
+        cod = s[i : i + 3]
+        out.append("X" if "N" in cod else _CODON_TABLE[cod])
+    return "".join(out).encode()
+
+
+@pytest.mark.parametrize("frame", [0, 1, 2])
+def test_translate_packed_b5(rng, frame):
+    for L in (3, 4, 5, 27, 47, 96, 300):
+        if (L - frame) // 3 <= 0:
+            continue
+        s = bytes(rng.choice(np.frombuffer(b"ACGTNacgtnu", np.uint8), size=L))
+        w = jnp.asarray(
+            spec.u64_to_u32_pairs(
+                oracle.n_to_bits2_lut(np.frombuffer(s, np.uint8))
+            ).reshape(-1)
+        )
+        got = bytes(np.asarray(seqops.translate_packed_b5(w, L, frame)))
+        assert got == _naive_translate_n(s, frame), (L, frame)
+
+
+def test_translate_6frame_b5(rng):
+    L = 101
+    s = bytes(rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=L))
+    w = jnp.asarray(
+        spec.u64_to_u32_pairs(
+            oracle.n_to_bits2_lut(np.frombuffer(s, np.uint8))
+        ).reshape(-1)
+    )
+    frames = seqops.translate_6frame_b5(w, L)
+    assert len(frames) == 6
+    comp = bytes.maketrans(b"ACGTN", b"TGCAN")
+    rc = s.translate(comp)[::-1]
+    for f in range(3):
+        assert bytes(np.asarray(frames[f])) == _naive_translate_n(s, f)
+        assert bytes(np.asarray(frames[3 + f])) == _naive_translate_n(rc, f)
+
+
+def test_translate_b5_agrees_with_2bit_on_n_free_input(rng):
+    s = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=99))
+    w2 = jnp.asarray(
+        spec.u64_to_u32_pairs(
+            oracle.n_to_bits_lut(np.frombuffer(s, np.uint8))
+        ).reshape(-1)
+    )
+    w5 = jnp.asarray(
+        spec.u64_to_u32_pairs(
+            oracle.n_to_bits2_lut(np.frombuffer(s, np.uint8))
+        ).reshape(-1)
+    )
+    for f in range(3):
+        assert bytes(np.asarray(seqops.translate_packed(w2, 99, f))) == bytes(
+            np.asarray(seqops.translate_packed_b5(w5, 99, f))
+        )
+
+
+def test_translate_b5_errors():
+    w = jnp.zeros(2, jnp.uint32)
+    with pytest.raises(ValueError):
+        seqops.translate_packed_b5(w, 2, 0)
+    with pytest.raises(ValueError):
+        seqops.translate_packed_b5(w, 9, 3)
+    with pytest.raises(ValueError):
+        seqops.translate_packed_b5(w, 28, 0)  # exceeds one-word capacity
