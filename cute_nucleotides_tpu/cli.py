@@ -607,6 +607,72 @@ def _grep_batched(args, entries, queries, is_b5: bool) -> int:
     return 0 if total or args.count else 1
 
 
+def _parse_frames(spec_str: str) -> list[int]:
+    """'all' or a comma list from {1,2,3,-1,-2,-3} (EMBOSS numbering)."""
+    if spec_str == "all":
+        return [1, 2, 3, -1, -2, -3]
+    out = []
+    for tok in spec_str.split(","):
+        f = int(tok)
+        if f not in (1, 2, 3, -1, -2, -3):
+            raise ValueError(f"frame {tok} not in 1,2,3,-1,-2,-3")
+        out.append(f)
+    return out
+
+
+def cmd_translate(args) -> int:
+    """Translate .nup records to protein FASTA on the packed domain.
+
+    Codons are read straight off the packed words — 2-bit streams via the
+    k=3 funnel (:func:`ops.seqops.translate_packed`), base-5 streams via
+    the triplet-is-the-codon LUT (``translate_packed_b5``, N-codons → X);
+    minus-strand frames reverse-complement on the packed domain first.
+    One compile per distinct (length, frame) — fine for the CLI's
+    record-at-a-time usage.
+    """
+    import jax.numpy as jnp
+
+    from .ops import seqops, spec
+
+    try:
+        frames = _parse_frames(args.frames)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    codec, entries = read_nup(args.input)
+    fwd = (
+        seqops.translate_packed if codec == "2bit"
+        else seqops.translate_packed_b5
+    )
+    rcfn = (
+        seqops.revcomp_packed if codec == "2bit"
+        else seqops.revcomp_packed_b5
+    )
+    out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+    try:
+        for name, length, words in entries:
+            w32 = jnp.asarray(
+                spec.u64_to_u32_pairs(np.ascontiguousarray(words)).reshape(-1)
+            )
+            rc = None
+            for f in frames:
+                off = abs(f) - 1
+                if (length - off) // 3 <= 0:
+                    continue  # no whole codon in this frame
+                if f > 0:
+                    src = w32
+                else:
+                    if rc is None:
+                        rc = rcfn(w32, length)
+                    src = rc
+                aa = bytes(np.asarray(fwd(src, length, off)))
+                _write_fasta(out, name + b"|frame=%+d" % f, aa)
+    finally:
+        if out is not sys.stdout.buffer:
+            out.close()
+    return 0
+
+
 def cmd_grep(args) -> int:
     """Find every occurrence of a pattern in a .nup's records, scanning the
     PACKED words (``ops.search`` — no decode pass).  On 2-bit streams ``N``
@@ -777,6 +843,19 @@ def main(argv=None) -> int:
         "dispatch per batch+strand instead of one per record)",
     )
     pg.set_defaults(fn=cmd_grep)
+
+    pt = sub.add_parser(
+        "translate",
+        help="translate .nup records to protein FASTA (packed-domain codons)",
+    )
+    pt.add_argument("input")
+    pt.add_argument("output", nargs="?", default="-")
+    pt.add_argument(
+        "--frames",
+        default="1",
+        help="'all' or comma list from 1,2,3,-1,-2,-3 (EMBOSS numbering)",
+    )
+    pt.set_defaults(fn=cmd_translate)
 
     pb = sub.add_parser("bench", help="run the benchmark harness")
     pb.set_defaults(fn=cmd_bench)

@@ -356,3 +356,25 @@ def test_cli_decode_batch_fused_verify(tmp_path, capsys):
     # the abort neither clobbered the existing file nor left a temp behind
     assert open(out_fa, "rb").read() == before
     assert not (tmp_path / "out.fa.tmp").exists()
+
+
+def test_cli_translate(tmp_path, capsys):
+    fa = tmp_path / "in.fa"
+    fa.write_bytes(b">g1\nATGAANTGGTAA\n")
+    nup = str(tmp_path / "o.nup")
+    assert cli.main(["encode", str(fa), nup, "--codec", "base5", "--tier", "oracle"]) == 0
+    capsys.readouterr()
+    out_fa = str(tmp_path / "p.fa")
+    assert cli.main(["translate", nup, out_fa]) == 0
+    assert open(out_fa, "rb").read() == b">g1|frame=+1\nMXW*\n"
+    assert cli.main(["translate", nup, out_fa, "--frames", "all"]) == 0
+    body = open(out_fa, "rb").read()
+    assert body.count(b">") == 6 and b"|frame=-1\n" in body
+    # 2-bit container path + bad frame spec
+    nup2 = str(tmp_path / "o2.nup")
+    fa2 = tmp_path / "in2.fa"
+    fa2.write_bytes(b">g2\nATGTGGTAA\n")
+    assert cli.main(["encode", str(fa2), nup2, "--tier", "oracle"]) == 0
+    assert cli.main(["translate", nup2, out_fa, "--frames", "2,-3"]) == 0
+    assert open(out_fa, "rb").read().count(b">") == 2
+    assert cli.main(["translate", nup2, out_fa, "--frames", "4"]) == 2
