@@ -44,6 +44,7 @@ def main(argv=None) -> int:
     )
     dec5_pad = jax.jit(lambda a, b: pk.decode_b5_nt4_panels(a, b, padded=True))
     dec5_inter = jax.jit(pk.decode_b5_interleaved_panels)
+    dec5_chk = jax.jit(pk.decode_b5_interleaved_panels_checked)
     dec5_u8 = jax.jit(pk.decode_b5_panels)
 
     shapes_2bit = [(8, 512), (13, 512), (100, 2048), (256, 1024), (32, 512 * 7)]
@@ -111,6 +112,26 @@ def main(argv=None) -> int:
             got = pk.depad_nt4_host(np.asarray(dec5_inter(inter)))
             if not np.array_equal(got, want_seq):
                 print(f"FAIL dec5[inter] R={R} round {rnd}", file=sys.stderr)
+                failures += 1
+            # fused checked decode: panels parity + clean flag on the valid
+            # stream, and a corrupted word (random row/triplet each round)
+            # must flag exactly its row
+            pan_c, badp = dec5_chk(inter)
+            inter_bad = np.asarray(inter).copy()
+            rbad = int(rng.integers(0, R))
+            wbad = int(rng.integers(0, 128))
+            if rng.integers(0, 2):
+                inter_bad[rbad, 2 * wbad] |= np.uint32(0x7F)  # triplet 0 -> 127
+            else:
+                inter_bad[rbad, 2 * wbad + 1] |= np.uint32(1) << 31  # pad bit
+            _, badp_x = dec5_chk(jnp.asarray(inter_bad))
+            flags = np.asarray(badp_x).any(axis=-1)
+            if (
+                not np.array_equal(np.asarray(pan_c), np.asarray(dec5_inter(inter)))
+                or np.asarray(badp).any()
+                or list(np.nonzero(flags)[0]) != [rbad]
+            ):
+                print(f"FAIL dec5[checked] R={R} round {rnd}", file=sys.stderr)
                 failures += 1
         # --- k-mer MXU histogram vs scatter ---------------------------------
         from cute_nucleotides_tpu.ops import kmer
