@@ -597,6 +597,21 @@ def main() -> int:
             R(4 * mz_words.size, mz_len + 4 * mz_len),
             k_lo=4, k_hi=20, trials=3,
         )
+        # dataset MinHash sketch (Mash bottom-1000, production k): canonical
+        # pair-code hashing + the sort-based distinct pass; sort-dominated
+        # like kmer_counts, so no bytes roofline applies
+        from cute_nucleotides_tpu.ops import sketch as sketch_lib
+
+        run(
+            "sketch_bottom1k_k21",
+            chained(
+                lambda w: sketch_lib.bottom_k_sketch(w, kc_len, 21, 1000)
+            ),
+            jnp.asarray(kc_words),
+            kc_len,
+            None,
+            k_lo=2, k_hi=8, trials=3,
+        )
         run(
             "revcomp_packed",
             chained(lambda w: seqops.revcomp_packed(w, 16 * words_flat.size)),

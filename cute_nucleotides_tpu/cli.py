@@ -673,6 +673,146 @@ def cmd_translate(args) -> int:
     return 0
 
 
+def _dataset_sketch(path: str, args):
+    """One dataset-level sketch of every read in ``path`` (FASTA/FASTQ or a
+    2-bit .nup): -> (sorted u32[s] sketch, records, total_nt).
+
+    Reads sketch in fixed-shape device batches (one compile per distinct
+    batch geometry); batch sketches union-merge via :func:`ops.sketch.merge`
+    — associativity is what makes the streaming accumulation exact.
+    """
+    import jax.numpy as jnp
+
+    from .ops import sketch as sketch_lib
+    from .ops import spec
+    from .utils import io as io_lib
+
+    def sketch_batch(words, lengths):
+        if args.scale:
+            sk, _ = sketch_lib.frac_sketch_batch(
+                words, lengths, args.k,
+                scale=args.scale, cap=args.s,
+                canonical=not args.no_canonical,
+            )
+            return sk
+        return sketch_lib.bottom_k_sketch_batch(
+            words, lengths, args.k, args.s,
+            canonical=not args.no_canonical,
+        )
+
+    acc = None
+    records = 0
+    total_nt = 0
+    if path.endswith(".nup"):
+        codec, entries = read_nup(path)
+        if codec != "2bit":
+            raise ValueError(f"{path}: sketch requires a 2-bit stream")
+        rows = [
+            (length, spec.u64_to_u32_pairs(
+                np.ascontiguousarray(words)).reshape(-1))
+            for _, length, words in entries
+        ]
+        for i in range(0, len(rows), args.batch):
+            chunk = rows[i : i + args.batch]
+            # static shapes: pad rows to the stream's word capacity and the
+            # chunk to a full batch (length 0 rows contribute no k-mers)
+            W = max(w.shape[0] for _, w in chunk)
+            words = np.zeros((args.batch, W), np.uint32)
+            lengths = np.zeros(args.batch, np.int32)
+            for j, (n, w) in enumerate(chunk):
+                words[j, : w.shape[0]] = w
+                lengths[j] = n
+                records += 1
+                total_nt += n
+            sk = sketch_batch(jnp.asarray(words), jnp.asarray(lengths))
+            acc = sk if acc is None else sketch_lib.merge(acc, sk)
+    else:
+        recs = list(io_lib.open_reads(path))
+        if recs:
+            from .models import TwoBitCodec
+
+            codec = TwoBitCodec(tier=args.tier)
+            max_len = max(len(r.seq) for r in recs)
+            stream = io_lib.BatchStream(
+                recs, batch_size=args.batch, max_len=max_len,
+                block=codec.block,
+            )
+            for b in stream:
+                words = codec.encode(jnp.asarray(b.reads))
+                sk = sketch_batch(words, jnp.asarray(b.lengths))
+                acc = sk if acc is None else sketch_lib.merge(acc, sk)
+                records += b.count
+                total_nt += int(b.lengths.sum())
+    if acc is None:
+        acc = jnp.full(args.s, sketch_lib.SENTINEL, jnp.uint32)
+    return acc, records, total_nt
+
+
+def cmd_sketch(args) -> int:
+    """MinHash-sketch datasets and estimate pairwise similarity (Mash-style).
+
+    Each input (FASTA/FASTQ/.nup) reduces to one tiny sorted-hash summary
+    built straight from packed words (:mod:`ops.sketch`); with two or more
+    inputs, prints the pairwise Jaccard / containment / Mash-distance table
+    computed from the summaries alone — the datasets are never compared
+    directly.
+    """
+    from .ops import sketch as sketch_lib
+
+    if args.k > 31:
+        print("error: k must be <= 31", file=sys.stderr)
+        return 2
+    datasets = []
+    for path in args.inputs:
+        try:
+            sk, records, nt = _dataset_sketch(path, args)
+        except (ValueError, OSError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        datasets.append((path, sk, records, nt))
+    out = {
+        "k": args.k,
+        "scheme": (
+            {"name": "fracminhash", "scale": args.scale, "cap": args.s}
+            if args.scale else {"name": "bottom-s", "s": args.s}
+        ),
+        "canonical": not args.no_canonical,
+        "datasets": [
+            {
+                "path": path,
+                "records": records,
+                "nt": nt,
+                "hashes": int((np.asarray(sk) != 0xFFFFFFFF).sum()),
+            }
+            for path, sk, records, nt in datasets
+        ],
+    }
+    pairs = []
+    for i in range(len(datasets)):
+        for j in range(i + 1, len(datasets)):
+            pa, sa, _, _ = datasets[i]
+            pb, sb, _, _ = datasets[j]
+            jac = float(sketch_lib.jaccard(sa, sb))
+            pairs.append({
+                "a": pa,
+                "b": pb,
+                "jaccard": round(jac, 6),
+                "mash_distance": round(
+                    sketch_lib.mash_distance(jac, args.k), 6
+                ),
+                "containment_a_in_b": round(
+                    float(sketch_lib.containment(sa, sb)), 6
+                ),
+                "containment_b_in_a": round(
+                    float(sketch_lib.containment(sb, sa)), 6
+                ),
+            })
+    if pairs:
+        out["pairs"] = pairs
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_grep(args) -> int:
     """Find every occurrence of a pattern in a .nup's records, scanning the
     PACKED words (``ops.search`` — no decode pass).  On 2-bit streams ``N``
@@ -856,6 +996,32 @@ def main(argv=None) -> int:
         help="'all' or comma list from 1,2,3,-1,-2,-3 (EMBOSS numbering)",
     )
     pt.set_defaults(fn=cmd_translate)
+
+    pk = sub.add_parser(
+        "sketch",
+        help="MinHash-sketch datasets and estimate pairwise similarity "
+        "(Jaccard / containment / Mash distance) from packed k-mers",
+    )
+    pk.add_argument("inputs", nargs="+", metavar="READS")
+    pk.add_argument("-k", type=int, default=21, help="k-mer size (<= 31)")
+    pk.add_argument(
+        "-s", type=int, default=1000,
+        help="sketch size (bottom-s) or buffer capacity (--scale mode)",
+    )
+    pk.add_argument(
+        "--scale", type=int, default=0, metavar="N",
+        help="FracMinHash mode: keep hashes below 2^32/N (sourmash's "
+        "scheme; better containment across dataset sizes)",
+    )
+    pk.add_argument("--no-canonical", action="store_true",
+                    help="hash forward-strand k-mers only")
+    pk.add_argument("--batch", type=int, default=256,
+                    help="reads per device batch")
+    pk.add_argument(
+        "--tier", default="auto", choices=["auto", "xla", "pallas"],
+        help="codec-model tier for encoding ASCII inputs",
+    )
+    pk.set_defaults(fn=cmd_sketch)
 
     pb = sub.add_parser("bench", help="run the benchmark harness")
     pb.set_defaults(fn=cmd_bench)

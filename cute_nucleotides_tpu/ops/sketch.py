@@ -1,0 +1,245 @@
+"""MinHash sketching on the packed 2-bit domain (Mash / sourmash style).
+
+Dataset-scale similarity straight from packed words: hash every canonical
+k-mer (:func:`.kmer.kmer_hashes` — the packed stream is read once, ~1/4 the
+bytes of an ASCII scan), keep a tiny order-statistic summary, and estimate
+Jaccard / containment between datasets from the summaries alone.  The
+reference stops at the codec (its README's unimplemented "equidistant
+codes" idea is the only distance notion it sketches,
+reference/README.md:412-418); this module supplies the standard
+alignment-free comparison layer production pipelines put on top.
+
+Two sketch schemes, both returned as a sorted ``u32[s]`` with empty slots
+holding :data:`SENTINEL` (``0xFFFF_FFFF``):
+
+* **Bottom-s MinHash** (:func:`bottom_k_sketch`): the ``s`` smallest
+  *distinct* canonical k-mer hashes (Mash).  Fixed size, best for Jaccard
+  between similarly-sized datasets.
+* **FracMinHash** (:func:`frac_sketch`): every distinct hash below
+  ``2**32 // scale`` (sourmash), stored in a fixed-capacity buffer.  The
+  retained fraction adapts to dataset size, which is what makes
+  *containment* between differently-sized datasets unbiased.
+
+Sketches merge associatively (:func:`merge` — the bottom-s of the union),
+so a device mesh reduces per-shard sketches to a dataset sketch with one
+``all_gather`` (see :func:`..parallel.data_parallel.sketch_sharded`).
+
+Everything is static-shape and jittable: the "hash set" is a sorted array,
+dedup is a sort + neighbor-compare, membership is ``searchsorted`` — no
+host-side Python sets anywhere on the hot path.  Hashes equal to
+``SENTINEL`` itself (one value in 2**32) are excluded by construction;
+the estimators mask empty slots explicitly.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from . import kmer, spec
+
+__all__ = [
+    "SENTINEL",
+    "bottom_k_sketch",
+    "bottom_k_sketch_batch",
+    "frac_sketch",
+    "frac_sketch_batch",
+    "merge",
+    "jaccard",
+    "containment",
+    "mash_distance",
+]
+
+SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+def _bottom_s_distinct(h: jax.Array, s: int) -> jax.Array:
+    """Smallest ``s`` distinct values of ``h``: -> sorted u32[s],
+    SENTINEL-padded.  Two sorts: ascending order makes duplicates
+    adjacent, re-marking them SENTINEL and re-sorting compacts the
+    distinct values to the front without any scatter."""
+    h = jnp.sort(h.reshape(-1))
+    dup = jnp.concatenate(
+        [jnp.zeros(1, bool), h[1:] == h[:-1]]
+    )
+    h = jnp.sort(jnp.where(dup, SENTINEL, h))
+    n = h.shape[0]
+    if n >= s:
+        return h[:s]
+    return jnp.concatenate([h, jnp.full(s - n, SENTINEL, jnp.uint32)])
+
+
+def _isin_sorted(x: jax.Array, ref: jax.Array) -> jax.Array:
+    """Membership of each ``x`` in sorted ``ref`` (SENTINEL tail ok)."""
+    idx = jnp.minimum(
+        jnp.searchsorted(ref, x), ref.shape[0] - 1
+    )
+    return jnp.take(ref, idx) == x
+
+
+@functools.partial(
+    jax.jit, static_argnames=("length", "k", "s", "canonical")
+)
+def bottom_k_sketch(
+    words: jax.Array, length: int, k: int, s: int, *, canonical: bool = True
+) -> jax.Array:
+    """Bottom-``s`` MinHash sketch of one packed stream: -> sorted u32[s].
+
+    The ``s`` smallest distinct canonical k-mer hashes (Mash's sketch);
+    fewer than ``s`` distinct k-mers leaves SENTINEL padding.  k <= 31.
+    """
+    h = kmer.kmer_hashes(words, length, k, canonical=canonical)
+    return _bottom_s_distinct(h, s)
+
+
+def _batch_hashes(
+    words: jax.Array, lengths, k: int, canonical: bool
+) -> jax.Array:
+    """Canonical k-mer hashes of every read of a padded batch, flattened,
+    with positions past each read's end set to SENTINEL (excluded from any
+    sketch).  Windows never span reads: each row hashes independently."""
+    if words.ndim != 2:
+        raise TypeError(f"expected u32[B, W] batch, got {words.shape}")
+    B, Wr = words.shape
+    L = Wr * spec.NT_PER_U32_2BIT
+    lengths = jnp.minimum(
+        jnp.broadcast_to(jnp.asarray(lengths, jnp.int32).reshape(-1), (B,)),
+        L,
+    )
+
+    def per_read(row, n):
+        h = kmer.kmer_hashes(row, L, k, canonical=canonical)
+        pos = jnp.arange(h.shape[0])
+        return jnp.where(pos < n - (k - 1), h, SENTINEL)
+
+    return jax.vmap(per_read)(words, lengths).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "s", "canonical"))
+def bottom_k_sketch_batch(
+    words: jax.Array, lengths, k: int, s: int, *, canonical: bool = True
+) -> jax.Array:
+    """One dataset-level bottom-``s`` sketch of a padded read batch:
+    u32[B, W] + lengths -> sorted u32[s].
+
+    The sketch of the UNION of every read's k-mers ('A'-padding tails and
+    rows shorter than k are masked; windows never span read boundaries) —
+    what one host shard contributes to a pod-wide dataset sketch.
+    """
+    return _bottom_s_distinct(_batch_hashes(words, lengths, k, canonical), s)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("length", "k", "scale", "cap", "canonical")
+)
+def frac_sketch(
+    words: jax.Array,
+    length: int,
+    k: int,
+    *,
+    scale: int,
+    cap: int,
+    canonical: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """FracMinHash sketch: every distinct hash below ``2**32 // scale``
+    -> (sorted u32[cap], n_kept i32).
+
+    sourmash's scheme: an expected ``1/scale`` fraction of distinct k-mers
+    is retained, so two datasets' sketches sample the SAME hash region and
+    ``containment(a, b)`` is an unbiased estimate of true k-mer
+    containment even at very different dataset sizes.  ``n_kept`` is the
+    true number of distinct retained hashes — if it exceeds ``cap`` the
+    buffer holds the smallest ``cap`` of them (still a valid sketch, but
+    resize ``cap`` or raise ``scale`` to keep the full sample).
+    """
+    h = kmer.kmer_hashes(words, length, k, canonical=canonical)
+    return _frac_from_hashes(h, scale, cap)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "scale", "cap", "canonical"))
+def frac_sketch_batch(
+    words: jax.Array,
+    lengths,
+    k: int,
+    *,
+    scale: int,
+    cap: int,
+    canonical: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """FracMinHash sketch of the union of a padded read batch's k-mers:
+    u32[B, W] + lengths -> (sorted u32[cap], n_kept i32).
+
+    The batch form of :func:`frac_sketch` (same masking rules as
+    :func:`bottom_k_sketch_batch`).  Frac sketches with a common ``scale``
+    union-merge exactly via :func:`merge` — every retained hash is already
+    below the shared threshold, so the union needs no re-filtering.
+    """
+    h = _batch_hashes(words, lengths, k, canonical)
+    return _frac_from_hashes(h, scale, cap)
+
+
+def _frac_from_hashes(
+    h: jax.Array, scale: int, cap: int
+) -> tuple[jax.Array, jax.Array]:
+    if scale < 1:
+        raise ValueError("scale must be >= 1")
+    thresh = jnp.uint32(min(2**32 // scale, 2**32 - 1))
+    h = jnp.where(h < thresh, h, SENTINEL)
+    sk = _bottom_s_distinct(h, max(cap, 1))
+    # exact retained-distinct count (the sketch itself truncates at cap)
+    hs = jnp.sort(h.reshape(-1))
+    dup = jnp.concatenate([jnp.zeros(1, bool), hs[1:] == hs[:-1]])
+    n_kept = jnp.sum((hs != SENTINEL) & ~dup).astype(jnp.int32)
+    return sk[:cap], n_kept
+
+
+@jax.jit
+def merge(sa: jax.Array, sb: jax.Array) -> jax.Array:
+    """Union-merge two sketches: -> the bottom-|sa| distinct hashes of
+    ``sa ∪ sb``.  Associative and commutative, so per-shard sketches
+    reduce to a dataset sketch in any order (mesh-friendly)."""
+    if sa.shape != sb.shape:
+        raise ValueError(f"sketch sizes differ: {sa.shape} vs {sb.shape}")
+    return _bottom_s_distinct(jnp.concatenate([sa, sb]), sa.shape[0])
+
+
+@jax.jit
+def jaccard(sa: jax.Array, sb: jax.Array) -> jax.Array:
+    """Jaccard similarity estimate from two same-size sketches: -> f32.
+
+    Mash's estimator: of the bottom-s sketch of the UNION, the fraction
+    also present in both input sketches.  Exact in expectation for
+    bottom-s sketches of any two datasets; also valid for
+    :func:`frac_sketch` pairs built with the same ``scale``.
+    """
+    u = merge(sa, sb)
+    valid = u != SENTINEL
+    inter = _isin_sorted(u, sa) & _isin_sorted(u, sb) & valid
+    return jnp.sum(inter) / jnp.maximum(jnp.sum(valid), 1)
+
+
+@jax.jit
+def containment(sa: jax.Array, sb: jax.Array) -> jax.Array:
+    """Containment estimate C(A in B) from two sketches: -> f32 — the
+    fraction of ``sa``'s hashes present in ``sb``.
+
+    Unbiased for :func:`frac_sketch` pairs with a common ``scale`` (the
+    sketches sample the same hash region — sourmash's argument); for
+    bottom-s sketches it is the usual heuristic and degrades when the
+    datasets' sizes differ wildly.
+    """
+    va = sa != SENTINEL
+    inter = _isin_sorted(sa, sb) & va
+    return jnp.sum(inter) / jnp.maximum(jnp.sum(va), 1)
+
+
+def mash_distance(j: float, k: int) -> float:
+    """Mash distance (≈ per-base mutation rate) from a Jaccard estimate:
+    ``-ln(2j / (1 + j)) / k``; 0 -> 1.0 (saturated)."""
+    j = float(j)
+    if j <= 0.0:
+        return 1.0
+    return min(-math.log(2.0 * j / (1.0 + j)) / k, 1.0)

@@ -322,6 +322,58 @@ def match_counts(
     return _jit_match_counts(bytes(query), codec, mesh)(words, lengths)
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_sketch(k: int, s: int, canonical: bool, mesh: Mesh):
+    from ..ops import sketch as sketch_lib
+
+    axis = mesh_lib.DATA_AXIS
+
+    def per_shard(words, lengths):
+        sk = sketch_lib.bottom_k_sketch_batch(
+            words, lengths, k, s, canonical=canonical
+        )
+        # per-shard sketches are tiny (s u32); one gather + one distinct
+        # pass IS the associative union-merge of every shard's sketch
+        all_sk = jax.lax.all_gather(sk, axis, axis=0, tiled=True)
+        return sketch_lib._bottom_s_distinct(all_sk, s)
+
+    return jax.jit(
+        shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis)),
+            out_specs=P(None),
+            check_vma=False,
+        )
+    )
+
+
+def sketch_sharded(
+    words: jax.Array,
+    lengths,
+    k: int,
+    s: int,
+    *,
+    mesh: Mesh | None = None,
+    canonical: bool = True,
+) -> jax.Array:
+    """Pod-wide bottom-``s`` MinHash sketch of a packed read batch:
+    u32[B, W] + lengths -> replicated sorted u32[s].
+
+    Each device sketches its read shard (:func:`..ops.sketch.
+    bottom_k_sketch_batch`), and because sketches union-merge
+    associatively, one ``all_gather`` of the D tiny ``u32[s]`` summaries +
+    one distinct-pass replaces any pairwise reduction tree.  B must
+    divide by the data-axis size.
+    """
+    if mesh is None:
+        mesh = mesh_lib.default_mesh()
+    lengths = jnp.broadcast_to(
+        jnp.asarray(lengths, jnp.int32).reshape(-1), (words.shape[0],)
+    )
+    return _jit_sketch(k, s, canonical, mesh)(words, lengths)
+
+
 class ShardedCodec:
     """A codec model bound to a mesh: shard-in, shard-out batch codec.
 

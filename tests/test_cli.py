@@ -378,3 +378,72 @@ def test_cli_translate(tmp_path, capsys):
     assert cli.main(["translate", nup2, out_fa, "--frames", "2,-3"]) == 0
     assert open(out_fa, "rb").read().count(b">") == 2
     assert cli.main(["translate", nup2, out_fa, "--frames", "4"]) == 2
+
+
+def test_cli_sketch_pairwise(tmp_path, capsys):
+    """Identical datasets -> Jaccard 1 / distance 0; disjoint ones -> ~0.
+    Also exercises the .nup input path against the FASTA path."""
+    rng = np.random.default_rng(7)
+    a = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=400))
+    b = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=400))
+    fa_a = tmp_path / "a.fa"
+    fa_a.write_bytes(b">a\n" + a + b"\n")
+    fa_a2 = tmp_path / "a2.fa"
+    fa_a2.write_bytes(b">a\n" + a + b"\n")
+    fa_b = tmp_path / "b.fa"
+    fa_b.write_bytes(b">b\n" + b + b"\n")
+    rc = cli.main(
+        ["sketch", str(fa_a), str(fa_a2), str(fa_b), "-k", "11", "-s", "64",
+         "--batch", "4", "--tier", "xla"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert [d["records"] for d in out["datasets"]] == [1, 1, 1]
+    assert [d["nt"] for d in out["datasets"]] == [400, 400, 400]
+    pairs = {(p["a"], p["b"]): p for p in out["pairs"]}
+    same = pairs[(str(fa_a), str(fa_a2))]
+    assert same["jaccard"] == 1.0 and same["mash_distance"] == 0.0
+    assert pairs[(str(fa_a), str(fa_b))]["jaccard"] < 0.2
+
+    # .nup input must sketch identically to its FASTA source
+    nup = str(tmp_path / "a.nup")
+    assert cli.main(["encode", str(fa_a), nup, "--tier", "oracle"]) == 0
+    capsys.readouterr()
+    rc = cli.main(
+        ["sketch", nup, str(fa_a), "-k", "11", "-s", "64",
+         "--batch", "4", "--tier", "xla"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["pairs"][0]["jaccard"] == 1.0
+
+
+def test_cli_sketch_frac_mode(tmp_path, capsys):
+    rng = np.random.default_rng(11)
+    big = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=600))
+    sub = big[100:300]
+    f_big = tmp_path / "big.fa"
+    f_big.write_bytes(b">g\n" + big + b"\n")
+    f_sub = tmp_path / "sub.fa"
+    f_sub.write_bytes(b">s\n" + sub + b"\n")
+    rc = cli.main(
+        ["sketch", str(f_sub), str(f_big), "-k", "9", "-s", "1024",
+         "--scale", "1", "--tier", "xla"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["scheme"]["name"] == "fracminhash"
+    # scale=1 keeps every hash -> containment of a true substring is exact
+    assert out["pairs"][0]["containment_a_in_b"] == 1.0
+    assert out["pairs"][0]["jaccard"] < 1.0
+
+
+def test_cli_sketch_rejects_base5_nup(tmp_path, capsys):
+    fa = tmp_path / "n.fa"
+    fa.write_bytes(b">n\nACGTNNACGTACGTACGTACGTACGTACGT\n")
+    nup = str(tmp_path / "n.nup")
+    assert cli.main(
+        ["encode", str(fa), nup, "--codec", "base5", "--tier", "oracle"]
+    ) == 0
+    capsys.readouterr()
+    assert cli.main(["sketch", nup, "-k", "5"]) == 1

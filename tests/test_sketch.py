@@ -1,0 +1,219 @@
+"""MinHash sketching vs a pure-Python set oracle (Mash/sourmash semantics)."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cute_nucleotides_tpu.ops import oracle, sketch, spec
+from cute_nucleotides_tpu import parallel
+
+CODE = {65: 0, 67: 1, 84: 2, 71: 3}  # A C T G
+COMP = {0: 2, 1: 3, 2: 0, 3: 1}
+SENT = 0xFFFFFFFF
+
+
+def _packed(seq) -> jnp.ndarray:
+    return jnp.asarray(
+        spec.u64_to_u32_pairs(oracle.n_to_bits_lut(np.asarray(seq))).reshape(-1)
+    )
+
+
+def _packed_batch(reads: np.ndarray) -> jnp.ndarray:
+    return jnp.asarray(
+        np.stack([np.asarray(_packed(r)) for r in reads])
+    )
+
+
+def _fmix32(h: int) -> int:
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    return h ^ (h >> 16)
+
+
+def _naive_hashes(seq: bytes, k: int, canonical: bool = True) -> list[int]:
+    """Canonical k-mer hashes, independent of ops.kmer (python ints only)."""
+    s = seq.upper().replace(b"U", b"T")
+    out = []
+    for i in range(len(s) - k + 1):
+        c = 0
+        for j in range(k):
+            c |= CODE[s[i + j]] << (2 * j)
+        if canonical:
+            rc = 0
+            for j in range(k):
+                rc |= COMP[(c >> (2 * j)) & 3] << (2 * (k - 1 - j))
+            c = min(c, rc)
+        if k <= 15:
+            out.append(_fmix32(c))
+        else:
+            lo, hi = c & 0xFFFFFFFF, c >> 32
+            out.append(_fmix32(lo ^ _fmix32(hi)))
+    return out
+
+
+def _naive_bottom_s(hashes, s: int) -> list[int]:
+    keep = sorted(set(hashes))[:s]
+    return keep + [SENT] * (s - len(keep))
+
+
+@pytest.mark.parametrize("k", [5, 11, 21])
+def test_bottom_k_sketch_matches_set_oracle(rng, k):
+    s_sz = 24
+    seq = rng.choice(np.frombuffer(b"ACGTacgtu", np.uint8), size=320)
+    got = np.asarray(sketch.bottom_k_sketch(_packed(seq), 320, k, s_sz))
+    assert got.tolist() == _naive_bottom_s(_naive_hashes(bytes(seq), k), s_sz)
+
+
+def test_bottom_k_sketch_sentinel_padding(rng):
+    # 10 nt, k=7 -> at most 4 distinct hashes; the rest must be SENTINEL
+    seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=10)
+    got = np.asarray(sketch.bottom_k_sketch(_packed(seq), 10, 7, 16))
+    want = _naive_bottom_s(_naive_hashes(bytes(seq), 7), 16)
+    assert got.tolist() == want
+    assert (got == SENT).sum() >= 12
+
+
+def test_bottom_k_sketch_revcomp_invariant(rng):
+    """Canonical sketches of a read and its reverse complement agree."""
+    seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=200)
+    rc = np.asarray(
+        [b"TGCA"[b"ACGT".index(bytes([c]))] for c in seq[::-1]], np.uint8
+    )
+    a = np.asarray(sketch.bottom_k_sketch(_packed(seq), 200, 9, 32))
+    b = np.asarray(sketch.bottom_k_sketch(_packed(rc), 200, 9, 32))
+    assert np.array_equal(a, b)
+
+
+def test_batch_sketch_masks_ragged_tails(rng):
+    """Union over reads; 'A'-padding and sub-k rows contribute nothing."""
+    B, L, k, s_sz = 6, 64, 8, 48
+    reads = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(B, L))
+    lengths = np.array([64, 40, 8, 0, 5, 33], np.int32)  # incl. rows < k
+    for b in range(B):
+        reads[b, lengths[b]:] = ord("A")
+    got = np.asarray(
+        sketch.bottom_k_sketch_batch(
+            _packed_batch(reads), jnp.asarray(lengths), k, s_sz
+        )
+    )
+    allh = []
+    for b in range(B):
+        allh += _naive_hashes(bytes(reads[b, : lengths[b]]), k)
+    assert got.tolist() == _naive_bottom_s(allh, s_sz)
+
+
+def test_frac_sketch_threshold_and_count(rng):
+    seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=400)
+    k, scale, cap = 9, 4, 64
+    sk, n_kept = sketch.frac_sketch(
+        _packed(seq), 400, k, scale=scale, cap=cap
+    )
+    sk, n_kept = np.asarray(sk), int(n_kept)
+    thresh = 2**32 // scale
+    want = sorted({h for h in _naive_hashes(bytes(seq), k) if h < thresh})
+    assert n_kept == len(want)
+    assert sk.tolist() == want[:cap] + [SENT] * (cap - min(len(want), cap))
+
+
+def test_merge_is_bottom_s_of_union(rng):
+    s_sz = 16
+    a = np.sort(rng.integers(0, 2**32 - 1, 16, dtype=np.uint64)).astype(
+        np.uint32
+    )
+    b = np.sort(rng.integers(0, 2**32 - 1, 16, dtype=np.uint64)).astype(
+        np.uint32
+    )
+    m = np.asarray(sketch.merge(jnp.asarray(a), jnp.asarray(b)))
+    assert m.tolist() == _naive_bottom_s(a.tolist() + b.tolist(), s_sz)
+    # associative + commutative
+    c = np.sort(rng.integers(0, 2**32 - 1, 16, dtype=np.uint64)).astype(
+        np.uint32
+    )
+    ja, jb, jc = map(jnp.asarray, (a, b, c))
+    left = np.asarray(sketch.merge(sketch.merge(ja, jb), jc))
+    right = np.asarray(sketch.merge(ja, sketch.merge(jb, jc)))
+    assert np.array_equal(left, right)
+    assert np.array_equal(
+        np.asarray(sketch.merge(ja, jb)), np.asarray(sketch.merge(jb, ja))
+    )
+
+
+def test_jaccard_exact_when_sketch_holds_everything(rng):
+    """s >= |union| makes the estimator exact: compare to true Jaccard."""
+    k, s_sz = 9, 512
+    base = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=150)
+    other = base.copy()
+    other[60:90] = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=30)
+    sa = sketch.bottom_k_sketch(_packed(base), 150, k, s_sz)
+    sb = sketch.bottom_k_sketch(_packed(other), 150, k, s_sz)
+    ha = set(_naive_hashes(bytes(base), k))
+    hb = set(_naive_hashes(bytes(other), k))
+    want = len(ha & hb) / len(ha | hb)
+    assert float(sketch.jaccard(sa, sb)) == pytest.approx(want, abs=1e-6)
+    assert float(sketch.jaccard(sa, sa)) == pytest.approx(1.0)
+
+
+def test_containment_exact_with_scale_one(rng):
+    """scale=1 frac sketches retain every distinct hash -> exact C(A in B)."""
+    k = 7
+    big = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=300)
+    sub = big[40:140]  # a true substring: every sub k-mer is contained
+    sa, _ = sketch.frac_sketch(_packed(sub), 100, k, scale=1, cap=256)
+    sb, _ = sketch.frac_sketch(_packed(big), 300, k, scale=1, cap=512)
+    assert float(sketch.containment(sa, sb)) == pytest.approx(1.0)
+    ha = set(_naive_hashes(bytes(sub), k))
+    hb = set(_naive_hashes(bytes(big[:150]), k))
+    sc, _ = sketch.frac_sketch(_packed(big[:150]), 150, k, scale=1, cap=512)
+    want = len(ha & hb) / len(ha)
+    assert float(sketch.containment(sa, sc)) == pytest.approx(want, abs=1e-6)
+
+
+def test_mash_distance_edge_cases():
+    assert sketch.mash_distance(1.0, 21) == pytest.approx(0.0)
+    assert sketch.mash_distance(0.0, 21) == 1.0
+    j = 0.3
+    want = -math.log(2 * j / (1 + j)) / 21
+    assert sketch.mash_distance(j, 21) == pytest.approx(want)
+
+
+def test_sketch_sharded_matches_single_device(rng):
+    """all_gather union-merge over the 8-device mesh == one-device sketch."""
+    B, L, k, s_sz = 16, 96, 11, 64
+    reads = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(B, L))
+    lengths = rng.integers(0, L + 1, B).astype(np.int32)
+    for b in range(B):
+        reads[b, lengths[b]:] = ord("A")
+    words = _packed_batch(reads)
+    got = np.asarray(
+        parallel.sketch_sharded(words, jnp.asarray(lengths), k, s_sz)
+    )
+    want = np.asarray(
+        sketch.bottom_k_sketch_batch(words, jnp.asarray(lengths), k, s_sz)
+    )
+    assert np.array_equal(got, want)
+
+
+def test_frac_sketch_batch_matches_union(rng):
+    B, L, k, scale, cap = 4, 80, 7, 3, 128
+    reads = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(B, L))
+    lengths = np.array([80, 33, 5, 60], np.int32)
+    for b in range(B):
+        reads[b, lengths[b]:] = ord("A")
+    sk, n_kept = sketch.frac_sketch_batch(
+        _packed_batch(reads), jnp.asarray(lengths), k, scale=scale, cap=cap
+    )
+    thresh = 2**32 // scale
+    allh = set()
+    for b in range(B):
+        allh |= {
+            h for h in _naive_hashes(bytes(reads[b, : lengths[b]]), k)
+            if h < thresh
+        }
+    want = sorted(allh)
+    assert int(n_kept) == len(want)
+    assert np.asarray(sk).tolist() == want[:cap] + [SENT] * (cap - len(want))
