@@ -687,17 +687,17 @@ def _dataset_sketch(path: str, args):
     from .ops import spec
     from .utils import io as io_lib
 
-    def sketch_batch(words, lengths):
+    def sketch_batch(words, lengths, invalid=None):
         if args.scale:
             sk, _ = sketch_lib.frac_sketch_batch(
                 words, lengths, args.k,
                 scale=args.scale, cap=args.s,
-                canonical=not args.no_canonical,
+                canonical=not args.no_canonical, invalid=invalid,
             )
             return sk
         return sketch_lib.bottom_k_sketch_batch(
             words, lengths, args.k, args.s,
-            canonical=not args.no_canonical,
+            canonical=not args.no_canonical, invalid=invalid,
         )
 
     acc = None
@@ -714,11 +714,11 @@ def _dataset_sketch(path: str, args):
         ]
         for i in range(0, len(rows), args.batch):
             chunk = rows[i : i + args.batch]
-            # static shapes: pad rows to the stream's word capacity and the
-            # chunk to a full batch (length 0 rows contribute no k-mers)
+            # rows sized to the chunk (W already varies per chunk, so a
+            # fixed row count would buy no compile reuse — only padding)
             W = max(w.shape[0] for _, w in chunk)
-            words = np.zeros((args.batch, W), np.uint32)
-            lengths = np.zeros(args.batch, np.int32)
+            words = np.zeros((len(chunk), W), np.uint32)
+            lengths = np.zeros(len(chunk), np.int32)
             for j, (n, w) in enumerate(chunk):
                 words[j, : w.shape[0]] = w
                 lengths[j] = n
@@ -730,6 +730,7 @@ def _dataset_sketch(path: str, args):
         recs = list(io_lib.open_reads(path))
         if recs:
             from .models import TwoBitCodec
+            from .ops import validate
 
             codec = TwoBitCodec(tier=args.tier)
             max_len = max(len(r.seq) for r in recs)
@@ -738,8 +739,14 @@ def _dataset_sketch(path: str, args):
                 block=codec.block,
             )
             for b in stream:
-                words = codec.encode(jnp.asarray(b.reads))
-                sk = sketch_batch(words, jnp.asarray(b.lengths))
+                reads = jnp.asarray(b.reads)
+                words = codec.encode(reads)
+                # Mash/sourmash rule: k-mers touching N (or any byte the
+                # 2-bit code cannot represent) are dropped, not mis-hashed
+                sk = sketch_batch(
+                    words, jnp.asarray(b.lengths),
+                    invalid=~validate.valid_mask(reads),
+                )
                 acc = sk if acc is None else sketch_lib.merge(acc, sk)
                 records += b.count
                 total_nt += int(b.lengths.sum())
@@ -777,16 +784,28 @@ def cmd_sketch(args) -> int:
             if args.scale else {"name": "bottom-s", "s": args.s}
         ),
         "canonical": not args.no_canonical,
-        "datasets": [
-            {
-                "path": path,
-                "records": records,
-                "nt": nt,
-                "hashes": int((np.asarray(sk) != 0xFFFFFFFF).sum()),
-            }
-            for path, sk, records, nt in datasets
-        ],
     }
+    ds_rows = []
+    for path, sk, records, nt in datasets:
+        row = {
+            "path": path,
+            "records": records,
+            "nt": nt,
+            "hashes": int((np.asarray(sk) != 0xFFFFFFFF).sum()),
+        }
+        if args.scale:
+            # a full buffer means the retained sample was TRUNCATED and
+            # the scheme's unbiased-containment property no longer holds
+            row["saturated"] = row["hashes"] >= args.s
+            if row["saturated"]:
+                print(
+                    f"warning: {path}: FracMinHash buffer saturated at "
+                    f"{args.s} hashes — containment/Jaccard will be "
+                    f"underestimated; raise -s or --scale",
+                    file=sys.stderr,
+                )
+        ds_rows.append(row)
+    out["datasets"] = ds_rows
     pairs = []
     for i in range(len(datasets)):
         for j in range(i + 1, len(datasets)):
@@ -1002,7 +1021,12 @@ def main(argv=None) -> int:
         help="MinHash-sketch datasets and estimate pairwise similarity "
         "(Jaccard / containment / Mash distance) from packed k-mers",
     )
-    pk.add_argument("inputs", nargs="+", metavar="READS")
+    pk.add_argument(
+        "inputs", nargs="+", metavar="READS",
+        help="FASTA/FASTQ files (k-mers touching N are skipped, the "
+        "Mash rule) or 2-bit .nup containers (which cannot hold N — "
+        "encode them with --validate)",
+    )
     pk.add_argument("-k", type=int, default=21, help="k-mer size (<= 31)")
     pk.add_argument(
         "-s", type=int, default=1000,

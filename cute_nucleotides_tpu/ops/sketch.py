@@ -26,9 +26,13 @@ so a device mesh reduces per-shard sketches to a dataset sketch with one
 
 Everything is static-shape and jittable: the "hash set" is a sorted array,
 dedup is a sort + neighbor-compare, membership is ``searchsorted`` — no
-host-side Python sets anywhere on the hot path.  Hashes equal to
-``SENTINEL`` itself (one value in 2**32) are excluded by construction;
-the estimators mask empty slots explicitly.
+host-side Python sets anywhere on the hot path.  One deliberate bias: a
+k-mer hashing to ``SENTINEL`` itself (one value in 2**32; reachable since
+fmix32 is a bijection) is conflated with empty padding and dropped from
+every sketch.  It is the *maximal* hash — no bottom-s estimator would
+select it unless the sketch covered the entire hash space — so the
+estimators are unaffected beyond a <=1-element undercount of ``n_kept``
+at ``scale=1``.
 """
 
 from __future__ import annotations
@@ -48,6 +52,7 @@ __all__ = [
     "frac_sketch",
     "frac_sketch_batch",
     "merge",
+    "merge_many",
     "jaccard",
     "containment",
     "mash_distance",
@@ -56,20 +61,28 @@ __all__ = [
 SENTINEL = jnp.uint32(0xFFFFFFFF)
 
 
-def _bottom_s_distinct(h: jax.Array, s: int) -> jax.Array:
-    """Smallest ``s`` distinct values of ``h``: -> sorted u32[s],
-    SENTINEL-padded.  Two sorts: ascending order makes duplicates
-    adjacent, re-marking them SENTINEL and re-sorting compacts the
-    distinct values to the front without any scatter."""
+def _bottom_s_distinct_count(
+    h: jax.Array, s: int
+) -> tuple[jax.Array, jax.Array]:
+    """Smallest ``s`` distinct values of ``h`` plus the exact distinct
+    count: -> (sorted u32[s], i32).  Two sorts: ascending order makes
+    duplicates adjacent, re-marking them SENTINEL and re-sorting compacts
+    the distinct values to the front without any scatter; the count falls
+    out of the same dup mask for free."""
     h = jnp.sort(h.reshape(-1))
     dup = jnp.concatenate(
         [jnp.zeros(1, bool), h[1:] == h[:-1]]
     )
+    n_distinct = jnp.sum((h != SENTINEL) & ~dup).astype(jnp.int32)
     h = jnp.sort(jnp.where(dup, SENTINEL, h))
     n = h.shape[0]
-    if n >= s:
-        return h[:s]
-    return jnp.concatenate([h, jnp.full(s - n, SENTINEL, jnp.uint32)])
+    if n < s:
+        h = jnp.concatenate([h, jnp.full(s - n, SENTINEL, jnp.uint32)])
+    return h[:s], n_distinct
+
+
+def _bottom_s_distinct(h: jax.Array, s: int) -> jax.Array:
+    return _bottom_s_distinct_count(h, s)[0]
 
 
 def _isin_sorted(x: jax.Array, ref: jax.Array) -> jax.Array:
@@ -89,38 +102,81 @@ def bottom_k_sketch(
     """Bottom-``s`` MinHash sketch of one packed stream: -> sorted u32[s].
 
     The ``s`` smallest distinct canonical k-mer hashes (Mash's sketch);
-    fewer than ``s`` distinct k-mers leaves SENTINEL padding.  k <= 31.
+    fewer than ``s`` distinct k-mers (including ``length < k``) leaves
+    SENTINEL padding.  k <= 31.
     """
+    if length < k:
+        return jnp.full(s, SENTINEL, jnp.uint32)
     h = kmer.kmer_hashes(words, length, k, canonical=canonical)
     return _bottom_s_distinct(h, s)
 
 
 def _batch_hashes(
-    words: jax.Array, lengths, k: int, canonical: bool
+    words: jax.Array, lengths, k: int, canonical: bool, invalid=None
 ) -> jax.Array:
     """Canonical k-mer hashes of every read of a padded batch, flattened,
     with positions past each read's end set to SENTINEL (excluded from any
-    sketch).  Windows never span reads: each row hashes independently."""
+    sketch).  Windows never span reads: each row hashes independently.
+
+    ``invalid`` (optional bool[B, L], True = not a real {A,C,G,T,U} base)
+    additionally drops every k-mer whose window touches a flagged byte —
+    the Mash/sourmash rule for ``N`` and other ambiguity codes, which the
+    2-bit packing itself cannot represent.  A batch whose padded capacity
+    is below ``k`` contributes no k-mers at all (one SENTINEL stands in so
+    downstream reductions keep a static shape).
+    """
     if words.ndim != 2:
         raise TypeError(f"expected u32[B, W] batch, got {words.shape}")
     B, Wr = words.shape
     L = Wr * spec.NT_PER_U32_2BIT
+    if L < k:
+        return jnp.full(1, SENTINEL, jnp.uint32)
     lengths = jnp.minimum(
         jnp.broadcast_to(jnp.asarray(lengths, jnp.int32).reshape(-1), (B,)),
         L,
     )
+    if invalid is not None:
+        inv = jnp.asarray(invalid)
+        if inv.ndim != 2 or inv.shape[0] != B or inv.shape[1] > L:
+            raise ValueError(
+                f"invalid mask shape {inv.shape} incompatible with "
+                f"byte capacity {(B, L)}"
+            )
+        if inv.shape[1] < L:
+            # byte-length masks vs word-granular capacity: the gap is
+            # encode padding, already excluded by the lengths mask
+            inv = jnp.pad(inv, ((0, 0), (0, L - inv.shape[1])))
 
-    def per_read(row, n):
+    def per_read(row, n, inv_row):
         h = kmer.kmer_hashes(row, L, k, canonical=canonical)
         pos = jnp.arange(h.shape[0])
-        return jnp.where(pos < n - (k - 1), h, SENTINEL)
+        keep = pos < n - (k - 1)
+        if inv_row is not None:
+            # window-touches-invalid via an exclusive prefix sum: k-mer i
+            # is dropped iff any byte in [i, i+k) is flagged
+            cp = jnp.concatenate([
+                jnp.zeros(1, jnp.int32),
+                jnp.cumsum(inv_row.astype(jnp.int32)),
+            ])
+            keep &= (cp[k:] - cp[:-k]) == 0
+        return jnp.where(keep, h, SENTINEL)
 
-    return jax.vmap(per_read)(words, lengths).reshape(-1)
+    if invalid is None:
+        hashed = jax.vmap(lambda r, n: per_read(r, n, None))(words, lengths)
+    else:
+        hashed = jax.vmap(per_read)(words, lengths, inv)
+    return hashed.reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "s", "canonical"))
 def bottom_k_sketch_batch(
-    words: jax.Array, lengths, k: int, s: int, *, canonical: bool = True
+    words: jax.Array,
+    lengths,
+    k: int,
+    s: int,
+    *,
+    canonical: bool = True,
+    invalid=None,
 ) -> jax.Array:
     """One dataset-level bottom-``s`` sketch of a padded read batch:
     u32[B, W] + lengths -> sorted u32[s].
@@ -128,8 +184,12 @@ def bottom_k_sketch_batch(
     The sketch of the UNION of every read's k-mers ('A'-padding tails and
     rows shorter than k are masked; windows never span read boundaries) —
     what one host shard contributes to a pod-wide dataset sketch.
+    ``invalid`` (bool[B, L]) drops k-mers touching flagged bytes (N etc.);
+    see :func:`_batch_hashes`.
     """
-    return _bottom_s_distinct(_batch_hashes(words, lengths, k, canonical), s)
+    return _bottom_s_distinct(
+        _batch_hashes(words, lengths, k, canonical, invalid), s
+    )
 
 
 @functools.partial(
@@ -155,7 +215,10 @@ def frac_sketch(
     buffer holds the smallest ``cap`` of them (still a valid sketch, but
     resize ``cap`` or raise ``scale`` to keep the full sample).
     """
-    h = kmer.kmer_hashes(words, length, k, canonical=canonical)
+    if length < k:
+        h = jnp.full(1, SENTINEL, jnp.uint32)
+    else:
+        h = kmer.kmer_hashes(words, length, k, canonical=canonical)
     return _frac_from_hashes(h, scale, cap)
 
 
@@ -168,16 +231,18 @@ def frac_sketch_batch(
     scale: int,
     cap: int,
     canonical: bool = True,
+    invalid=None,
 ) -> tuple[jax.Array, jax.Array]:
     """FracMinHash sketch of the union of a padded read batch's k-mers:
     u32[B, W] + lengths -> (sorted u32[cap], n_kept i32).
 
     The batch form of :func:`frac_sketch` (same masking rules as
-    :func:`bottom_k_sketch_batch`).  Frac sketches with a common ``scale``
-    union-merge exactly via :func:`merge` — every retained hash is already
-    below the shared threshold, so the union needs no re-filtering.
+    :func:`bottom_k_sketch_batch`, including the ``invalid`` byte mask).
+    Frac sketches with a common ``scale`` union-merge exactly via
+    :func:`merge` — every retained hash is already below the shared
+    threshold, so the union needs no re-filtering.
     """
-    h = _batch_hashes(words, lengths, k, canonical)
+    h = _batch_hashes(words, lengths, k, canonical, invalid)
     return _frac_from_hashes(h, scale, cap)
 
 
@@ -188,11 +253,9 @@ def _frac_from_hashes(
         raise ValueError("scale must be >= 1")
     thresh = jnp.uint32(min(2**32 // scale, 2**32 - 1))
     h = jnp.where(h < thresh, h, SENTINEL)
-    sk = _bottom_s_distinct(h, max(cap, 1))
-    # exact retained-distinct count (the sketch itself truncates at cap)
-    hs = jnp.sort(h.reshape(-1))
-    dup = jnp.concatenate([jnp.zeros(1, bool), hs[1:] == hs[:-1]])
-    n_kept = jnp.sum((hs != SENTINEL) & ~dup).astype(jnp.int32)
+    # the distinct count (exact even past cap) rides the sketch's own
+    # sort+dup pass — no extra sort of the full hash array
+    sk, n_kept = _bottom_s_distinct_count(h, max(cap, 1))
     return sk[:cap], n_kept
 
 
@@ -204,6 +267,18 @@ def merge(sa: jax.Array, sb: jax.Array) -> jax.Array:
     if sa.shape != sb.shape:
         raise ValueError(f"sketch sizes differ: {sa.shape} vs {sb.shape}")
     return _bottom_s_distinct(jnp.concatenate([sa, sb]), sa.shape[0])
+
+
+@jax.jit
+def merge_many(stacked: jax.Array) -> jax.Array:
+    """Union-merge D stacked same-size sketches in one pass:
+    u32[D, s] -> sorted u32[s] — the bottom-``s`` distinct hashes of the
+    union.  The N-way form of :func:`merge` (one sort of D*s elements
+    instead of a reduction tree); this is what a device mesh applies to
+    the ``all_gather`` of its per-shard sketches."""
+    if stacked.ndim < 2:
+        raise ValueError(f"expected stacked sketches [D, s], got {stacked.shape}")
+    return _bottom_s_distinct(stacked.reshape(-1), stacked.shape[-1])
 
 
 @jax.jit

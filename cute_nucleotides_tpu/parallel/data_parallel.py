@@ -334,8 +334,8 @@ def _jit_sketch(k: int, s: int, canonical: bool, mesh: Mesh):
         )
         # per-shard sketches are tiny (s u32); one gather + one distinct
         # pass IS the associative union-merge of every shard's sketch
-        all_sk = jax.lax.all_gather(sk, axis, axis=0, tiled=True)
-        return sketch_lib._bottom_s_distinct(all_sk, s)
+        all_sk = jax.lax.all_gather(sk, axis, axis=0)
+        return sketch_lib.merge_many(all_sk)
 
     return jax.jit(
         shard_map(

@@ -447,3 +447,60 @@ def test_cli_sketch_rejects_base5_nup(tmp_path, capsys):
     ) == 0
     capsys.readouterr()
     assert cli.main(["sketch", nup, "-k", "5"]) == 1
+
+
+def test_cli_sketch_skips_n_kmers(tmp_path, capsys):
+    """N runs must not manufacture similarity (review finding: 2-bit
+    packing aliases N to G; the byte mask keeps those k-mers out)."""
+    rng = np.random.default_rng(5)
+    a = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=200))
+    b = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=200))
+    n_run = b"N" * 120
+    fa = tmp_path / "a.fa"
+    fa.write_bytes(b">a\n" + a + n_run + b"\n")
+    fb = tmp_path / "b.fa"
+    fb.write_bytes(b">b\n" + b + n_run + b"\n")
+    rc = cli.main(
+        ["sketch", str(fa), str(fb), "-k", "11", "-s", "512",
+         "--tier", "xla"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    # shared poly-N tails would alias to shared poly-G k-mers; masked,
+    # two random 200-nt sequences share essentially nothing
+    assert out["pairs"][0]["jaccard"] < 0.05
+    # and each dataset keeps only its valid-window hashes (~190 per side)
+    assert all(d["hashes"] < 400 for d in out["datasets"])
+
+
+def test_cli_sketch_survives_empty_records(tmp_path, capsys):
+    fa = tmp_path / "e.fa"
+    fa.write_bytes(b">empty\n\n>tiny\nACG\n>real\n" + b"ACGTAGGTCA" * 6 + b"\n")
+    nup = str(tmp_path / "e.nup")
+    assert cli.main(["encode", str(fa), nup, "--tier", "oracle"]) == 0
+    capsys.readouterr()
+    rc = cli.main(
+        ["sketch", nup, str(fa), "-k", "5", "-s", "32", "--batch", "1",
+         "--tier", "xla"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert [d["records"] for d in out["datasets"]] == [3, 3]
+    # the two views of the same data must sketch identically
+    assert out["pairs"][0]["jaccard"] == 1.0
+
+
+def test_cli_sketch_frac_saturation_warns(tmp_path, capsys):
+    rng = np.random.default_rng(13)
+    g = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=800))
+    fa = tmp_path / "g.fa"
+    fa.write_bytes(b">g\n" + g + b"\n")
+    rc = cli.main(
+        ["sketch", str(fa), "-k", "9", "-s", "64", "--scale", "1",
+         "--tier", "xla"]
+    )
+    assert rc == 0
+    cap = capsys.readouterr()
+    out = json.loads(cap.out.strip())
+    assert out["datasets"][0]["saturated"] is True
+    assert "saturated" in cap.err

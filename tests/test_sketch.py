@@ -217,3 +217,75 @@ def test_frac_sketch_batch_matches_union(rng):
     want = sorted(allh)
     assert int(n_kept) == len(want)
     assert np.asarray(sk).tolist() == want[:cap] + [SENT] * (cap - len(want))
+
+
+def test_invalid_mask_drops_touching_kmers(rng):
+    """k-mers whose window touches a flagged byte (N etc.) are dropped."""
+    B, L, k, s_sz = 3, 48, 6, 128
+    reads = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(B, L))
+    # plant N runs; the packing itself will encode them as G — the mask is
+    # what keeps them out of the sketch
+    nmask = np.zeros((B, L), bool)
+    nmask[0, 10] = True
+    nmask[1, 20:25] = True
+    reads_n = reads.copy()
+    reads_n[nmask] = ord("N")
+    # pack the N-planted reads via the defined (b>>1)&3 fallback (N -> G)
+    packed = _packed_batch(
+        np.where(nmask, ord("G"), reads_n).astype(np.uint8)
+    )
+    lengths = np.full(B, L, np.int32)
+    got = np.asarray(
+        sketch.bottom_k_sketch_batch(
+            packed, jnp.asarray(lengths), k, s_sz,
+            invalid=jnp.asarray(nmask),
+        )
+    )
+    allh = []
+    for b in range(B):
+        seq = bytes(np.where(nmask[b], ord("G"), reads[b]).astype(np.uint8))
+        for i in range(L - k + 1):
+            if nmask[b, i : i + k].any():
+                continue
+            allh += _naive_hashes(seq[i : i + k], k)
+    assert got.tolist() == _naive_bottom_s(allh, s_sz)
+    # and the mask actually changes the sketch (G-aliased k-mers differ)
+    unmasked = np.asarray(
+        sketch.bottom_k_sketch_batch(packed, jnp.asarray(lengths), k, s_sz)
+    )
+    assert not np.array_equal(got, unmasked)
+
+
+def test_capacity_below_k_contributes_nothing(rng):
+    """A batch whose padded capacity is < k must not crash (issue found in
+    review: empty .nup records killed whole sketch runs)."""
+    words = jnp.zeros((3, 0), jnp.uint32)  # zero capacity
+    got = np.asarray(
+        sketch.bottom_k_sketch_batch(words, jnp.zeros(3, jnp.int32), 5, 8)
+    )
+    assert (got == SENT).all()
+    sk, n = sketch.frac_sketch_batch(
+        words, jnp.zeros(3, jnp.int32), 5, scale=1, cap=8
+    )
+    assert (np.asarray(sk) == SENT).all() and int(n) == 0
+    # single-stream guard too
+    one = _packed(np.frombuffer(b"ACGTACGTACGTACGT", np.uint8))
+    got1 = np.asarray(sketch.bottom_k_sketch(one, 3, 9, 8))
+    assert (got1 == SENT).all()
+    sk1, n1 = sketch.frac_sketch(one, 3, 9, scale=1, cap=8)
+    assert (np.asarray(sk1) == SENT).all() and int(n1) == 0
+
+
+def test_merge_many_equals_pairwise_chain(rng):
+    s_sz = 32
+    sketches = [
+        np.sort(rng.integers(0, 2**32 - 1, s_sz, dtype=np.uint64)).astype(
+            np.uint32
+        )
+        for _ in range(5)
+    ]
+    acc = jnp.asarray(sketches[0])
+    for sk in sketches[1:]:
+        acc = sketch.merge(acc, jnp.asarray(sk))
+    got = np.asarray(sketch.merge_many(jnp.asarray(np.stack(sketches))))
+    assert np.array_equal(got, np.asarray(acc))
