@@ -289,3 +289,23 @@ def test_merge_many_equals_pairwise_chain(rng):
         acc = sketch.merge(acc, jnp.asarray(sk))
     got = np.asarray(sketch.merge_many(jnp.asarray(np.stack(sketches))))
     assert np.array_equal(got, np.asarray(acc))
+
+
+def test_chunked_bottom_s_exact_on_large_inputs(rng):
+    """The chunked reduction path (inputs > 4 * _CHUNK) must equal the
+    naive global bottom-s, including heavy cross- and within-chunk
+    duplication pushing distinct values past chunk position s."""
+    n = 5 * sketch._CHUNK + 137
+    s_sz = 100
+    # small value range -> massive duplication everywhere
+    h = rng.integers(0, 4000, n, dtype=np.uint64).astype(np.uint32)
+    # one chunk dominated by a single tiny value, hiding mid values
+    h[: sketch._CHUNK - 5] = 1
+    got = np.asarray(sketch._bottom_s_distinct(jnp.asarray(h), s_sz))
+    assert got.tolist() == _naive_bottom_s(h.tolist(), s_sz)
+    # and through the public sketch surface at a large-ish stream
+    seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=70000)
+    got_sk = np.asarray(sketch.bottom_k_sketch(_packed(seq), 70000, 13, 64))
+    assert got_sk.tolist() == _naive_bottom_s(
+        _naive_hashes(bytes(seq), 13), 64
+    )
