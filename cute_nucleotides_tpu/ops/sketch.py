@@ -54,6 +54,7 @@ __all__ = [
     "merge",
     "merge_many",
     "jaccard",
+    "jaccard_matrix",
     "containment",
     "mash_distance",
 ]
@@ -325,6 +326,22 @@ def jaccard(sa: jax.Array, sb: jax.Array) -> jax.Array:
     valid = u != SENTINEL
     inter = _isin_sorted(u, sa) & _isin_sorted(u, sb) & valid
     return jnp.sum(inter) / jnp.maximum(jnp.sum(valid), 1)
+
+
+@jax.jit
+def jaccard_matrix(stacked: jax.Array) -> jax.Array:
+    """All-pairs Jaccard estimates of D same-size sketches:
+    u32[D, s] -> f32[D, D] (one device dispatch instead of D² calls).
+
+    Symmetric; the diagonal is 1 for any non-empty sketch (an all-SENTINEL
+    sketch — an empty dataset — yields 0 everywhere, including with
+    itself).
+    """
+    if stacked.ndim != 2:
+        raise ValueError(f"expected stacked sketches [D, s], got {stacked.shape}")
+    return jax.vmap(
+        lambda sa: jax.vmap(lambda sb: jaccard(sa, sb))(stacked)
+    )(stacked)
 
 
 @jax.jit

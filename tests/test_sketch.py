@@ -309,3 +309,30 @@ def test_chunked_bottom_s_exact_on_large_inputs(rng):
     assert got_sk.tolist() == _naive_bottom_s(
         _naive_hashes(bytes(seq), 13), 64
     )
+
+
+def test_jaccard_matrix_matches_pairwise(rng):
+    k, s_sz, D = 9, 128, 4
+    seqs = [
+        rng.choice(np.frombuffer(b"ACGT", np.uint8), size=250)
+        for _ in range(D)
+    ]
+    seqs[2] = seqs[0].copy()  # one identical pair
+    sks = jnp.asarray(np.stack([
+        np.asarray(sketch.bottom_k_sketch(_packed(s), 250, k, s_sz))
+        for s in seqs
+    ]))
+    m = np.asarray(sketch.jaccard_matrix(sks))
+    assert m.shape == (D, D)
+    for i in range(D):
+        for j in range(D):
+            want = float(sketch.jaccard(sks[i], sks[j]))
+            assert m[i, j] == pytest.approx(want, abs=1e-6)
+    assert np.allclose(m, m.T)
+    assert m[0, 2] == pytest.approx(1.0) and m[1, 1] == pytest.approx(1.0)
+    # empty dataset row is all zeros, even its own diagonal
+    sks0 = jnp.concatenate(
+        [sks, jnp.full((1, s_sz), sketch.SENTINEL, jnp.uint32)]
+    )
+    m0 = np.asarray(sketch.jaccard_matrix(sks0))
+    assert (m0[-1] == 0).all() and (m0[:, -1] == 0).all()

@@ -22,6 +22,7 @@ run tune_dec_scatter python tools/tune_dec_scatter.py
 run tune_enc_checked python tools/tune_enc_checked.py
 run tune_enc2 python tools/tune_enc2.py
 run tune_dec2 python tools/tune_dec2.py
+run tune_sketch python tools/tune_sketch.py
 run vpu_peak python tools/vpu_peak.py
 # Fresh full-scale bench of the committed kernels (durable numbers even if
 # nobody ships tune winners before the relay drops again); detail JSON goes
