@@ -107,6 +107,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from cute_nucleotides_tpu.ops import (
+        align,
         kmer,
         pallas_kernels as pk,
         search,
@@ -707,6 +708,30 @@ def main() -> int:
             R(ph_B * NT_PER_ROW, 4 * ph_B * ph_B,
               int8_macs=ph_B * ph_B * 4 * NT_PER_ROW),
             k_lo=2, k_hi=10, trials=3,
+        )
+        # batched Myers edit distance: B pairs of (128-nt query, 2048-nt
+        # text), global Levenshtein.  Strictly sequential along the text,
+        # so the parallelism is lanes x bit-rows; the denominator is DP
+        # CELLS, i.e. the "GiB/s" column reads as Gcells/s (GCUPS).
+        # vpu_lane_ops: hand count of the scan step on (B,) u32 vectors —
+        # eq-select 3+3nb, adder/Xh/Ph/Mh 16nb, score-bit 9nb+2, shift
+        # phase 10nb, freeze 2nb+2 => 40nb+7 per step at nb=4 blocks.
+        al_B = min(8192, ROWS)
+        al_m, al_n = 128, 2048
+        al_q = jnp.asarray(wa[:al_B, : al_m // 16].copy())
+        al_t = jnp.asarray(wa[:al_B, : al_n // 16].copy())
+        al_ql = jnp.full((al_B,), al_m, jnp.int32)
+        al_tl = jnp.full((al_B,), al_n, jnp.int32)
+        run(
+            "edit_distance_m128_n2048",
+            chained(
+                lambda q: align.edit_distance_packed(q, al_ql, al_t, al_tl)
+            ),
+            al_q,
+            al_B * al_m * al_n,
+            R(4 * (al_q.size + al_t.size), 4 * al_B,
+              vpu_lane_ops=al_B * al_n * (40 * (al_m // 32) + 7)),
+            k_lo=2, k_hi=8, trials=3,
         )
         # same distances straight from packed words (0.25 B/nt read)
         wph = packed_np[:ph_B].reshape(ph_B, -1).view(np.uint32)

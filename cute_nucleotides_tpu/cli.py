@@ -908,6 +908,89 @@ def cmd_grep(args) -> int:
     return 0 if total or args.count else 1
 
 
+def cmd_approx(args) -> int:
+    """Best approximate occurrence of a query in every record: Myers
+    bit-parallel semiglobal alignment on the PACKED words (``ops.align`` —
+    no decode pass).  2-bit containers only.  ``N`` in the *query* matches
+    any base.  Prints one JSON line per record — minimum edit distance,
+    match end position, strand (best strand under ``--both``);
+    ``--max-errors E`` keeps only records with distance <= E (exit 1 when
+    none qualify)."""
+    import jax.numpy as jnp
+
+    from .ops import align, search, spec
+
+    codec, entries = read_nup(args.input)
+    if codec != "2bit":
+        print(
+            "error: approx requires a 2-bit .nup (the 4-plane bit-vectors "
+            "cannot represent base-5 N records)",
+            file=sys.stderr,
+        )
+        return 1
+    raw = args.pattern.encode()
+    try:
+        strands = [(align.peq_from_bytes(raw), "+")]
+        if args.both:
+            rc = search.revcomp_query(raw)
+            if rc != raw.upper().replace(b"U", b"T"):
+                strands.append((align.peq_from_bytes(rc), "-"))
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+    chunk = max(args.batch, 1)
+    shown = 0
+    for lo in range(0, len(entries), chunk):
+        part = entries[lo : lo + chunk]
+        lens = np.array([length for _, length, _ in part], np.int64)
+        # u32 row width: next power of two (even, >= 2) buckets the
+        # retraces — one compile per (chunk, width, strand-count)
+        need = max(2, int(2 * spec.num_words_2bit(int(lens.max(initial=1)))))
+        width = 2
+        while width < need:
+            width *= 2
+        mat = np.zeros((chunk, width), np.uint32)
+        for i, (_, _, words) in enumerate(part):
+            w32 = spec.u64_to_u32_pairs(np.ascontiguousarray(words))
+            mat[i, : 2 * len(words)] = w32.reshape(-1)
+        tl = np.zeros(chunk, np.int32)
+        tl[: len(part)] = lens
+        results = []  # per strand: (dist i64[B], end i64[B])
+        for (peq, m), _strand in strands:
+            d, e = align.best_match_peq(
+                jnp.broadcast_to(
+                    jnp.asarray(peq)[None], (chunk,) + peq.shape
+                ),
+                jnp.full((chunk,), m, jnp.int32),
+                jnp.asarray(mat),
+                jnp.asarray(tl),
+            )
+            results.append((np.asarray(d), np.asarray(e)))
+        for i, (name, _length, _words) in enumerate(part):
+            best = None
+            for ((d, e), (_, strand)) in zip(results, strands):
+                if best is None or int(d[i]) < best[0]:
+                    best = (int(d[i]), int(e[i]), strand)
+            dist, end, strand = best
+            if args.max_errors >= 0 and dist > args.max_errors:
+                continue
+            shown += 1
+            print(
+                json.dumps(
+                    {
+                        "record": name.decode(errors="replace"),
+                        "dist": dist,
+                        "end": end,
+                        "strand": strand,
+                    }
+                )
+            )
+    if args.max_errors >= 0 and shown == 0:
+        return 1
+    return 0
+
+
 def cmd_bench(args) -> int:
     import runpy
     import os
@@ -1002,6 +1085,27 @@ def main(argv=None) -> int:
         "dispatch per batch+strand instead of one per record)",
     )
     pg.set_defaults(fn=cmd_grep)
+
+    pa = sub.add_parser(
+        "approx",
+        help="best approximate occurrence of a query per record (Myers "
+        "bit-parallel edit distance on packed words; N in query = any)",
+    )
+    pa.add_argument("input", help="2-bit .nup container")
+    pa.add_argument("pattern")
+    pa.add_argument(
+        "--both", action="store_true",
+        help="also align the reverse strand; report each record's best",
+    )
+    pa.add_argument(
+        "--max-errors", type=int, default=-1, metavar="E",
+        help="only report records with edit distance <= E (exit 1 if none)",
+    )
+    pa.add_argument(
+        "--batch", type=int, default=128, metavar="N",
+        help="records per device call (fixed-shape batches)",
+    )
+    pa.set_defaults(fn=cmd_approx)
 
     pt = sub.add_parser(
         "translate",

@@ -1,0 +1,363 @@
+"""Batched edit distance on the 2-bit packed domain (Myers bit-parallel).
+
+The reference's thesis is that packing nucleotides unlocks word-parallel
+(SWAR) sequence operations (reference README.md:1-40); its toolkit stops at
+codecs.  This module carries the thesis to the canonical payoff: Levenshtein
+edit distance via Myers' bit-parallel algorithm (Myers 1999, in Hyyro 2003's
+formulation), computed for a whole *batch* of pairs at once — one pair per
+VPU lane, 32 DP rows per u32 block, so every vector op advances ``32 * B``
+DP cells.  No decode pass: the per-code query bitmasks (``Peq``) are built
+straight from the packed 2-bit words with the same SWAR folds the codecs
+use, and the text is unpacked lane-wise on device.
+
+Two modes over one scan:
+
+* **global** (:func:`edit_distance_packed`): full-sequence Levenshtein
+  distance per pair — ``D[m][n]`` with unit costs.
+* **semiglobal** (:func:`best_match_packed`): the best approximate
+  occurrence of each query anywhere in its text (prefix/suffix of the text
+  free — ``D[0][j] = 0``), returning the minimum distance and the end
+  position of the first such occurrence.  This is the approximate-matching
+  counterpart of the exact scanner in :mod:`.search`.
+
+Queries and texts are compared over *normalized* codes (uppercase, U->T:
+the ``(byte >> 1) & 3`` fold of ops/spec.py), so 'a' == 'A' and 'U' == 'T'.
+Multi-block queries (m > 32) propagate the adder carry and the shift
+carry-bit across u32 blocks per text step; the block count is static from
+the query-word count, so the block loop unrolls at trace time.
+
+The DP recurrence is strictly sequential along the text, so the TPU mapping
+puts the parallelism where it exists: across pairs (lanes) and query rows
+(bits).  A ``lax.scan`` carries ``(PV, MV, score)`` per lane; each step is
+~40 VPU lane-ops per 32-row block (selects, carry chain, score bit and
+ragged-length freeze included), i.e. ~1.3 lane-ops per DP cell.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import spec
+
+__all__ = [
+    "peq_from_packed",
+    "peq_from_bytes",
+    "edit_distance_packed",
+    "best_match_packed",
+    "best_match_peq",
+    "edit_distance_reference",
+    "best_match_reference",
+]
+
+_U1 = jnp.uint32(1)
+_FULL = jnp.uint32(0xFFFFFFFF)
+
+#: query rows per bit-vector block
+ROWS_PER_BLOCK = 32
+
+
+def _compress_even_bits(x: jax.Array) -> jax.Array:
+    """Gather the 16 even-position bits of each u32 into its low 16 bits.
+
+    Input bits must already be masked to ``0x55555555`` positions; the
+    classic SWAR fold (a fixed-pattern pext) in 8 VPU ops.
+    """
+    x = (x | (x >> 1)) & jnp.uint32(0x33333333)
+    x = (x | (x >> 2)) & jnp.uint32(0x0F0F0F0F)
+    x = (x | (x >> 4)) & jnp.uint32(0x00FF00FF)
+    x = (x | (x >> 8)) & jnp.uint32(0x0000FFFF)
+    return x
+
+
+@jax.jit
+def peq_from_packed(qwords: jax.Array, qlens: jax.Array) -> jax.Array:
+    """Per-code query bitmasks from packed words: u32[B, Wq] -> u32[B, 4, NB].
+
+    Bit ``i`` of ``Peq[b, c, i // 32]`` (at position ``i % 32``) is set iff
+    query ``b``'s nucleotide ``i`` has 2-bit code ``c``.  Bits at and beyond
+    ``qlens[b]`` are zero in every plane (the packed stream's 'A' padding
+    must not match text 'A's).  ``NB = ceil(Wq / 2)`` blocks of 32 rows.
+    """
+    B, wq = qwords.shape
+    if wq % 2:  # pad to a whole 32-row block; padding is masked out below
+        qwords = jnp.concatenate(
+            [qwords, jnp.zeros((B, 1), jnp.uint32)], axis=1
+        )
+        wq += 1
+    nb = wq // 2
+    planes = []
+    for c in range(4):
+        rep = jnp.uint32(c * 0x55555555)  # code c in every 2-bit field
+        same = ~(qwords ^ rep)
+        both = same & (same >> 1) & jnp.uint32(0x55555555)
+        m16 = _compress_even_bits(both)  # low 16 bits: per-nt match flags
+        blocks = m16[:, 0::2] | (m16[:, 1::2] << 16)  # (B, NB)
+        planes.append(blocks)
+    peq = jnp.stack(planes, axis=1)  # (B, 4, NB)
+    # zero rows >= qlen: block b keeps min(max(qlen - 32*b, 0), 32) low bits
+    bits = jnp.clip(
+        qlens.astype(jnp.int32)[:, None]
+        - ROWS_PER_BLOCK * jnp.arange(nb, dtype=jnp.int32)[None, :],
+        0,
+        ROWS_PER_BLOCK,
+    )
+    shift = jnp.minimum(bits, 31).astype(jnp.uint32)
+    mask = jnp.where(bits >= 32, _FULL, (_U1 << shift) - _U1)
+    return peq & mask[:, None, :]
+
+
+#: query bytes allowed by :func:`peq_from_bytes` (N/n match any base)
+_QUERY_OK = frozenset(b"ACGTUacgtuNn")
+
+
+def peq_from_bytes(query: bytes) -> tuple[np.ndarray, int]:
+    """ASCII query -> (``Peq`` u32[4, NB], m); ``N``/``n`` matches any base.
+
+    Host-side compiler for the query-vs-records use (CLI ``approx``): a
+    wildcard sets its row's bit in all four planes, which the packed-word
+    builder (:func:`peq_from_packed`) cannot express.  Rejects bytes
+    outside ``{A,C,G,T,U,N}`` (either case) — a typo'd query would
+    otherwise silently align as its ``(byte >> 1) & 3`` alias.
+    """
+    if isinstance(query, str):
+        query = query.encode()
+    m = len(query)
+    if m == 0:
+        raise ValueError("empty query")
+    bad = set(query) - _QUERY_OK
+    if bad:
+        raise ValueError(
+            f"query contains non-ACGTUN bytes: {sorted(chr(b) for b in bad)}"
+        )
+    nb = -(-m // ROWS_PER_BLOCK)
+    peq = np.zeros((4, nb), np.uint32)
+    for i, b in enumerate(query):
+        blk, bit = divmod(i, ROWS_PER_BLOCK)
+        if b in b"Nn":
+            peq[:, blk] |= np.uint32(1 << bit)
+        else:
+            peq[(b >> 1) & 3, blk] |= np.uint32(1 << bit)
+    return peq, m
+
+
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def best_match_peq(
+    peq: jax.Array,
+    qlens: jax.Array,
+    twords: jax.Array,
+    tlens: jax.Array,
+    *,
+    unroll: int = 4,
+) -> tuple[jax.Array, jax.Array]:
+    """:func:`best_match_packed` from precomputed ``Peq`` planes.
+
+    ``peq u32[B, 4, NB]`` — e.g. one :func:`peq_from_bytes` result
+    broadcast across the batch (which also enables N-wildcard queries).
+    """
+    tcodes = _unpack_codes_t(twords)
+    _, best, best_end = _myers_scan(
+        peq, qlens, tcodes, tlens, semiglobal=True, unroll=unroll
+    )
+    best = jnp.where(qlens == 0, 0, best)
+    best_end = jnp.where(qlens == 0, 0, best_end)
+    return best, best_end
+
+
+def _unpack_codes_t(twords: jax.Array) -> jax.Array:
+    """Packed text u32[B, Wt] -> time-major codes u8[16 * Wt, B]."""
+    shifts = jnp.arange(
+        spec.NT_PER_U32_2BIT, dtype=jnp.uint32
+    )[None, None, :] * 2
+    codes = ((twords[:, :, None] >> shifts) & 3).astype(jnp.uint8)
+    B = twords.shape[0]
+    return codes.reshape(B, -1).T
+
+
+def _myers_scan(
+    peq: jax.Array,
+    qlens: jax.Array,
+    tcodes: jax.Array,
+    tlens: jax.Array,
+    *,
+    semiglobal: bool,
+    unroll: int,
+):
+    """Shared Myers column scan.
+
+    Returns ``(score, best, best_end)``: the frozen-at-``tlen`` global score,
+    the running minimum (semiglobal only — ``D[0][j] = 0`` via a zero
+    horizontal carry into row 0), and the first end position achieving it.
+    """
+    B, _, nb = peq.shape
+    n = tcodes.shape[0]
+    m1 = jnp.maximum(qlens.astype(jnp.int32), 1) - 1
+    hb = m1 // ROWS_PER_BLOCK  # (B,) block holding the last query row
+    hbit = (m1 % ROWS_PER_BLOCK).astype(jnp.uint32)
+    peq_c = tuple(peq[:, c, :] for c in range(4))  # (B, NB) per code
+
+    pv0 = tuple(jnp.full((B,), _FULL) for _ in range(nb))
+    mv0 = tuple(jnp.zeros((B,), jnp.uint32) for _ in range(nb))
+    score0 = qlens.astype(jnp.int32)
+    carry0 = (pv0, mv0, score0, score0, jnp.zeros((B,), jnp.int32))
+
+    def step(carry, xs):
+        pv, mv, score, best, best_end = carry
+        c, j = xs
+        valid = j < tlens
+        # Eq per block: 4-way select on the text code (cheaper than gather)
+        eq = [peq_c[0][:, b] for b in range(nb)]
+        for k in range(1, 4):
+            sel = c == k
+            for b in range(nb):
+                eq[b] = jnp.where(sel, peq_c[k][:, b], eq[b])
+        xv, ph, mh = [], [], []
+        cin = jnp.zeros((B,), jnp.uint32)
+        for b in range(nb):
+            e, p, m = eq[b], pv[b], mv[b]
+            xv.append(e | m)
+            a = e & p
+            s = a + p + cin
+            cin = ((s < a) | ((s == a) & (cin > 0))).astype(jnp.uint32)
+            xh = (s ^ p) | e
+            ph.append(m | ~(xh | p))
+            mh.append(p & xh)
+        # score delta from the last query row's horizontal deltas
+        dp = jnp.zeros((B,), jnp.int32)
+        dm = jnp.zeros((B,), jnp.int32)
+        for b in range(nb):
+            at = hb == b
+            dp += jnp.where(at, (ph[b] >> hbit) & 1, 0).astype(jnp.int32)
+            dm += jnp.where(at, (mh[b] >> hbit) & 1, 0).astype(jnp.int32)
+        new_score = score + dp - dm
+        # shift phase: row 0's horizontal input is +1 (global: D[0][j] = j)
+        # or 0 (semiglobal: D[0][j] = 0); blocks pass their top bit upward
+        phin = (
+            jnp.zeros((B,), jnp.uint32)
+            if semiglobal
+            else jnp.ones((B,), jnp.uint32)
+        )
+        mhin = jnp.zeros((B,), jnp.uint32)
+        new_pv, new_mv = [], []
+        for b in range(nb):
+            ps = (ph[b] << 1) | phin
+            ms = (mh[b] << 1) | mhin
+            phin = ph[b] >> 31
+            mhin = mh[b] >> 31
+            new_pv.append(ms | ~(xv[b] | ps))
+            new_mv.append(ps & xv[b])
+        # freeze state at each row's own text length
+        pv = tuple(
+            jnp.where(valid, npv, opv) for npv, opv in zip(new_pv, pv)
+        )
+        mv = tuple(
+            jnp.where(valid, nmv, omv) for nmv, omv in zip(new_mv, mv)
+        )
+        score = jnp.where(valid, new_score, score)
+        if semiglobal:
+            better = valid & (score < best)
+            best = jnp.where(better, score, best)
+            best_end = jnp.where(better, j + 1, best_end)
+        return (pv, mv, score, best, best_end), None
+
+    xs = (tcodes, jnp.arange(n, dtype=jnp.int32)[:, None])
+    (pv, mv, score, best, best_end), _ = jax.lax.scan(
+        step, carry0, xs, unroll=unroll
+    )
+    return score, best, best_end
+
+
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def edit_distance_packed(
+    qwords: jax.Array,
+    qlens: jax.Array,
+    twords: jax.Array,
+    tlens: jax.Array,
+    *,
+    unroll: int = 4,
+) -> jax.Array:
+    """Batched global Levenshtein distance, packed-in: ``-> i32[B]``.
+
+    ``qwords u32[B, Wq]`` / ``twords u32[B, Wt]`` are 2-bit packed streams
+    ('A'-padded past ``qlens`` / ``tlens``, as the codecs emit); rows are
+    independent pairs.  Each text step advances all ``B`` pairs' DP columns
+    at once; queries up to ``16 * Wq`` nt, texts up to ``16 * Wt`` nt,
+    ragged lengths handled per row.
+    """
+    peq = peq_from_packed(qwords, qlens)
+    tcodes = _unpack_codes_t(twords)
+    score, _, _ = _myers_scan(
+        peq, qlens, tcodes, tlens, semiglobal=False, unroll=unroll
+    )
+    # m == 0: every text char is an insertion; n == 0 is already score == m
+    return jnp.where(qlens == 0, tlens.astype(jnp.int32), score)
+
+
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def best_match_packed(
+    qwords: jax.Array,
+    qlens: jax.Array,
+    twords: jax.Array,
+    tlens: jax.Array,
+    *,
+    unroll: int = 4,
+) -> tuple[jax.Array, jax.Array]:
+    """Best approximate occurrence of each query in its text.
+
+    Semiglobal alignment (text prefix/suffix free): returns
+    ``(dist i32[B], end i32[B])`` — the minimum edit distance between the
+    full query and any substring of the text, and the end position (number
+    of text chars consumed) of the first substring achieving it.  ``end``
+    is 0 when the empty substring is best (``dist == qlen``).
+    """
+    peq = peq_from_packed(qwords, qlens)
+    tcodes = _unpack_codes_t(twords)
+    _, best, best_end = _myers_scan(
+        peq, qlens, tcodes, tlens, semiglobal=True, unroll=unroll
+    )
+    best = jnp.where(qlens == 0, 0, best)
+    best_end = jnp.where(qlens == 0, 0, best_end)
+    return best, best_end
+
+
+def _fold_codes(seq: bytes) -> np.ndarray:
+    return (np.frombuffer(bytes(seq), np.uint8) >> 1) & 3
+
+
+def edit_distance_reference(a: bytes, b: bytes) -> int:
+    """NumPy DP oracle: global Levenshtein over normalized codes."""
+    ca, cb = _fold_codes(a), _fold_codes(b)
+    prev = np.arange(len(cb) + 1, dtype=np.int64)
+    for x in ca:
+        cur = np.empty_like(prev)
+        cur[0] = prev[0] + 1
+        cur[1:] = np.minimum(prev[:-1] + (cb != x), prev[1:] + 1)
+        for j in range(1, len(cur)):  # left-to-right insertion chain
+            cur[j] = min(cur[j], cur[j - 1] + 1)
+        prev = cur
+    return int(prev[-1])
+
+
+def best_match_reference(q: bytes, t: bytes) -> tuple[int, int]:
+    """DP oracle for :func:`best_match_packed`: ``(dist, first end)``."""
+    cq, ct = _fold_codes(q), _fold_codes(t)
+    m = len(cq)
+    prev = np.zeros(m + 1, dtype=np.int64)
+    prev[:] = np.arange(m + 1)  # D[i][0] = i
+    best, best_end = m, 0
+    for j, x in enumerate(ct):
+        cur = np.empty_like(prev)
+        cur[0] = 0  # D[0][j] = 0: text prefix free
+        for i in range(1, m + 1):
+            cur[i] = min(
+                prev[i - 1] + (cq[i - 1] != x),
+                prev[i] + 1,
+                cur[i - 1] + 1,
+            )
+        prev = cur
+        if cur[m] < best:
+            best, best_end = int(cur[m]), j + 1
+    return best, best_end

@@ -1,0 +1,182 @@
+"""Myers bit-parallel edit distance vs the DP oracle."""
+
+import numpy as np
+import pytest
+
+from cute_nucleotides_tpu.ops import align, oracle, spec
+
+ALPHA = b"ACGT"
+
+
+def _pack_batch(seqs):
+    """ASCII seqs -> (words u32[B, W], lens i32[B]) ('A'-padded rows)."""
+    lens = np.array([len(s) for s in seqs], np.int32)
+    wmax = 2 * max(1, -(-int(lens.max()) // 32))
+    words = np.zeros((len(seqs), wmax), np.uint32)
+    for i, s in enumerate(seqs):
+        if len(s):
+            w = spec.u64_to_u32_pairs(oracle.n_to_bits_lut(s)).reshape(-1)
+            words[i, : len(w)] = w
+    return words, lens
+
+
+def _rand_seq(rng, n):
+    return bytes(rng.choice(list(ALPHA), size=n).astype(np.uint8))
+
+
+class TestPeq:
+    def test_bits_match_codes(self, rng):
+        s = _rand_seq(rng, 77)
+        words, lens = _pack_batch([s])
+        peq = np.asarray(align.peq_from_packed(words, lens))[0]
+        for i, b in enumerate(s):
+            code = (b >> 1) & 3
+            for c in range(4):
+                bit = (peq[c, i // 32] >> (i % 32)) & 1
+                assert bit == (1 if c == code else 0), (i, c)
+
+    def test_padding_masked(self, rng):
+        s = b"CGT" * 5  # no A: every A-plane bit must be 0, incl. padding
+        words, lens = _pack_batch([s])
+        peq = np.asarray(align.peq_from_packed(words, lens))[0]
+        assert peq[0].sum() == 0
+        # all planes zero at and beyond qlen
+        for c in range(4):
+            for i in range(len(s), 32 * peq.shape[1]):
+                assert (peq[c, i // 32] >> (i % 32)) & 1 == 0
+
+
+class TestGlobal:
+    @pytest.mark.parametrize("m,n", [(7, 9), (32, 32), (33, 40), (96, 200)])
+    def test_random_vs_dp(self, rng, m, n):
+        B = 16
+        qs = [_rand_seq(rng, int(rng.integers(0, m + 1))) for _ in range(B)]
+        ts = [_rand_seq(rng, int(rng.integers(0, n + 1))) for _ in range(B)]
+        qw, ql = _pack_batch(qs)
+        tw, tl = _pack_batch(ts)
+        got = np.asarray(align.edit_distance_packed(qw, ql, tw, tl))
+        want = [align.edit_distance_reference(q, t) for q, t in zip(qs, ts)]
+        np.testing.assert_array_equal(got, want)
+
+    def test_identical_and_disjoint(self, rng):
+        s = _rand_seq(rng, 50)
+        qw, ql = _pack_batch([s, b"A" * 20])
+        tw, tl = _pack_batch([s, b"C" * 20])
+        got = np.asarray(align.edit_distance_packed(qw, ql, tw, tl))
+        np.testing.assert_array_equal(got, [0, 20])
+
+    def test_case_and_u_fold(self):
+        qw, ql = _pack_batch([b"ACGT"])
+        tw, tl = _pack_batch([b"acgu"])
+        assert int(align.edit_distance_packed(qw, ql, tw, tl)[0]) == 0
+
+    def test_block_boundaries(self, rng):
+        # m exactly at 32/64 and one off either side: carry/shift seams
+        for m in (31, 32, 33, 63, 64, 65):
+            q = _rand_seq(rng, m)
+            t = _rand_seq(rng, m + 5)
+            qw, ql = _pack_batch([q])
+            tw, tl = _pack_batch([t])
+            got = int(align.edit_distance_packed(qw, ql, tw, tl)[0])
+            assert got == align.edit_distance_reference(q, t), m
+
+    def test_known_small(self):
+        # ACGT -> AGT: one deletion; ACGT -> ACCT: one substitution
+        qw, ql = _pack_batch([b"ACGT", b"ACGT"])
+        tw, tl = _pack_batch([b"AGT", b"ACCT"])
+        got = np.asarray(align.edit_distance_packed(qw, ql, tw, tl))
+        np.testing.assert_array_equal(got, [1, 1])
+
+    def test_empty_rows(self):
+        qw, ql = _pack_batch([b"", b"ACG", b""])
+        tw, tl = _pack_batch([b"ACGT", b"", b""])
+        got = np.asarray(align.edit_distance_packed(qw, ql, tw, tl))
+        np.testing.assert_array_equal(got, [4, 3, 0])
+
+
+class TestSemiglobal:
+    @pytest.mark.parametrize("m,n", [(5, 60), (32, 64), (40, 120)])
+    def test_random_vs_dp(self, rng, m, n):
+        B = 12
+        qs = [_rand_seq(rng, int(rng.integers(1, m + 1))) for _ in range(B)]
+        ts = [_rand_seq(rng, int(rng.integers(0, n + 1))) for _ in range(B)]
+        qw, ql = _pack_batch(qs)
+        tw, tl = _pack_batch(ts)
+        gd, ge = (
+            np.asarray(x) for x in align.best_match_packed(qw, ql, tw, tl)
+        )
+        for i, (q, t) in enumerate(zip(qs, ts)):
+            wd, we = align.best_match_reference(q, t)
+            assert (gd[i], ge[i]) == (wd, we), (i, q, t)
+
+    def test_exact_occurrence(self, rng):
+        t = _rand_seq(rng, 100)
+        q = t[40:57]
+        qw, ql = _pack_batch([q])
+        tw, tl = _pack_batch([t])
+        d, e = align.best_match_packed(qw, ql, tw, tl)
+        assert int(d[0]) == 0
+        # first exact end is at or before 57 (repeats may occur earlier)
+        assert 0 < int(e[0]) <= 57
+
+    def test_one_error_occurrence(self):
+        t = b"G" * 30 + b"ACGTACGT" + b"G" * 30
+        q = b"ACGAACGT"  # one substitution vs the embedded block
+        qw, ql = _pack_batch([q])
+        tw, tl = _pack_batch([t])
+        d, e = align.best_match_packed(qw, ql, tw, tl)
+        assert int(d[0]) == 1
+        assert int(e[0]) == 38
+
+
+class TestDPOracles:
+    def test_edit_distance_reference(self):
+        assert align.edit_distance_reference(b"ACGT", b"ACGT") == 0
+        assert align.edit_distance_reference(b"ACGT", b"") == 4
+        assert align.edit_distance_reference(b"AAAA", b"CCCC") == 4
+        assert align.edit_distance_reference(b"ACGT", b"AGT") == 1
+
+    def test_best_match_reference(self):
+        d, e = align.best_match_reference(b"CG", b"AACGAA")
+        assert (d, e) == (0, 4)
+        d, e = align.best_match_reference(b"TT", b"ACTA")
+        assert d == 1  # the lone text T matches one query T
+
+
+class TestPeqBytes:
+    def test_matches_packed_builder(self, rng):
+        q = _rand_seq(rng, 70)
+        peq_b, m = align.peq_from_bytes(q)
+        qw, ql = _pack_batch([q])
+        peq_w = np.asarray(align.peq_from_packed(qw, ql))[0]
+        assert m == 70
+        np.testing.assert_array_equal(peq_b, peq_w)
+
+    def test_rejects_bad_bytes(self):
+        with pytest.raises(ValueError):
+            align.peq_from_bytes(b"ACGX")
+        with pytest.raises(ValueError):
+            align.peq_from_bytes(b"")
+
+    def test_wildcard_all_planes(self):
+        peq, m = align.peq_from_bytes(b"ANa")
+        assert m == 3
+        for c in range(4):
+            assert (peq[c, 0] >> 1) & 1 == 1  # N row set everywhere
+        assert peq[0, 0] & 1 and peq[0, 0] & 4  # A rows in the A plane
+
+    def test_best_match_peq_wildcard(self, rng):
+        texts = [b"GGGGGGATTACAGGGG", b"GGGGGGACTACAGGGG", b"G" * 16]
+        tw, tl = _pack_batch(texts)
+        peq, m = align.peq_from_bytes(b"GANTACA")
+        import jax.numpy as jnp
+
+        B = len(texts)
+        d, e = align.best_match_peq(
+            jnp.broadcast_to(jnp.asarray(peq)[None], (B,) + peq.shape),
+            jnp.full((B,), m, jnp.int32),
+            jnp.asarray(tw),
+            jnp.asarray(tl),
+        )
+        # wildcard third position: GATTACA and GACTACA both hit exactly
+        assert list(np.asarray(d)) == [0, 0, 5]  # all-G: only G matches

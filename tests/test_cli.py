@@ -504,3 +504,49 @@ def test_cli_sketch_frac_saturation_warns(tmp_path, capsys):
     out = json.loads(cap.out.strip())
     assert out["datasets"][0]["saturated"] is True
     assert "saturated" in cap.err
+
+
+def test_cli_approx(tmp_path, capsys):
+    fa = tmp_path / "in.fa"
+    #             0123456789...          GATTACA at 4; revcomp TGTAATC at 15
+    fa.write_bytes(b">r1\nACGTGATTACAGGGGTGTAATCCC\n>r2\nAAAA\n")
+    nup = str(tmp_path / "x.nup")
+    assert cli.main(["encode", str(fa), nup, "--tier", "oracle"]) == 0
+    capsys.readouterr()
+    # exact occurrence -> dist 0, end just past it
+    assert cli.main(["approx", nup, "GATTACA"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0] == {"record": "r1", "dist": 0, "end": 11, "strand": "+"}
+    assert lines[1]["record"] == "r2" and lines[1]["dist"] > 0
+    # one substitution in the query -> dist 1
+    assert cli.main(["approx", nup, "GATTCCA"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["dist"] == 1
+    # reverse strand wins under --both: rc(GGATTACA) = TGTAATCC at 15..22
+    assert cli.main(["approx", nup, "GGATTACA", "--both"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["dist"] == 0 and lines[0]["strand"] == "-"
+    # N wildcard in the query
+    assert cli.main(["approx", nup, "GANTACA"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["dist"] == 0
+    # --max-errors filter + exit codes; tiny --batch exercises chunking
+    assert cli.main(["approx", nup, "GATTCCA", "--max-errors", "1",
+                     "--batch", "1"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [d["record"] for d in lines] == ["r1"]
+    assert cli.main(["approx", nup, "CCCCCCCCCC", "--max-errors", "0"]) == 1
+    capsys.readouterr()
+    # bad query -> exit 1
+    assert cli.main(["approx", nup, "ACGX"]) == 1
+
+
+def test_cli_approx_rejects_base5(tmp_path, capsys):
+    fa = tmp_path / "in.fa"
+    fa.write_bytes(b">r1\nACGTN\n")
+    nup = str(tmp_path / "x5.nup")
+    assert cli.main(
+        ["encode", str(fa), nup, "--codec", "base5", "--tier", "oracle"]
+    ) == 0
+    capsys.readouterr()
+    assert cli.main(["approx", nup, "ACGT"]) == 1
