@@ -145,7 +145,15 @@ def main() -> int:
     latency_ms: dict[str, float] = {}
     stream_stats: dict[str, dict] = {}
 
-    detail_path = os.environ.get("BENCH_DETAIL_PATH", "BENCH_DETAIL.json")
+    # partial runs (section filter or reduced scale) must not clobber the
+    # committed full-scale hardware artifact — route them to /tmp unless
+    # the caller picks a path explicitly
+    default_detail = (
+        "BENCH_DETAIL.json"
+        if not _SECTIONS and _SCALE == 1
+        else "/tmp/BENCH_DETAIL.partial.json"
+    )
+    detail_path = os.environ.get("BENCH_DETAIL_PATH", default_detail)
 
     def emit_headline():
         candidates = [

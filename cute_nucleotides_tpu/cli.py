@@ -940,6 +940,15 @@ def cmd_approx(args) -> int:
         return 1
 
     chunk = max(args.batch, 1)
+    # strand constants are chunk-invariant: build them once
+    dev_strands = [
+        (
+            jnp.broadcast_to(jnp.asarray(peq)[None], (chunk,) + peq.shape),
+            jnp.full((chunk,), m, jnp.int32),
+            strand,
+        )
+        for (peq, m), strand in strands
+    ]
     shown = 0
     for lo in range(0, len(entries), chunk):
         part = entries[lo : lo + chunk]
@@ -956,20 +965,14 @@ def cmd_approx(args) -> int:
             mat[i, : 2 * len(words)] = w32.reshape(-1)
         tl = np.zeros(chunk, np.int32)
         tl[: len(part)] = lens
-        results = []  # per strand: (dist i64[B], end i64[B])
-        for (peq, m), _strand in strands:
-            d, e = align.best_match_peq(
-                jnp.broadcast_to(
-                    jnp.asarray(peq)[None], (chunk,) + peq.shape
-                ),
-                jnp.full((chunk,), m, jnp.int32),
-                jnp.asarray(mat),
-                jnp.asarray(tl),
-            )
-            results.append((np.asarray(d), np.asarray(e)))
+        tw_dev, tl_dev = jnp.asarray(mat), jnp.asarray(tl)
+        results = []  # per strand: (dist [B], end [B], strand)
+        for peq_dev, ql_dev, strand in dev_strands:
+            d, e = align.best_match_peq(peq_dev, ql_dev, tw_dev, tl_dev)
+            results.append((np.asarray(d), np.asarray(e), strand))
         for i, (name, _length, _words) in enumerate(part):
             best = None
-            for ((d, e), (_, strand)) in zip(results, strands):
+            for d, e, strand in results:
                 if best is None or int(d[i]) < best[0]:
                     best = (int(d[i]), int(e[i]), strand)
             dist, end, strand = best
