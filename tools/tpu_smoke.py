@@ -233,6 +233,44 @@ def main() -> int:
         "search planted multiword hit",
         1000 in search.match_positions(kw, kl, bytes(ks[1000:1000 + 45])),
     )
+    # Myers edit distance (XLA scan tier): multi-block ragged batch vs the
+    # DP oracle — validates the u32 carry/shift chain's TPU lowering
+    from cute_nucleotides_tpu.ops import align
+
+    al_q = [bytes(ks[100:100 + 70]), bytes(ks[0:33]), bytes(ks[500:564])]
+    al_t = [bytes(ks[90:240]), bytes(ks[300:340]), bytes(ks[500:564])]
+    aql = np.array([len(s) for s in al_q], np.int32)
+    atl = np.array([len(s) for s in al_t], np.int32)
+
+    def _pack_rows(seqs, width):
+        out = np.zeros((len(seqs), width), np.uint32)
+        for i, s in enumerate(seqs):
+            v = spec.u64_to_u32_pairs(
+                oracle.n_to_bits_lut(np.frombuffer(s, np.uint8))
+            ).reshape(-1)
+            out[i, : v.size] = v
+        return out
+
+    aqw = _pack_rows(al_q, 6)
+    atw = _pack_rows(al_t, 10)
+    got_ed = np.asarray(
+        align.edit_distance_packed(
+            jnp.asarray(aqw), jnp.asarray(aql), jnp.asarray(atw),
+            jnp.asarray(atl),
+        )
+    )
+    want_ed = [
+        align.edit_distance_reference(q, t) for q, t in zip(al_q, al_t)
+    ]
+    ok("edit_distance_packed vs DP oracle", list(got_ed) == want_ed)
+    bm_d, bm_e = align.best_match_packed(
+        jnp.asarray(aqw), jnp.asarray(aql), jnp.asarray(atw), jnp.asarray(atl)
+    )
+    want_bm = [align.best_match_reference(q, t) for q, t in zip(al_q, al_t)]
+    ok(
+        "best_match_packed vs DP oracle",
+        [(int(d), int(e)) for d, e in zip(bm_d, bm_e)] == want_bm,
+    )
 
     print(f"TPU SMOKE PASS ({checks} checks)", file=sys.stderr)
     print('{"tpu_smoke": "PASS", "checks": %d}' % checks)
