@@ -741,6 +741,31 @@ def main() -> int:
               vpu_lane_ops=al_B * al_n * (40 * (al_m // 32) + 7)),
             k_lo=2, k_hi=8, trials=3,
         )
+        # approximate search over ONE long stream (best_match_stream's
+        # device core): the 2m-2-halo row split turns the text-sequential
+        # scan lane-parallel; denominator is DP cells (GCUPS), m=21
+        ap_q = b"GATTACAGATTACAGATTACA"
+        ap_peq, ap_m = align.peq_from_bytes(ap_q)
+        ap_w = words_flat[: min(words_flat.size, 4 << 20)]
+        ap_plan = align.stream_rows_plan(ap_w.size, ap_m)
+        ap_nb = ap_peq.shape[1]
+        ap_R, ap_wrb, ap_H = ap_plan
+        run(
+            "approx_stream_m21",
+            chained(
+                lambda w: jnp.stack(
+                    align._best_match_stream_impl(
+                        jnp.asarray(ap_peq), w,
+                        jnp.int32(16 * ap_w.size), ap_m, ap_plan,
+                    )
+                )
+            ),
+            jnp.asarray(ap_w),
+            16 * ap_w.size * ap_m,
+            R(4 * ap_w.size, 8,
+              vpu_lane_ops=ap_R * 16 * (ap_wrb + ap_H) * (40 * ap_nb + 7)),
+            k_lo=2, k_hi=8, trials=3,
+        )
         # same distances straight from packed words (0.25 B/nt read)
         wph = packed_np[:ph_B].reshape(ph_B, -1).view(np.uint32)
         run(

@@ -930,14 +930,15 @@ def cmd_approx(args) -> int:
         return 1
     raw = args.pattern.encode()
     try:
-        strands = [(align.peq_from_bytes(raw), "+")]
+        strands = [(align.peq_from_bytes(raw), "+", raw)]
         if args.both:
             rc = search.revcomp_query(raw)
             if rc != raw.upper().replace(b"U", b"T"):
-                strands.append((align.peq_from_bytes(rc), "-"))
+                strands.append((align.peq_from_bytes(rc), "-", rc))
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
+    qbytes_by_strand = {strand: qb for _, strand, qb in strands}
 
     chunk = max(args.batch, 1)
     # strand constants are chunk-invariant: build them once
@@ -947,7 +948,7 @@ def cmd_approx(args) -> int:
             jnp.full((chunk,), m, jnp.int32),
             strand,
         )
-        for (peq, m), strand in strands
+        for (peq, m), strand, _qb in strands
     ]
     shown = 0
     for lo in range(0, len(entries), chunk):
@@ -970,7 +971,7 @@ def cmd_approx(args) -> int:
         for peq_dev, ql_dev, strand in dev_strands:
             d, e = align.best_match_peq(peq_dev, ql_dev, tw_dev, tl_dev)
             results.append((np.asarray(d), np.asarray(e), strand))
-        for i, (name, _length, _words) in enumerate(part):
+        for i, (name, _length, words) in enumerate(part):
             best = None
             for d, e, strand in results:
                 if best is None or int(d[i]) < best[0]:
@@ -979,16 +980,30 @@ def cmd_approx(args) -> int:
             if args.max_errors >= 0 and dist > args.max_errors:
                 continue
             shown += 1
-            print(
-                json.dumps(
-                    {
-                        "record": name.decode(errors="replace"),
-                        "dist": dist,
-                        "end": end,
-                        "strand": strand,
-                    }
+            line = {
+                "record": name.decode(errors="replace"),
+                "dist": dist,
+                "end": end,
+                "strand": strand,
+            }
+            if args.cigar and end > 0:
+                # tiny host DP on the <= 2m-1 window ending at the
+                # device-reported end (coordinates stay forward-strand,
+                # the SAM convention for reverse-strand hits)
+                from .ops import oracle
+
+                qb = qbytes_by_strand[strand]
+                mq = len(qb)
+                e_lo = max(0, end - (2 * mq - 1))
+                a = (e_lo // 32) * 32
+                dec = oracle.bits_to_n_lut(
+                    np.ascontiguousarray(words[a // 32:]), end - a
                 )
-            )
+                window = bytes(dec)[e_lo - a:]
+                _d2, s2, _e2, cig = align.semiglobal_traceback(qb, window)
+                line["start"] = e_lo + s2
+                line["cigar"] = cig
+            print(json.dumps(line))
     if args.max_errors >= 0 and shown == 0:
         return 1
     return 0
@@ -1103,6 +1118,12 @@ def main(argv=None) -> int:
     pa.add_argument(
         "--max-errors", type=int, default=-1, metavar="E",
         help="only report records with edit distance <= E (exit 1 if none)",
+    )
+    pa.add_argument(
+        "--cigar", action="store_true",
+        help="add match start + SAM CIGAR (host DP on the <= 2m-1 nt "
+        "window around each reported end; reverse-strand hits stay in "
+        "forward coordinates)",
     )
     pa.add_argument(
         "--batch", type=int, default=128, metavar="N",

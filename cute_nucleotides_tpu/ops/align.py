@@ -49,8 +49,10 @@ __all__ = [
     "edit_distance_packed",
     "best_match_packed",
     "best_match_peq",
+    "best_match_stream",
     "edit_distance_reference",
     "best_match_reference",
+    "semiglobal_traceback",
 ]
 
 _U1 = jnp.uint32(1)
@@ -323,6 +325,78 @@ def best_match_packed(
     return best, best_end
 
 
+def stream_rows_plan(W: int, m: int) -> tuple[int, int, int]:
+    """Row-split plan for a one-stream scan: ``(R, wrb, H)``.
+
+    Any occurrence strictly better than the trivial distance ``m`` spans
+    at most ``2m - 1`` nt (``d >= |span - m|``), so rows that overlap by a
+    halo of ``2m - 2`` nt collectively see every such occurrence — the
+    strictly-sequential scan then runs lane-parallel over ``R`` rows of
+    ``wrb`` base words (+ ``H`` halo words) each.  ``R`` is sized so the
+    re-scanned halo is ~25% of the stream and capped at 4096 rows.
+    """
+    H = max(1, -(-(2 * m - 2) // spec.NT_PER_U32_2BIT))
+    R = max(1, min(4096, (2 * W) // max(m - 1, 1), W))
+    wrb = -(-W // R)
+    return -(-W // wrb), wrb, H
+
+
+@functools.partial(jax.jit, static_argnames=("m", "plan", "unroll"))
+def _best_match_stream_impl(
+    peq: jax.Array,
+    ext: jax.Array,
+    length: jax.Array,
+    m: int,
+    plan: tuple[int, int, int],
+    unroll: int = 4,
+):
+    R, wrb, H = plan
+    idx = jnp.arange(R)[:, None] * wrb + jnp.arange(wrb + H)[None, :]
+    rows = jnp.take(ext, idx, mode="clip")  # overlapping panels
+    base = spec.NT_PER_U32_2BIT * wrb * jnp.arange(R, dtype=jnp.int32)
+    tl = jnp.clip(
+        length - base, 0, spec.NT_PER_U32_2BIT * (wrb + H)
+    ).astype(jnp.int32)
+    d, e = best_match_peq(
+        jnp.broadcast_to(peq[None], (R,) + peq.shape),
+        jnp.full((R,), m, jnp.int32),
+        rows,
+        tl,
+        unroll=unroll,
+    )
+    dmin = jnp.min(d)
+    emin = jnp.min(
+        jnp.where(d == dmin, base + e, jnp.int32(0x7FFFFFFF))
+    )
+    return dmin, jnp.where(dmin >= m, 0, emin)
+
+
+def best_match_stream(
+    words, length: int, query: bytes, *, unroll: int = 4
+) -> tuple[int, int]:
+    """Best approximate occurrence of ``query`` in ONE long packed stream.
+
+    ``words u32[W]`` (the serialized 2-bit stream), ``length`` its
+    nucleotide count.  The stream splits into overlapping rows per
+    :func:`stream_rows_plan`, so the text-sequential DP runs across VPU
+    lanes; ``N``/``n`` in the query matches any base.  Returns
+    ``(dist, end)`` — the minimum edit distance of the full query against
+    any substring, and the first end position achieving it (``(m, 0)``
+    when nothing beats the empty-substring alignment).
+    """
+    peq, m = peq_from_bytes(query)
+    words = jnp.asarray(words)
+    if words.ndim != 1:
+        raise ValueError("best_match_stream takes a 1-D u32 word stream")
+    if length > spec.NT_PER_U32_2BIT * words.shape[0]:
+        raise ValueError("length exceeds stream capacity")
+    plan = stream_rows_plan(words.shape[0], m)
+    d, e = _best_match_stream_impl(
+        jnp.asarray(peq), words, jnp.int32(length), m, plan, unroll=unroll
+    )
+    return int(d), int(e)
+
+
 def _fold_codes(seq: bytes) -> np.ndarray:
     return (np.frombuffer(bytes(seq), np.uint8) >> 1) & 3
 
@@ -339,6 +413,55 @@ def edit_distance_reference(a: bytes, b: bytes) -> int:
             cur[j] = min(cur[j], cur[j - 1] + 1)
         prev = cur
     return int(prev[-1])
+
+
+def semiglobal_traceback(
+    query: bytes, window: bytes
+) -> tuple[int, int, int, str]:
+    """Full semiglobal DP + traceback on a small window: ``(dist, start,
+    end, cigar)``.
+
+    The device scan reports only ``(dist, end)``; callers wanting aligner
+    output re-run a *tiny* host DP on the window around the end (any
+    occurrence beating the trivial ``m`` spans <= 2m - 1 nt, so the
+    window is O(m^2) work regardless of text size).  ``start``/``end``
+    are window offsets of the matched substring; the CIGAR is in SAM
+    convention with the query as the read (``M`` aligned, ``I`` query
+    insertion, ``D`` text base skipped), runs compressed, matches kept as
+    ``M`` (not ``=``/``X``).
+    """
+    cq, ct = _fold_codes(query), _fold_codes(window)
+    m, n = len(cq), len(ct)
+    D = np.zeros((m + 1, n + 1), np.int64)
+    D[:, 0] = np.arange(m + 1)  # D[i][0] = i; D[0][j] = 0 (prefix free)
+    for i in range(1, m + 1):
+        D[i, 1:] = np.minimum(
+            D[i - 1, :-1] + (ct != cq[i - 1]), D[i - 1, 1:] + 1
+        )
+        for j in range(1, n + 1):  # left-to-right D-chain
+            if D[i, j - 1] + 1 < D[i, j]:
+                D[i, j] = D[i, j - 1] + 1
+    end = int(np.argmin(D[m]))  # first best end
+    dist = int(D[m, end])
+    i, j, ops = m, end, []
+    while i > 0:
+        if j > 0 and D[i, j] == D[i - 1, j - 1] + (cq[i - 1] != ct[j - 1]):
+            ops.append("M")
+            i, j = i - 1, j - 1
+        elif D[i, j] == D[i - 1, j] + 1:
+            ops.append("I")
+            i -= 1
+        else:
+            ops.append("D")
+            j -= 1
+    ops.reverse()
+    cigar, run = [], 0
+    for k, op in enumerate(ops):
+        run += 1
+        if k + 1 == len(ops) or ops[k + 1] != op:
+            cigar.append(f"{run}{op}")
+            run = 0
+    return dist, j, end, "".join(cigar)
 
 
 def best_match_reference(q: bytes, t: bytes) -> tuple[int, int]:

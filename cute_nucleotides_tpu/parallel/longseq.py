@@ -270,6 +270,105 @@ def match_long(bits, length: int, query: bytes, *, mesh: Mesh | None = None) -> 
     return np.asarray(pos, dtype=np.int64)
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_shard_best_match(
+    mesh: Mesh, peq_key: tuple, m: int, w_eq: int, H: int
+):
+    axis = mesh_lib.SEQ_AXIS
+    from ..ops import align as align_ops
+
+    S = mesh.shape[axis]
+    nb = len(peq_key) // 4
+    peq_np = np.asarray(peq_key, np.uint32).reshape(4, nb)
+    plan = align_ops.stream_rows_plan(w_eq + H, m)
+
+    def per_shard(w, length):  # u32[1, w_eq], i32[] (replicated)
+        flat = w.reshape(-1)
+        # halo: the NEXT shard's head words (ring ppermute over ICI); any
+        # occurrence strictly better than the trivial distance m spans
+        # <= 2m - 1 nt, so a 2m - 2 nt halo makes every occurrence fully
+        # visible to the shard owning its start.  The last shard's
+        # wrap-around halo is frozen out by its own valid-length clamp.
+        head = jax.lax.slice(flat, (0,), (H,))
+        halo = jax.lax.ppermute(
+            head, axis, [((i + 1) % S, i) for i in range(S)]
+        )
+        ext = jnp.concatenate([flat, halo])
+        base = spec.NT_PER_U32_2BIT * w_eq * jax.lax.axis_index(axis)
+        valid = jnp.clip(
+            length - base, 0, spec.NT_PER_U32_2BIT * (w_eq + H)
+        ).astype(jnp.int32)
+        d, e = align_ops._best_match_stream_impl(
+            jnp.asarray(peq_np), ext, valid, m, plan
+        )
+        return d.reshape(1, 1), e.reshape(1, 1)
+
+    return jax.jit(
+        shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(axis, None), P()),
+            out_specs=(P(axis, None), P(axis, None)),
+            check_vma=False,
+        )
+    )
+
+
+def best_match_long(
+    bits, length: int, query: bytes, *, mesh: Mesh | None = None
+) -> tuple[int, int]:
+    """Best approximate occurrence of ``query`` in ONE long 2-bit stream,
+    the word stream block-sharded over the mesh's seq axis (Myers
+    bit-parallel semiglobal, ``ops.align`` semantics: ``N`` in the query
+    matches any base).  Returns ``(dist, end)`` — the minimum edit
+    distance of the full query against any substring, and the first end
+    position achieving it (``(m, 0)`` when nothing beats the trivial
+    empty-substring alignment).
+
+    Each shard scans its own words plus a ``ppermute``-exchanged halo of
+    the successor shard's head (2m - 2 nt: the span bound for any
+    occurrence beating distance m), then splits its block into
+    lane-parallel overlapping rows (:func:`..ops.align.best_match_stream`'s
+    plan) — so the strictly text-sequential DP runs shard- AND
+    lane-parallel.  Duplicated sightings across shards are harmless: the
+    global result is the lexicographic min of per-shard bests.
+    """
+    from ..ops import align as align_ops
+
+    if mesh is None:
+        mesh = mesh_lib.make_mesh(data=1, seq=len(jax.devices()))
+    S = mesh.shape[mesh_lib.SEQ_AXIS]
+    peq, m = align_ops.peq_from_bytes(query)
+    bits = np.ascontiguousarray(bits, dtype=np.uint64)
+    if length > bits.size * spec.NT_PER_WORD_2BIT:
+        raise ValueError("length exceeds stream capacity")
+    w32 = spec.u64_to_u32_pairs(bits).reshape(-1)
+    W = w32.size
+    H = max(1, -(-(2 * m - 2) // spec.NT_PER_U32_2BIT))
+    w_eq = max(-(-W // S), H)  # one successor halo must suffice
+    pad = S * w_eq - W
+    if pad:
+        w32 = np.concatenate([w32, np.zeros(pad, np.uint32)])
+    sharding = NamedSharding(mesh, P(None, mesh_lib.SEQ_AXIS, None))
+    x = jax.device_put(w32.reshape(1, S, w_eq), sharding).reshape(S, w_eq)
+    step = _jit_shard_best_match(
+        mesh, tuple(map(int, peq.reshape(-1))), m, w_eq, H
+    )
+    d, e = step(x, jnp.int32(length))
+    d = np.asarray(d).reshape(-1)
+    e = np.asarray(e).reshape(-1)
+    best = (m, 0)
+    for i in range(S):
+        if int(d[i]) < best[0]:
+            cand_end = spec.NT_PER_U32_2BIT * w_eq * i + int(e[i])
+            best = (int(d[i]), cand_end)
+        elif int(d[i]) == best[0] and best[0] < m:
+            cand_end = spec.NT_PER_U32_2BIT * w_eq * i + int(e[i])
+            if cand_end < best[1]:
+                best = (best[0], cand_end)
+    return best
+
+
 def decode_long_2bit(bits, length: int, *, mesh: Mesh | None = None) -> np.ndarray:
     """Decode a long 2-bit word stream, words sharded over the seq axis."""
     return _decode_long(bits, length, "2bit", mesh)

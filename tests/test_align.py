@@ -180,3 +180,84 @@ class TestPeqBytes:
         )
         # wildcard third position: GATTACA and GACTACA both hit exactly
         assert list(np.asarray(d)) == [0, 0, 5]  # all-G: only G matches
+
+
+class TestStream:
+    """best_match_stream: lane-parallel one-stream scan vs the DP oracle."""
+
+    def test_vs_dp_random(self, rng):
+        L = 640
+        s = _rand_seq(rng, L)
+        w = spec.u64_to_u32_pairs(oracle.n_to_bits_lut(s)).reshape(-1)
+        for q in (b"GATTACAGG", b"ACGTACGTACGTACG"):
+            d, e = align.best_match_stream(w, L, q)
+            assert (d, e) == align.best_match_reference(q, s), q
+
+    def test_planted_at_row_seam(self, rng):
+        q = b"GATTACAGATTACA"
+        L = 2048
+        s = np.frombuffer(_rand_seq(rng, L), np.uint8).copy()
+        W = 2 * len(oracle.n_to_bits_lut(b"A" * L))
+        _, wrb, _ = align.stream_rows_plan(W, len(q))
+        mut = bytearray(q)
+        mut[5] = ord("G")  # one substitution (C -> G)
+        seam = 16 * wrb
+        s[seam - 7 : seam - 7 + len(q)] = np.frombuffer(bytes(mut), np.uint8)
+        w = spec.u64_to_u32_pairs(oracle.n_to_bits_lut(s)).reshape(-1)
+        d, e = align.best_match_stream(w, L, q)
+        assert (d, e) == align.best_match_reference(q, bytes(s))
+        assert d <= 1
+
+    def test_trivial_and_wildcard(self):
+        s = b"G" * 500
+        w = spec.u64_to_u32_pairs(oracle.n_to_bits_lut(s)).reshape(-1)
+        # nothing beats the empty-substring alignment -> (m, 0)
+        assert align.best_match_stream(w, 500, b"AAAA") == (4, 0)
+        # N wildcard matches the Gs exactly
+        assert align.best_match_stream(w, 500, b"GNNG") == (0, 4)
+
+    def test_length_guard(self):
+        w = np.zeros(4, np.uint32)
+        with pytest.raises(ValueError):
+            align.best_match_stream(w, 65, b"ACG")
+        with pytest.raises(ValueError):
+            align.best_match_stream(w.reshape(2, 2), 30, b"ACG")
+
+
+def _walk_cigar(q, w, d, s, e, cig):
+    """Replay the CIGAR and confirm it spells an alignment of cost d."""
+    import re
+
+    i, j, cost = 0, s, 0
+    for num, op in re.findall(r"(\d+)([MID])", cig):
+        k = int(num)
+        if op == "M":
+            for _ in range(k):
+                cost += ((q[i] >> 1) & 3) != ((w[j] >> 1) & 3)
+                i += 1
+                j += 1
+        elif op == "I":
+            cost += k
+            i += k
+        else:
+            cost += k
+            j += k
+    assert i == len(q) and j == e and cost == d, (cig, s, e, d, cost)
+
+
+class TestTraceback:
+    def test_exact(self):
+        d, s, e, cig = align.semiglobal_traceback(b"GATTACA", b"GGGGATTACAG")
+        assert (d, s, e, cig) == (0, 3, 10, "7M")
+
+    def test_substitution(self):
+        d, s, e, cig = align.semiglobal_traceback(b"GATTCCA", b"GGGGATTACAG")
+        assert (d, cig) == (1, "7M") and (s, e) == (3, 10)
+
+    def test_random_consistency(self, rng):
+        for _ in range(25):
+            q = _rand_seq(rng, int(rng.integers(3, 20)))
+            w = _rand_seq(rng, int(rng.integers(1, 60)))
+            d, s, e, cig = align.semiglobal_traceback(q, w)
+            assert d == align.best_match_reference(q, w)[0]
+            _walk_cigar(q, w, d, s, e, cig)

@@ -550,3 +550,24 @@ def test_cli_approx_rejects_base5(tmp_path, capsys):
     ) == 0
     capsys.readouterr()
     assert cli.main(["approx", nup, "ACGT"]) == 1
+
+
+def test_cli_approx_cigar(tmp_path, capsys):
+    fa = tmp_path / "in.fa"
+    fa.write_bytes(b">r1\nACGTGATTACAGGGGTGTAATCCC\n")
+    nup = str(tmp_path / "x.nup")
+    assert cli.main(["encode", str(fa), nup, "--tier", "oracle"]) == 0
+    capsys.readouterr()
+    # exact hit: 7M starting at 4
+    assert cli.main(["approx", nup, "GATTACA", "--cigar"]) == 0
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert (d["dist"], d["start"], d["end"], d["cigar"]) == (0, 4, 11, "7M")
+    # substitution stays M; an inserted query base shows up as I
+    assert cli.main(["approx", nup, "GATTAACA", "--cigar"]) == 0
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert d["dist"] == 1 and "I" in d["cigar"]
+    msum = sum(
+        int(n) for n, op in __import__("re").findall(r"(\d+)([MID])", d["cigar"])
+        if op in "MI"
+    )
+    assert msum == 8  # M + I consume the whole query

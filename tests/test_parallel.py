@@ -238,3 +238,30 @@ def test_match_long_sharded_boundaries(rng):
     m = parallel.make_mesh(data=1, seq=8)
     got2 = longseq.match_long(bits2, 1000, b"ANA", mesh=m)
     assert np.array_equal(got2, [997])
+
+
+def test_best_match_long_sharded(rng):
+    """Sharded approximate search == DP oracle, incl. a one-error hit that
+    straddles the shard-boundary halo exchange."""
+    from cute_nucleotides_tpu.ops import align, spec
+
+    L = 20_000
+    s = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=L)
+    q = b"GATTACAGATTACAGATTACA"
+    W = spec.num_words_2bit(L) * 2
+    w_eq = -(-W // 8)
+    mut = bytearray(q)
+    mut[10] = ord("C")  # T -> C: one substitution
+    p = 16 * (3 * w_eq) - 5  # straddles the shard-2/3 boundary
+    s[p : p + len(q)] = np.frombuffer(bytes(mut), np.uint8)
+    bits = oracle.n_to_bits_lut(s)
+    got = longseq.best_match_long(bits, L, q)
+    want = align.best_match_reference(q, bytes(s))
+    assert got == want
+    assert got[0] == 1 and got[1] == p + len(q)
+    # trivial case on an explicit mesh: nothing beats the empty alignment
+    m = mesh_lib.make_mesh(data=1, seq=4, devices=jax.devices()[:4])
+    s2 = np.full(1000, ord("C"), np.uint8)
+    assert longseq.best_match_long(
+        oracle.n_to_bits_lut(s2), 1000, b"AAAAA", mesh=m
+    ) == (5, 0)
