@@ -325,17 +325,25 @@ def best_match_packed(
     return best, best_end
 
 
+def halo_words(m: int) -> int:
+    """u32 words covering the ``2m - 2`` nt overlap any occurrence
+    strictly better than the trivial distance ``m`` can need: semiglobal
+    distance satisfies ``d >= |span - m|``, so ``d < m`` implies
+    ``span <= 2m - 1`` — a row/shard that owns an occurrence's start plus
+    this halo contains it entirely."""
+    return max(1, -(-(2 * m - 2) // spec.NT_PER_U32_2BIT))
+
+
 def stream_rows_plan(W: int, m: int) -> tuple[int, int, int]:
     """Row-split plan for a one-stream scan: ``(R, wrb, H)``.
 
-    Any occurrence strictly better than the trivial distance ``m`` spans
-    at most ``2m - 1`` nt (``d >= |span - m|``), so rows that overlap by a
-    halo of ``2m - 2`` nt collectively see every such occurrence — the
-    strictly-sequential scan then runs lane-parallel over ``R`` rows of
-    ``wrb`` base words (+ ``H`` halo words) each.  ``R`` is sized so the
-    re-scanned halo is ~25% of the stream and capped at 4096 rows.
+    Rows overlapping by :func:`halo_words` collectively see every
+    occurrence worth reporting — the strictly-sequential scan then runs
+    lane-parallel over ``R`` rows of ``wrb`` base words (+ ``H`` halo
+    words) each.  ``R`` is sized so the re-scanned halo is ~25% of the
+    stream and capped at 4096 rows.
     """
-    H = max(1, -(-(2 * m - 2) // spec.NT_PER_U32_2BIT))
+    H = halo_words(m)
     R = max(1, min(4096, (2 * W) // max(m - 1, 1), W))
     wrb = -(-W // R)
     return -(-W // wrb), wrb, H
@@ -390,6 +398,11 @@ def best_match_stream(
         raise ValueError("best_match_stream takes a 1-D u32 word stream")
     if length > spec.NT_PER_U32_2BIT * words.shape[0]:
         raise ValueError("length exceeds stream capacity")
+    if length >= 2**31:
+        raise ValueError(
+            "single-device scan positions are int32; shard streams "
+            ">= 2^31 nt with parallel.longseq.best_match_long"
+        )
     plan = stream_rows_plan(words.shape[0], m)
     d, e = _best_match_stream_impl(
         jnp.asarray(peq), words, jnp.int32(length), m, plan, unroll=unroll
@@ -428,16 +441,20 @@ def semiglobal_traceback(
     are window offsets of the matched substring; the CIGAR is in SAM
     convention with the query as the read (``M`` aligned, ``I`` query
     insertion, ``D`` text base skipped), runs compressed, matches kept as
-    ``M`` (not ``=``/``X``).
+    ``M`` (not ``=``/``X``).  ``N``/``n`` in the query matches any base
+    for free (the device scan's wildcard semantics — the two must agree
+    or the CIGAR would contradict the reported distance).
     """
+    if isinstance(query, str):
+        query = query.encode()
     cq, ct = _fold_codes(query), _fold_codes(window)
+    wild = (np.frombuffer(bytes(query), np.uint8) & 0xDF) == ord("N")
     m, n = len(cq), len(ct)
     D = np.zeros((m + 1, n + 1), np.int64)
     D[:, 0] = np.arange(m + 1)  # D[i][0] = i; D[0][j] = 0 (prefix free)
     for i in range(1, m + 1):
-        D[i, 1:] = np.minimum(
-            D[i - 1, :-1] + (ct != cq[i - 1]), D[i - 1, 1:] + 1
-        )
+        sub = (ct != cq[i - 1]) & ~wild[i - 1]
+        D[i, 1:] = np.minimum(D[i - 1, :-1] + sub, D[i - 1, 1:] + 1)
         for j in range(1, n + 1):  # left-to-right D-chain
             if D[i, j - 1] + 1 < D[i, j]:
                 D[i, j] = D[i, j - 1] + 1
@@ -445,7 +462,9 @@ def semiglobal_traceback(
     dist = int(D[m, end])
     i, j, ops = m, end, []
     while i > 0:
-        if j > 0 and D[i, j] == D[i - 1, j - 1] + (cq[i - 1] != ct[j - 1]):
+        if j > 0 and D[i, j] == D[i - 1, j - 1] + (
+            (cq[i - 1] != ct[j - 1]) and not wild[i - 1]
+        ):
             ops.append("M")
             i, j = i - 1, j - 1
         elif D[i, j] == D[i - 1, j] + 1:

@@ -186,6 +186,17 @@ def _decode_long(bits, length: int, codec: str, mesh: Mesh | None):
     return full[:length]
 
 
+def _shard_stream_words(w32: np.ndarray, mesh: Mesh, w_eq: int):
+    """Pad a u32 stream to ``S * w_eq`` and lay it out one block per
+    seq-axis device (shared by :func:`match_long` / :func:`best_match_long`)."""
+    S = mesh.shape[mesh_lib.SEQ_AXIS]
+    pad = S * w_eq - w32.size
+    if pad:
+        w32 = np.concatenate([w32, np.zeros(pad, np.uint32)])
+    sharding = NamedSharding(mesh, P(None, mesh_lib.SEQ_AXIS, None))
+    return jax.device_put(w32.reshape(1, S, w_eq), sharding).reshape(S, w_eq)
+
+
 @functools.lru_cache(maxsize=None)
 def _jit_shard_match(mesh: Mesh, q: tuple, care: tuple, m: int, w_eq: int):
     axis = mesh_lib.SEQ_AXIS
@@ -246,13 +257,7 @@ def match_long(bits, length: int, query: bytes, *, mesh: Mesh | None = None) -> 
     w32 = spec.u64_to_u32_pairs(bits).reshape(-1)
     W = w32.size
     w_eq = max(-(-W // S), len(q) + 1)  # one halo must cover the overhang
-    pad = S * w_eq - W
-    if pad:
-        w32 = np.concatenate([w32, np.zeros(pad, np.uint32)])
-    sharding = NamedSharding(mesh, P(None, mesh_lib.SEQ_AXIS, None))
-    x = jax.device_put(
-        w32.reshape(1, S, w_eq), sharding
-    ).reshape(S, w_eq)
+    x = _shard_stream_words(w32, mesh, w_eq)
     out = np.asarray(
         _jit_shard_match(mesh, tuple(map(int, q)), tuple(map(int, care)), m, w_eq)(x)
     ).reshape(-1)
@@ -282,24 +287,22 @@ def _jit_shard_best_match(
     peq_np = np.asarray(peq_key, np.uint32).reshape(4, nb)
     plan = align_ops.stream_rows_plan(w_eq + H, m)
 
-    def per_shard(w, length):  # u32[1, w_eq], i32[] (replicated)
+    def per_shard(w, valid):  # u32[1, w_eq], i32[1] (this shard's nt)
         flat = w.reshape(-1)
         # halo: the NEXT shard's head words (ring ppermute over ICI); any
         # occurrence strictly better than the trivial distance m spans
-        # <= 2m - 1 nt, so a 2m - 2 nt halo makes every occurrence fully
-        # visible to the shard owning its start.  The last shard's
-        # wrap-around halo is frozen out by its own valid-length clamp.
+        # <= 2m - 1 nt (ops.align.halo_words), so the halo makes every
+        # occurrence fully visible to the shard owning its start.  The
+        # last shard's wrap-around halo is frozen out by its valid clamp
+        # (computed on the host in int64: shard-LOCAL positions fit i32,
+        # global ones need not — they are assembled host-side).
         head = jax.lax.slice(flat, (0,), (H,))
         halo = jax.lax.ppermute(
             head, axis, [((i + 1) % S, i) for i in range(S)]
         )
         ext = jnp.concatenate([flat, halo])
-        base = spec.NT_PER_U32_2BIT * w_eq * jax.lax.axis_index(axis)
-        valid = jnp.clip(
-            length - base, 0, spec.NT_PER_U32_2BIT * (w_eq + H)
-        ).astype(jnp.int32)
         d, e = align_ops._best_match_stream_impl(
-            jnp.asarray(peq_np), ext, valid, m, plan
+            jnp.asarray(peq_np), ext, valid.reshape(()), m, plan
         )
         return d.reshape(1, 1), e.reshape(1, 1)
 
@@ -307,7 +310,7 @@ def _jit_shard_best_match(
         shard_map(
             per_shard,
             mesh=mesh,
-            in_specs=(P(axis, None), P()),
+            in_specs=(P(axis, None), P(axis)),
             out_specs=(P(axis, None), P(axis, None)),
             check_vma=False,
         )
@@ -344,17 +347,25 @@ def best_match_long(
         raise ValueError("length exceeds stream capacity")
     w32 = spec.u64_to_u32_pairs(bits).reshape(-1)
     W = w32.size
-    H = max(1, -(-(2 * m - 2) // spec.NT_PER_U32_2BIT))
+    H = align_ops.halo_words(m)
     w_eq = max(-(-W // S), H)  # one successor halo must suffice
-    pad = S * w_eq - W
-    if pad:
-        w32 = np.concatenate([w32, np.zeros(pad, np.uint32)])
-    sharding = NamedSharding(mesh, P(None, mesh_lib.SEQ_AXIS, None))
-    x = jax.device_put(w32.reshape(1, S, w_eq), sharding).reshape(S, w_eq)
+    x = _shard_stream_words(w32, mesh, w_eq)
+    # per-shard valid nt, computed host-side in int64 so global streams
+    # >= 2^31 nt stay exact (match_long's convention); the clamped
+    # shard-LOCAL values always fit i32
+    valid = np.clip(
+        np.int64(length)
+        - spec.NT_PER_U32_2BIT * np.int64(w_eq) * np.arange(S, dtype=np.int64),
+        0,
+        spec.NT_PER_U32_2BIT * (w_eq + H),
+    ).astype(np.int32)
     step = _jit_shard_best_match(
         mesh, tuple(map(int, peq.reshape(-1))), m, w_eq, H
     )
-    d, e = step(x, jnp.int32(length))
+    d, e = step(
+        x,
+        jax.device_put(valid, NamedSharding(mesh, P(mesh_lib.SEQ_AXIS))),
+    )
     d = np.asarray(d).reshape(-1)
     e = np.asarray(e).reshape(-1)
     best = (m, 0)

@@ -261,3 +261,10 @@ class TestTraceback:
             d, s, e, cig = align.semiglobal_traceback(q, w)
             assert d == align.best_match_reference(q, w)[0]
             _walk_cigar(q, w, d, s, e, cig)
+
+    def test_wildcard_agrees_with_device(self):
+        # the review repro: query 'AN' vs text 'AT' must be a free match
+        d, s, e, cig = align.semiglobal_traceback(b"AN", b"AT")
+        assert (d, s, e, cig) == (0, 0, 2, "2M")
+        d, s, e, cig = align.semiglobal_traceback(b"GANTACA", b"GGGGACTACAG")
+        assert (d, cig) == (0, "7M")
