@@ -947,6 +947,16 @@ def main() -> int:
                 lambda: native.bits_to_n(hw, hb.size),
                 hb.size,
             )
+            # host Myers (u64 single-thread): denominator is DP cells, so
+            # the column reads Gcells/s — the comparator for the device
+            # GCUPS rows (edit_distance_*/approx_stream_*)
+            hm_q = bytes(host_u8[0, :128])
+            hm_t = bytes(hb[: 1 << 20])
+            host_row(
+                "host_myers_m128",
+                lambda: native.best_match(hm_q, hm_t),
+                len(hm_q) * len(hm_t),
+            )
 
     # --- headline ------------------------------------------------------------
     best_encode = max(

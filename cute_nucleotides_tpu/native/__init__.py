@@ -101,6 +101,14 @@ def load() -> ctypes.CDLL | None:
             u8p, ctypes.c_size_t, i64p, i64p, ctypes.c_size_t, i64p,
         ]
         lib.cutenuc_fastq_scan.restype = ctypes.c_longlong
+        lib.cutenuc_edit_distance.argtypes = [
+            u8p, ctypes.c_size_t, u8p, ctypes.c_size_t,
+        ]
+        lib.cutenuc_edit_distance.restype = ctypes.c_longlong
+        lib.cutenuc_best_match.argtypes = [
+            u8p, ctypes.c_size_t, u8p, ctypes.c_size_t, i64p, i64p,
+        ]
+        lib.cutenuc_best_match.restype = None
         _lib = lib
         return _lib
 

@@ -19,6 +19,7 @@
 #include <cstddef>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -223,6 +224,97 @@ long long cutenuc_find_invalid(const uint8_t* n, size_t len, int allow_n) {
     if (!ok) return static_cast<long long>(i);
   }
   return -1;
+}
+
+}  // extern "C"
+
+// --- Myers bit-parallel edit distance (host tier) ---------------------------
+//
+// The u64 mirror of the device scan in ops/align.py: the exact wide-word
+// emulation of Hyyro's recurrence, 64 DP rows per block, adder carry and
+// shift bits chained across blocks.  ASCII in (codes are the (b >> 1) & 3
+// fold, 'N'/'n' in the QUERY matches any base); used as the host-latency
+// tier and as an independent cross-check of the JAX implementation.
+
+namespace {
+
+void myers_scan(const uint8_t* q, size_t m, const uint8_t* t, size_t n,
+                bool semiglobal, int64_t* out_score, int64_t* out_best,
+                int64_t* out_best_end) {
+  size_t nb = (m + 63) / 64;
+  std::vector<uint64_t> peq(4 * nb, 0);
+  std::vector<uint64_t> pv(nb, ~0ull), mv(nb, 0), xv(nb), ph(nb), mh(nb);
+  for (size_t i = 0; i < m; ++i) {
+    uint8_t c = q[i] & 0xDF;
+    if (c == 'N') {
+      for (int k = 0; k < 4; ++k) peq[k * nb + i / 64] |= 1ull << (i % 64);
+    } else {
+      peq[((q[i] >> 1) & 3u) * nb + i / 64] |= 1ull << (i % 64);
+    }
+  }
+  int64_t score = static_cast<int64_t>(m);
+  int64_t best = score, best_end = 0;
+  size_t hb = (m ? m - 1 : 0) / 64;
+  int hbit = static_cast<int>((m ? m - 1 : 0) % 64);
+  for (size_t j = 0; j < n; ++j) {
+    const uint64_t* eq = &peq[static_cast<size_t>((t[j] >> 1) & 3u) * nb];
+    uint64_t cin = 0;
+    for (size_t b = 0; b < nb; ++b) {
+      uint64_t e = eq[b], p = pv[b], mvb = mv[b];
+      xv[b] = e | mvb;
+      uint64_t a = e & p;
+      uint64_t s = a + p + cin;
+      cin = (s < a) || (s == a && cin);
+      uint64_t xh = (s ^ p) | e;
+      ph[b] = mvb | ~(xh | p);
+      mh[b] = p & xh;
+    }
+    score += static_cast<int64_t>((ph[hb] >> hbit) & 1) -
+             static_cast<int64_t>((mh[hb] >> hbit) & 1);
+    uint64_t phin = semiglobal ? 0 : 1, mhin = 0;
+    for (size_t b = 0; b < nb; ++b) {
+      uint64_t ps = (ph[b] << 1) | phin, ms = (mh[b] << 1) | mhin;
+      phin = ph[b] >> 63;
+      mhin = mh[b] >> 63;
+      pv[b] = ms | ~(xv[b] | ps);
+      mv[b] = ps & xv[b];
+    }
+    if (semiglobal && score < best) {
+      best = score;
+      best_end = static_cast<int64_t>(j) + 1;
+    }
+  }
+  *out_score = score;
+  *out_best = best;
+  *out_best_end = best_end;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Global Levenshtein distance over normalized codes.
+long long cutenuc_edit_distance(const uint8_t* q, size_t m, const uint8_t* t,
+                                size_t n) {
+  if (m == 0) return static_cast<long long>(n);
+  int64_t score, best, best_end;
+  myers_scan(q, m, t, n, false, &score, &best, &best_end);
+  return static_cast<long long>(score);
+}
+
+// Semiglobal best occurrence: *dist / *end as in align.best_match_packed
+// ((m, 0) when nothing beats the empty-substring alignment).
+void cutenuc_best_match(const uint8_t* q, size_t m, const uint8_t* t,
+                        size_t n, int64_t* dist, int64_t* end) {
+  if (m == 0) {
+    *dist = 0;
+    *end = 0;
+    return;
+  }
+  int64_t score, best, best_end;
+  myers_scan(q, m, t, n, true, &score, &best, &best_end);
+  *dist = best;
+  *end = best_end;
 }
 
 }  // extern "C"

@@ -11,6 +11,7 @@
 // src/n_to_bits2.rs:275-279), roundtrips at every length 0..200 (all
 // residues mod 32 and mod 27), and arbitrary-byte inputs.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -26,6 +27,10 @@ void cutenuc_fill_rows(const uint8_t*, const int64_t*, const int64_t*, size_t,
                        uint8_t*, size_t, size_t);
 long long cutenuc_fastq_scan(const uint8_t*, size_t, int64_t*, int64_t*,
                              size_t, int64_t*);
+long long cutenuc_edit_distance(const uint8_t*, size_t, const uint8_t*,
+                                size_t);
+void cutenuc_best_match(const uint8_t*, size_t, const uint8_t*, size_t,
+                        int64_t*, int64_t*);
 }
 
 static int failures = 0;
@@ -133,6 +138,55 @@ int main() {
     cnt = cutenuc_fastq_scan(reinterpret_cast<const uint8_t*>(fq), n, starts,
                              lens, 1, &consumed);
     CHECK(cnt == 1 && consumed == 17, "fastq_scan cap");
+  }
+
+  // Myers bit-parallel vs naive DP (global + semiglobal, N wildcards,
+  // block seams at m = 63/64/65)
+  {
+    uint64_t st = 0x5EEDULL;
+    auto rnd = [&st]() {
+      st = st * 6364136223846793005ULL + 1442695040888963407ULL;
+      return static_cast<uint32_t>(st >> 33);
+    };
+    const char alpha[5] = {'A', 'C', 'G', 'T', 'N'};
+    for (int iter = 0; iter < 60; ++iter) {
+      size_t m = (iter % 20 == 19) ? 63 + (iter / 20) : 1 + rnd() % 80;
+      size_t n = rnd() % 120;
+      std::vector<uint8_t> q(m), t(n);
+      for (auto& c : q) c = alpha[rnd() % 5];  // N in query = wildcard
+      for (auto& c : t) c = alpha[rnd() % 4];
+      // naive DP over (b >> 1) & 3 codes, query N free
+      std::vector<int64_t> prev(n + 1), cur(n + 1);
+      for (size_t j = 0; j <= n; ++j) prev[j] = static_cast<int64_t>(j);
+      std::vector<int64_t> sprev(n + 1, 0), scur(n + 1);
+      int64_t sbest = static_cast<int64_t>(m), sbest_end = 0;
+      for (size_t i = 1; i <= m; ++i) {
+        cur[0] = static_cast<int64_t>(i);
+        scur[0] = static_cast<int64_t>(i);
+        bool wild = (q[i - 1] & 0xDF) == 'N';
+        for (size_t j = 1; j <= n; ++j) {
+          int64_t sub =
+              (!wild && ((q[i - 1] >> 1) & 3) != ((t[j - 1] >> 1) & 3));
+          cur[j] = std::min(std::min(prev[j - 1] + sub, prev[j] + 1),
+                            cur[j - 1] + 1);
+          scur[j] = std::min(std::min(sprev[j - 1] + sub, sprev[j] + 1),
+                             scur[j - 1] + 1);
+        }
+        prev.swap(cur);
+        sprev.swap(scur);
+      }
+      for (size_t j = 1; j <= n; ++j) {
+        if (sprev[j] < sbest) {
+          sbest = sprev[j];
+          sbest_end = static_cast<int64_t>(j);
+        }
+      }
+      long long got = cutenuc_edit_distance(q.data(), m, t.data(), n);
+      CHECK(got == prev[n], "myers global vs DP");
+      int64_t d = 0, e = 0;
+      cutenuc_best_match(q.data(), m, t.data(), n, &d, &e);
+      CHECK(d == sbest && e == sbest_end, "myers semiglobal vs DP");
+    }
   }
 
   if (failures == 0) {

@@ -414,14 +414,22 @@ def _fold_codes(seq: bytes) -> np.ndarray:
     return (np.frombuffer(bytes(seq), np.uint8) >> 1) & 3
 
 
+def _wild_rows(seq: bytes) -> np.ndarray:
+    """Per-position wildcard flags: ``N``/``n`` matches any base for free
+    (the device Peq wildcard semantics — all oracles must agree)."""
+    return (np.frombuffer(bytes(seq), np.uint8) & 0xDF) == ord("N")
+
+
 def edit_distance_reference(a: bytes, b: bytes) -> int:
-    """NumPy DP oracle: global Levenshtein over normalized codes."""
+    """NumPy DP oracle: global Levenshtein over normalized codes
+    (``N``/``n`` in ``a``, the query, matches any base)."""
     ca, cb = _fold_codes(a), _fold_codes(b)
+    wild = _wild_rows(a)
     prev = np.arange(len(cb) + 1, dtype=np.int64)
-    for x in ca:
+    for i, x in enumerate(ca):
         cur = np.empty_like(prev)
         cur[0] = prev[0] + 1
-        cur[1:] = np.minimum(prev[:-1] + (cb != x), prev[1:] + 1)
+        cur[1:] = np.minimum(prev[:-1] + ((cb != x) & ~wild[i]), prev[1:] + 1)
         for j in range(1, len(cur)):  # left-to-right insertion chain
             cur[j] = min(cur[j], cur[j - 1] + 1)
         prev = cur
@@ -484,8 +492,10 @@ def semiglobal_traceback(
 
 
 def best_match_reference(q: bytes, t: bytes) -> tuple[int, int]:
-    """DP oracle for :func:`best_match_packed`: ``(dist, first end)``."""
+    """DP oracle for :func:`best_match_packed`: ``(dist, first end)``
+    (``N``/``n`` in the query matches any base)."""
     cq, ct = _fold_codes(q), _fold_codes(t)
+    wild = _wild_rows(q)
     m = len(cq)
     prev = np.zeros(m + 1, dtype=np.int64)
     prev[:] = np.arange(m + 1)  # D[i][0] = i
@@ -495,7 +505,7 @@ def best_match_reference(q: bytes, t: bytes) -> tuple[int, int]:
         cur[0] = 0  # D[0][j] = 0: text prefix free
         for i in range(1, m + 1):
             cur[i] = min(
-                prev[i - 1] + (cq[i - 1] != x),
+                prev[i - 1] + int(cq[i - 1] != x and not wild[i - 1]),
                 prev[i] + 1,
                 cur[i - 1] + 1,
             )

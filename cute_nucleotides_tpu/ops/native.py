@@ -29,6 +29,8 @@ __all__ = [
     "fill_rows",
     "fastq_scan",
     "memcpy",
+    "edit_distance",
+    "best_match",
 ]
 
 _u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -127,6 +129,43 @@ def find_invalid(seq, *, allow_n: bool = True) -> int:
         bad = np.nonzero(~ok)[0]
         return int(bad[0]) if bad.size else -1
     return int(lib.cutenuc_find_invalid(n.ctypes.data_as(_u8p), n.size, int(allow_n)))
+
+
+def edit_distance(query, text) -> int:
+    """Global Levenshtein distance over normalized codes (Myers u64 host
+    tier — the latency path for one-off pairs; batches belong on the
+    device scan, ops/align.py).  ``N``/``n`` in the *query* matches any
+    base, the same wildcard semantics as the device tier."""
+    q, t = _as_u8(query), _as_u8(text)
+    lib = _lib()
+    if lib is None:
+        from . import align
+
+        return align.edit_distance_reference(bytes(q), bytes(t))
+    return int(
+        lib.cutenuc_edit_distance(
+            q.ctypes.data_as(_u8p), q.size, t.ctypes.data_as(_u8p), t.size
+        )
+    )
+
+
+def best_match(query, text) -> tuple[int, int]:
+    """Semiglobal best occurrence ``(dist, end)`` — the host mirror of
+    ``align.best_match_packed`` (``(m, 0)`` when nothing beats the
+    trivial empty-substring alignment)."""
+    q, t = _as_u8(query), _as_u8(text)
+    lib = _lib()
+    if lib is None:
+        from . import align
+
+        return align.best_match_reference(bytes(q), bytes(t))
+    d = ctypes.c_int64()
+    e = ctypes.c_int64()
+    lib.cutenuc_best_match(
+        q.ctypes.data_as(_u8p), q.size, t.ctypes.data_as(_u8p), t.size,
+        ctypes.byref(d), ctypes.byref(e),
+    )
+    return int(d.value), int(e.value)
 
 
 def fill_rows(

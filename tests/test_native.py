@@ -83,3 +83,19 @@ def test_asan_selftest():
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert "NATIVE SELFTEST PASS" in r.stdout
+
+
+def test_native_myers_vs_oracle(rng):
+    from cute_nucleotides_tpu.ops import align
+
+    for _ in range(20):
+        m = int(rng.integers(1, 90))
+        n = int(rng.integers(0, 150))
+        q = bytes(rng.choice(list(b"ACGTN"), size=m).astype(np.uint8))
+        t = bytes(rng.choice(list(b"ACGTu"), size=n).astype(np.uint8))
+        assert native.edit_distance(q, t) == align.edit_distance_reference(q, t)
+        assert native.best_match(q, t) == align.best_match_reference(q, t)
+    # degenerate shapes
+    assert native.edit_distance(b"", b"ACGT") == 4
+    assert native.best_match(b"", b"ACGT") == (0, 0)
+    assert native.edit_distance(b"ACG", b"") == 3
