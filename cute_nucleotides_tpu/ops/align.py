@@ -47,11 +47,15 @@ __all__ = [
     "peq_from_packed",
     "peq_from_bytes",
     "edit_distance_packed",
+    "edit_distance_packed_b5",
     "best_match_packed",
+    "best_match_packed_b5",
     "best_match_peq",
     "best_match_stream",
     "edit_distance_reference",
+    "edit_distance_reference_b5",
     "best_match_reference",
+    "best_match_reference_b5",
     "semiglobal_traceback",
 ]
 
@@ -199,7 +203,8 @@ def _myers_scan(
     m1 = jnp.maximum(qlens.astype(jnp.int32), 1) - 1
     hb = m1 // ROWS_PER_BLOCK  # (B,) block holding the last query row
     hbit = (m1 % ROWS_PER_BLOCK).astype(jnp.uint32)
-    peq_c = tuple(peq[:, c, :] for c in range(4))  # (B, NB) per code
+    A = peq.shape[1]  # alphabet size: 4 (2-bit) or 5 (base-5 digits)
+    peq_c = tuple(peq[:, c, :] for c in range(A))  # (B, NB) per code
 
     pv0 = tuple(jnp.full((B,), _FULL) for _ in range(nb))
     mv0 = tuple(jnp.zeros((B,), jnp.uint32) for _ in range(nb))
@@ -210,9 +215,9 @@ def _myers_scan(
         pv, mv, score, best, best_end = carry
         c, j = xs
         valid = j < tlens
-        # Eq per block: 4-way select on the text code (cheaper than gather)
+        # Eq per block: A-way select on the text code (cheaper than gather)
         eq = [peq_c[0][:, b] for b in range(nb)]
-        for k in range(1, 4):
+        for k in range(1, A):
             sel = c == k
             for b in range(nb):
                 eq[b] = jnp.where(sel, peq_c[k][:, b], eq[b])
@@ -317,6 +322,114 @@ def best_match_packed(
     """
     peq = peq_from_packed(qwords, qlens)
     tcodes = _unpack_codes_t(twords)
+    _, best, best_end = _myers_scan(
+        peq, qlens, tcodes, tlens, semiglobal=True, unroll=unroll
+    )
+    best = jnp.where(qlens == 0, 0, best)
+    best_end = jnp.where(qlens == 0, 0, best_end)
+    return best, best_end
+
+
+def _unpack_digits_b5_t(twords: jax.Array) -> jax.Array:
+    """Packed base-5 text u32[B, 2*W] -> time-major digits u8[27*W, B].
+
+    Triplet extraction + exact multiply-shift splits, the decode tier's
+    digit path (ops/xla.py decode_b5_bytes) stopped at digits.
+    """
+    B, w2 = twords.shape
+    if w2 % 2:
+        raise ValueError("base-5 packed stream must have even u32 count")
+    pair = twords.reshape(B, w2 // 2, 2)
+    lo, hi = pair[..., 0], pair[..., 1]
+    m7 = jnp.uint32(0x7F)
+    t = jnp.stack(
+        [
+            lo & m7,
+            (lo >> 7) & m7,
+            (lo >> 14) & m7,
+            (lo >> 21) & m7,
+            ((lo >> 28) | (hi << 4)) & m7,
+            (hi >> 3) & m7,
+            (hi >> 10) & m7,
+            (hi >> 17) & m7,
+            (hi >> 24) & m7,
+        ],
+        axis=-1,
+    )  # (B, W, 9) triplets in [0, 125)
+    q5 = (t * jnp.uint32(205)) >> 10  # t // 5, exact for t < 1024
+    q25 = (t * jnp.uint32(41)) >> 10  # t // 25
+    d = jnp.stack([t - 5 * q5, q5 - 5 * q25, q25], axis=-1)
+    return d.reshape(B, -1).astype(jnp.uint8).T
+
+
+def _peq_from_codes(
+    codes: jax.Array, qlens: jax.Array, alphabet: int
+) -> jax.Array:
+    """Integer codes u8/i32[B, L] -> ``Peq`` u32[B, alphabet, NB]."""
+    B, L = codes.shape
+    nb = max(1, -(-L // ROWS_PER_BLOCK))
+    pad = ROWS_PER_BLOCK * nb - L
+    if pad:  # 255 matches no plane
+        codes = jnp.concatenate(
+            [codes, jnp.full((B, pad), 255, codes.dtype)], axis=1
+        )
+    grid = codes.reshape(B, 1, nb, ROWS_PER_BLOCK)
+    syms = jnp.arange(alphabet, dtype=codes.dtype).reshape(1, alphabet, 1, 1)
+    weights = (_U1 << jnp.arange(ROWS_PER_BLOCK, dtype=jnp.uint32))
+    peq = jnp.sum(
+        (grid == syms).astype(jnp.uint32) * weights, axis=-1
+    )  # (B, A, NB)
+    bits = jnp.clip(
+        qlens.astype(jnp.int32)[:, None]
+        - ROWS_PER_BLOCK * jnp.arange(nb, dtype=jnp.int32)[None, :],
+        0,
+        ROWS_PER_BLOCK,
+    )
+    shift = jnp.minimum(bits, 31).astype(jnp.uint32)
+    mask = jnp.where(bits >= 32, _FULL, (_U1 << shift) - _U1)
+    return peq & mask[:, None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def edit_distance_packed_b5(
+    qwords: jax.Array,
+    qlens: jax.Array,
+    twords: jax.Array,
+    tlens: jax.Array,
+    *,
+    unroll: int = 4,
+) -> jax.Array:
+    """Batched global Levenshtein on base-5 packed streams: ``-> i32[B]``.
+
+    The base-5 mirror of :func:`edit_distance_packed`: distances over the
+    FIVE-symbol alphabet — ``N`` is a literal digit (matches ``N``,
+    mismatches everything else), the codec's semantics (as in
+    :mod:`.search`'s base-5 scanner).  Streams are the u32-pair base-125
+    serialization ('A'-padded past the lengths).
+    """
+    qd = _unpack_digits_b5_t(qwords).T  # (B, Lq) digits
+    peq = _peq_from_codes(qd, qlens, 5)
+    tcodes = _unpack_digits_b5_t(twords)
+    score, _, _ = _myers_scan(
+        peq, qlens, tcodes, tlens, semiglobal=False, unroll=unroll
+    )
+    return jnp.where(qlens == 0, tlens.astype(jnp.int32), score)
+
+
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def best_match_packed_b5(
+    qwords: jax.Array,
+    qlens: jax.Array,
+    twords: jax.Array,
+    tlens: jax.Array,
+    *,
+    unroll: int = 4,
+) -> tuple[jax.Array, jax.Array]:
+    """Base-5 mirror of :func:`best_match_packed` (5-symbol alphabet,
+    ``N`` literal): ``(dist i32[B], end i32[B])``."""
+    qd = _unpack_digits_b5_t(qwords).T
+    peq = _peq_from_codes(qd, qlens, 5)
+    tcodes = _unpack_digits_b5_t(twords)
     _, best, best_end = _myers_scan(
         peq, qlens, tcodes, tlens, semiglobal=True, unroll=unroll
     )
@@ -489,6 +602,46 @@ def semiglobal_traceback(
             cigar.append(f"{run}{op}")
             run = 0
     return dist, j, end, "".join(cigar)
+
+
+def _b5_digits_of(seq: bytes) -> np.ndarray:
+    from . import spec as _spec
+
+    return _spec.BYTE_LUT_B5[np.frombuffer(bytes(seq), np.uint8)]
+
+
+def edit_distance_reference_b5(a: bytes, b: bytes) -> int:
+    """DP oracle over base-5 DIGITS: the 5-symbol alphabet, ``N`` a
+    literal (no wildcards — the codec's semantics)."""
+    ca, cb = _b5_digits_of(a), _b5_digits_of(b)
+    prev = np.arange(len(cb) + 1, dtype=np.int64)
+    for x in ca:
+        cur = np.empty_like(prev)
+        cur[0] = prev[0] + 1
+        cur[1:] = np.minimum(prev[:-1] + (cb != x), prev[1:] + 1)
+        for j in range(1, len(cur)):
+            cur[j] = min(cur[j], cur[j - 1] + 1)
+        prev = cur
+    return int(prev[-1])
+
+
+def best_match_reference_b5(q: bytes, t: bytes) -> tuple[int, int]:
+    """Base-5-digit DP oracle for :func:`best_match_packed_b5`."""
+    cq, ct = _b5_digits_of(q), _b5_digits_of(t)
+    m = len(cq)
+    prev = np.arange(m + 1, dtype=np.int64)
+    best, best_end = m, 0
+    for j, x in enumerate(ct):
+        cur = np.empty_like(prev)
+        cur[0] = 0
+        for i in range(1, m + 1):
+            cur[i] = min(
+                prev[i - 1] + (cq[i - 1] != x), prev[i] + 1, cur[i - 1] + 1
+            )
+        prev = cur
+        if cur[m] < best:
+            best, best_end = int(cur[m]), j + 1
+    return best, best_end
 
 
 def best_match_reference(q: bytes, t: bytes) -> tuple[int, int]:

@@ -268,3 +268,63 @@ class TestTraceback:
         assert (d, s, e, cig) == (0, 0, 2, "2M")
         d, s, e, cig = align.semiglobal_traceback(b"GANTACA", b"GGGGACTACAG")
         assert (d, cig) == (0, "7M")
+
+
+def _pack_b5(seqs):
+    lens = np.array([len(s) for s in seqs], np.int32)
+    wmax = 2 * max(1, -(-int(lens.max()) // 27))
+    words = np.zeros((len(seqs), wmax), np.uint32)
+    for i, s in enumerate(seqs):
+        if len(s):
+            w = spec.u64_to_u32_pairs(oracle.n_to_bits2_lut(s)).reshape(-1)
+            words[i, : len(w)] = w
+    return words, lens
+
+
+def _rand_seq_n(rng, n):
+    return bytes(rng.choice(list(b"ACGTN"), size=n).astype(np.uint8))
+
+
+class TestB5:
+    @pytest.mark.parametrize("m,n", [(7, 9), (30, 60), (40, 90)])
+    def test_global_vs_dp(self, rng, m, n):
+        B = 10
+        qs = [_rand_seq_n(rng, int(rng.integers(0, m + 1))) for _ in range(B)]
+        ts = [_rand_seq_n(rng, int(rng.integers(0, n + 1))) for _ in range(B)]
+        qw, ql = _pack_b5(qs)
+        tw, tl = _pack_b5(ts)
+        got = np.asarray(align.edit_distance_packed_b5(qw, ql, tw, tl))
+        want = [
+            align.edit_distance_reference_b5(q, t) for q, t in zip(qs, ts)
+        ]
+        np.testing.assert_array_equal(got, want)
+
+    def test_n_is_literal(self):
+        # N matches N for free, mismatches a base — unlike the 2-bit tier
+        qw, ql = _pack_b5([b"ACNGT", b"ACNGT"])
+        tw, tl = _pack_b5([b"ACNGT", b"ACCGT"])
+        got = np.asarray(align.edit_distance_packed_b5(qw, ql, tw, tl))
+        np.testing.assert_array_equal(got, [0, 1])
+
+    def test_semiglobal_vs_dp(self, rng):
+        B = 8
+        qs = [_rand_seq_n(rng, int(rng.integers(1, 25))) for _ in range(B)]
+        ts = [_rand_seq_n(rng, int(rng.integers(0, 80))) for _ in range(B)]
+        qw, ql = _pack_b5(qs)
+        tw, tl = _pack_b5(ts)
+        gd, ge = (
+            np.asarray(x)
+            for x in align.best_match_packed_b5(qw, ql, tw, tl)
+        )
+        for i, (q, t) in enumerate(zip(qs, ts)):
+            wd, we = align.best_match_reference_b5(q, t)
+            assert (gd[i], ge[i]) == (wd, we), (i, q, t)
+
+    def test_block_seams(self, rng):
+        for m in (31, 32, 33, 64, 65):
+            q = _rand_seq_n(rng, m)
+            t = _rand_seq_n(rng, m + 9)
+            qw, ql = _pack_b5([q])
+            tw, tl = _pack_b5([t])
+            got = int(align.edit_distance_packed_b5(qw, ql, tw, tl)[0])
+            assert got == align.edit_distance_reference_b5(q, t), m
