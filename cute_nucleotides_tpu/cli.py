@@ -911,30 +911,34 @@ def cmd_grep(args) -> int:
 def cmd_approx(args) -> int:
     """Best approximate occurrence of a query in every record: Myers
     bit-parallel semiglobal alignment on the PACKED words (``ops.align`` —
-    no decode pass).  2-bit containers only.  ``N`` in the *query* matches
-    any base.  Prints one JSON line per record — minimum edit distance,
-    match end position, strand (best strand under ``--both``);
-    ``--max-errors E`` keeps only records with distance <= E (exit 1 when
-    none qualify)."""
+    no decode pass).  On 2-bit containers ``N`` in the *query* matches any
+    base; on base-5 containers ``N`` is a literal (the codec has a real N
+    digit) and ``?`` the wildcard — the ``grep`` conventions.  Prints one
+    JSON line per record — minimum edit distance, match end position,
+    strand (best strand under ``--both``); ``--max-errors E`` keeps only
+    records with distance <= E (exit 1 when none qualify)."""
     import jax.numpy as jnp
 
     from .ops import align, search, spec
 
     codec, entries = read_nup(args.input)
-    if codec != "2bit":
-        print(
-            "error: approx requires a 2-bit .nup (the 4-plane bit-vectors "
-            "cannot represent base-5 N records)",
-            file=sys.stderr,
-        )
-        return 1
+    is_b5 = codec != "2bit"
+    compile_q = align.peq_from_bytes_b5 if is_b5 else align.peq_from_bytes
+    best_peq = align.best_match_peq_b5 if is_b5 else align.best_match_peq
     raw = args.pattern.encode()
     try:
-        strands = [(align.peq_from_bytes(raw), "+", raw)]
+        strands = [(compile_q(raw), "+", raw)]
         if args.both:
-            rc = search.revcomp_query(raw)
+            if is_b5:
+                rc = search.revcomp_query(raw.replace(b"?", b"N"))
+                rc = bytes(
+                    ord("?") if p == ord("?") else w
+                    for p, w in zip(raw[::-1], rc)
+                )
+            else:
+                rc = search.revcomp_query(raw)
             if rc != raw.upper().replace(b"U", b"T"):
-                strands.append((align.peq_from_bytes(rc), "-", rc))
+                strands.append((compile_q(rc), "-", rc))
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
@@ -956,7 +960,8 @@ def cmd_approx(args) -> int:
         lens = np.array([length for _, length, _ in part], np.int64)
         # u32 row width: next power of two (even, >= 2) buckets the
         # retraces — one compile per (chunk, width, strand-count)
-        need = max(2, int(2 * spec.num_words_2bit(int(lens.max(initial=1)))))
+        words_for = spec.num_words_b5 if is_b5 else spec.num_words_2bit
+        need = max(2, int(2 * words_for(int(lens.max(initial=1)))))
         width = 2
         while width < need:
             width *= 2
@@ -969,7 +974,7 @@ def cmd_approx(args) -> int:
         tw_dev, tl_dev = jnp.asarray(mat), jnp.asarray(tl)
         results = []  # per strand: (dist [B], end [B], strand)
         for peq_dev, ql_dev, strand in dev_strands:
-            d, e = align.best_match_peq(peq_dev, ql_dev, tw_dev, tl_dev)
+            d, e = best_peq(peq_dev, ql_dev, tw_dev, tl_dev)
             results.append((np.asarray(d), np.asarray(e), strand))
         for i, (name, _length, words) in enumerate(part):
             best = None
@@ -995,12 +1000,19 @@ def cmd_approx(args) -> int:
                 qb = qbytes_by_strand[strand]
                 mq = len(qb)
                 e_lo = max(0, end - (2 * mq - 1))
-                a = (e_lo // 32) * 32
-                dec = oracle.bits_to_n_lut(
-                    np.ascontiguousarray(words[a // 32:]), end - a
+                nt_w = 27 if is_b5 else 32
+                a = (e_lo // nt_w) * nt_w
+                decode = oracle.bits_to_n2_lut if is_b5 else oracle.bits_to_n_lut
+                trace = (
+                    align.semiglobal_traceback_b5
+                    if is_b5
+                    else align.semiglobal_traceback
+                )
+                dec = decode(
+                    np.ascontiguousarray(words[a // nt_w:]), end - a
                 )
                 window = bytes(dec)[e_lo - a:]
-                _d2, s2, _e2, cig = align.semiglobal_traceback(qb, window)
+                _d2, s2, _e2, cig = trace(qb, window)
                 line["start"] = e_lo + s2
                 line["cigar"] = cig
             print(json.dumps(line))
@@ -1109,8 +1121,11 @@ def main(argv=None) -> int:
         help="best approximate occurrence of a query per record (Myers "
         "bit-parallel edit distance on packed words; N in query = any)",
     )
-    pa.add_argument("input", help="2-bit .nup container")
-    pa.add_argument("pattern")
+    pa.add_argument("input", help=".nup container (either codec)")
+    pa.add_argument(
+        "pattern",
+        help="query (2-bit: N = any base; base-5: N literal, ? = any)",
+    )
     pa.add_argument(
         "--both", action="store_true",
         help="also align the reverse strand; report each record's best",

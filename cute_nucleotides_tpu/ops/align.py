@@ -46,17 +46,22 @@ from . import spec
 __all__ = [
     "peq_from_packed",
     "peq_from_bytes",
+    "peq_from_bytes_b5",
     "edit_distance_packed",
     "edit_distance_packed_b5",
     "best_match_packed",
     "best_match_packed_b5",
+    "prefix_distance_packed",
+    "match_ends_packed",
     "best_match_peq",
+    "best_match_peq_b5",
     "best_match_stream",
     "edit_distance_reference",
     "edit_distance_reference_b5",
     "best_match_reference",
     "best_match_reference_b5",
     "semiglobal_traceback",
+    "semiglobal_traceback_b5",
 ]
 
 _U1 = jnp.uint32(1)
@@ -150,6 +155,57 @@ def peq_from_bytes(query: bytes) -> tuple[np.ndarray, int]:
     return peq, m
 
 
+#: query bytes allowed by :func:`peq_from_bytes_b5` (N literal, ? = any)
+_QUERY_OK_B5 = frozenset(b"ACGTUNacgtun?")
+
+
+def peq_from_bytes_b5(query: bytes) -> tuple[np.ndarray, int]:
+    """ASCII query -> (``Peq`` u32[5, NB], m) over base-5 DIGITS.
+
+    ``N`` is a *literal* (the codec has a real N digit) and ``?`` the
+    wildcard — the same convention as :mod:`.search`'s base-5 scanner.
+    """
+    if isinstance(query, str):
+        query = query.encode()
+    m = len(query)
+    if m == 0:
+        raise ValueError("empty query")
+    bad = set(query) - _QUERY_OK_B5
+    if bad:
+        raise ValueError(
+            f"query contains non-ACGTUN? bytes: {sorted(chr(b) for b in bad)}"
+        )
+    nb = -(-m // ROWS_PER_BLOCK)
+    peq = np.zeros((5, nb), np.uint32)
+    for i, b in enumerate(query):
+        blk, bit = divmod(i, ROWS_PER_BLOCK)
+        if b == ord("?"):
+            peq[:, blk] |= np.uint32(1 << bit)
+        else:
+            peq[spec.BYTE_LUT_B5[b], blk] |= np.uint32(1 << bit)
+    return peq, m
+
+
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def best_match_peq_b5(
+    peq: jax.Array,
+    qlens: jax.Array,
+    twords: jax.Array,
+    tlens: jax.Array,
+    *,
+    unroll: int = 4,
+) -> tuple[jax.Array, jax.Array]:
+    """:func:`best_match_packed_b5` from precomputed 5-plane ``Peq``
+    (``peq u32[B, 5, NB]``, e.g. :func:`peq_from_bytes_b5` broadcast)."""
+    tcodes = _unpack_digits_b5_t(twords)
+    _, best, best_end, _ = _myers_scan(
+        peq, qlens, tcodes, tlens, semiglobal=True, unroll=unroll
+    )
+    best = jnp.where(qlens == 0, 0, best)
+    best_end = jnp.where(qlens == 0, 0, best_end)
+    return best, best_end
+
+
 @functools.partial(jax.jit, static_argnames=("unroll",))
 def best_match_peq(
     peq: jax.Array,
@@ -165,7 +221,7 @@ def best_match_peq(
     broadcast across the batch (which also enables N-wildcard queries).
     """
     tcodes = _unpack_codes_t(twords)
-    _, best, best_end = _myers_scan(
+    _, best, best_end, _ = _myers_scan(
         peq, qlens, tcodes, tlens, semiglobal=True, unroll=unroll
     )
     best = jnp.where(qlens == 0, 0, best)
@@ -191,12 +247,17 @@ def _myers_scan(
     *,
     semiglobal: bool,
     unroll: int,
+    emit_scores: bool = False,
 ):
     """Shared Myers column scan.
 
-    Returns ``(score, best, best_end)``: the frozen-at-``tlen`` global score,
-    the running minimum (semiglobal only — ``D[0][j] = 0`` via a zero
-    horizontal carry into row 0), and the first end position achieving it.
+    Returns ``(score, best, best_end, scores)``: the frozen-at-``tlen``
+    score, the running minimum over end positions with the first end
+    achieving it, and (when ``emit_scores``) the per-step frozen scores
+    ``i32[n, B]`` (invalid steps hold ``0x7FFFFFFF``), else ``None``.
+    ``semiglobal`` sets the row-0 horizontal boundary: ``D[0][j] = 0``
+    (occurrence anywhere) vs ``D[0][j] = j`` (global/prefix modes — the
+    running minimum is then the best-text-PREFIX distance, edlib's SHW).
     """
     B, _, nb = peq.shape
     n = tcodes.shape[0]
@@ -264,17 +325,21 @@ def _myers_scan(
             jnp.where(valid, nmv, omv) for nmv, omv in zip(new_mv, mv)
         )
         score = jnp.where(valid, new_score, score)
-        if semiglobal:
-            better = valid & (score < best)
-            best = jnp.where(better, score, best)
-            best_end = jnp.where(better, j + 1, best_end)
-        return (pv, mv, score, best, best_end), None
+        better = valid & (score < best)
+        best = jnp.where(better, score, best)
+        best_end = jnp.where(better, j + 1, best_end)
+        ys = (
+            jnp.where(valid, score, jnp.int32(0x7FFFFFFF))
+            if emit_scores
+            else None
+        )
+        return (pv, mv, score, best, best_end), ys
 
     xs = (tcodes, jnp.arange(n, dtype=jnp.int32)[:, None])
-    (pv, mv, score, best, best_end), _ = jax.lax.scan(
+    (pv, mv, score, best, best_end), scores = jax.lax.scan(
         step, carry0, xs, unroll=unroll
     )
-    return score, best, best_end
+    return score, best, best_end, scores
 
 
 @functools.partial(jax.jit, static_argnames=("unroll",))
@@ -296,7 +361,7 @@ def edit_distance_packed(
     """
     peq = peq_from_packed(qwords, qlens)
     tcodes = _unpack_codes_t(twords)
-    score, _, _ = _myers_scan(
+    score, _, _, _ = _myers_scan(
         peq, qlens, tcodes, tlens, semiglobal=False, unroll=unroll
     )
     # m == 0: every text char is an insertion; n == 0 is already score == m
@@ -322,12 +387,66 @@ def best_match_packed(
     """
     peq = peq_from_packed(qwords, qlens)
     tcodes = _unpack_codes_t(twords)
-    _, best, best_end = _myers_scan(
+    _, best, best_end, _ = _myers_scan(
         peq, qlens, tcodes, tlens, semiglobal=True, unroll=unroll
     )
     best = jnp.where(qlens == 0, 0, best)
     best_end = jnp.where(qlens == 0, 0, best_end)
     return best, best_end
+
+
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def prefix_distance_packed(
+    qwords: jax.Array,
+    qlens: jax.Array,
+    twords: jax.Array,
+    tlens: jax.Array,
+    *,
+    unroll: int = 4,
+) -> tuple[jax.Array, jax.Array]:
+    """Whole query vs the best text PREFIX (edlib's SHW mode).
+
+    The third anchoring of the same scan: global keeps ``D[0][j] = j``
+    and reads the final score, semiglobal frees both text ends, this mode
+    frees only the text *suffix* — the running minimum of the global-mode
+    scan.  Returns ``(dist i32[B], end i32[B])``; ``end == 0`` means the
+    empty prefix (all-deletions) is best.  Adapter/primer trimming is the
+    canonical use: "how much of the read's head does this query explain".
+    """
+    peq = peq_from_packed(qwords, qlens)
+    tcodes = _unpack_codes_t(twords)
+    _, best, best_end, _ = _myers_scan(
+        peq, qlens, tcodes, tlens, semiglobal=False, unroll=unroll
+    )
+    best = jnp.where(qlens == 0, 0, best)
+    best_end = jnp.where(qlens == 0, 0, best_end)
+    return best, best_end
+
+
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def match_ends_packed(
+    qwords: jax.Array,
+    qlens: jax.Array,
+    twords: jax.Array,
+    tlens: jax.Array,
+    max_errors: jax.Array,
+    *,
+    unroll: int = 4,
+) -> jax.Array:
+    """EVERY end position with edit distance <= ``max_errors``: bool[B, n].
+
+    The thresholded counterpart of :func:`best_match_packed` (the
+    approximate analogue of ``search.match_mask``): ``out[b, j]`` is True
+    iff some substring of text ``b`` ending at ``j + 1`` matches query
+    ``b`` within ``max_errors[b]`` edits.  Steps past ``tlens`` are False.
+    """
+    peq = peq_from_packed(qwords, qlens)
+    tcodes = _unpack_codes_t(twords)
+    _, _, _, scores = _myers_scan(
+        peq, qlens, tcodes, tlens, semiglobal=True, unroll=unroll,
+        emit_scores=True,
+    )
+    return (scores <= max_errors.astype(jnp.int32)[None, :]).T
 
 
 def _unpack_digits_b5_t(twords: jax.Array) -> jax.Array:
@@ -410,7 +529,7 @@ def edit_distance_packed_b5(
     qd = _unpack_digits_b5_t(qwords).T  # (B, Lq) digits
     peq = _peq_from_codes(qd, qlens, 5)
     tcodes = _unpack_digits_b5_t(twords)
-    score, _, _ = _myers_scan(
+    score, _, _, _ = _myers_scan(
         peq, qlens, tcodes, tlens, semiglobal=False, unroll=unroll
     )
     return jnp.where(qlens == 0, tlens.astype(jnp.int32), score)
@@ -430,7 +549,7 @@ def best_match_packed_b5(
     qd = _unpack_digits_b5_t(qwords).T
     peq = _peq_from_codes(qd, qlens, 5)
     tcodes = _unpack_digits_b5_t(twords)
-    _, best, best_end = _myers_scan(
+    _, best, best_end, _ = _myers_scan(
         peq, qlens, tcodes, tlens, semiglobal=True, unroll=unroll
     )
     best = jnp.where(qlens == 0, 0, best)
@@ -568,8 +687,24 @@ def semiglobal_traceback(
     """
     if isinstance(query, str):
         query = query.encode()
-    cq, ct = _fold_codes(query), _fold_codes(window)
     wild = (np.frombuffer(bytes(query), np.uint8) & 0xDF) == ord("N")
+    return _traceback_core(_fold_codes(query), _fold_codes(window), wild)
+
+
+def semiglobal_traceback_b5(
+    query: bytes, window: bytes
+) -> tuple[int, int, int, str]:
+    """Base-5 mirror of :func:`semiglobal_traceback`: digit alphabet,
+    ``N`` literal, ``?`` wildcard (:func:`peq_from_bytes_b5` semantics)."""
+    if isinstance(query, str):
+        query = query.encode()
+    wild = np.frombuffer(bytes(query), np.uint8) == ord("?")
+    return _traceback_core(_b5_digits_of(query), _b5_digits_of(window), wild)
+
+
+def _traceback_core(
+    cq: np.ndarray, ct: np.ndarray, wild: np.ndarray
+) -> tuple[int, int, int, str]:
     m, n = len(cq), len(ct)
     D = np.zeros((m + 1, n + 1), np.int64)
     D[:, 0] = np.arange(m + 1)  # D[i][0] = i; D[0][j] = 0 (prefix free)

@@ -328,3 +328,67 @@ class TestB5:
             tw, tl = _pack_b5([t])
             got = int(align.edit_distance_packed_b5(qw, ql, tw, tl)[0])
             assert got == align.edit_distance_reference_b5(q, t), m
+
+
+class TestModes:
+    """prefix (SHW) + thresholded all-ends vs brute-force DP."""
+
+    def test_prefix_vs_dp(self, rng):
+        for _ in range(12):
+            q = _rand_seq(rng, int(rng.integers(1, 40)))
+            t = _rand_seq(rng, int(rng.integers(0, 80)))
+            qw, ql = _pack_batch([q])
+            tw, tl = _pack_batch([t])
+            d, e = align.prefix_distance_packed(qw, ql, tw, tl)
+            cq = (np.frombuffer(q, np.uint8) >> 1) & 3
+            ct = (np.frombuffer(t, np.uint8) >> 1) & 3
+            m, n = len(cq), len(ct)
+            D = np.zeros((m + 1, n + 1), np.int64)
+            D[0] = np.arange(n + 1)
+            D[:, 0] = np.arange(m + 1)
+            for i in range(1, m + 1):
+                for j in range(1, n + 1):
+                    D[i, j] = min(
+                        D[i - 1, j - 1] + (cq[i - 1] != ct[j - 1]),
+                        D[i - 1, j] + 1,
+                        D[i, j - 1] + 1,
+                    )
+            assert (int(d[0]), int(e[0])) == (
+                int(D[m].min()),
+                int(np.argmin(D[m])),
+            ), (q, t)
+
+    def test_prefix_known(self):
+        # query explains the first 6 text chars with one error
+        qw, ql = _pack_batch([b"GATTAC"])
+        tw, tl = _pack_batch([b"GATAACGGGG"])
+        d, e = align.prefix_distance_packed(qw, ql, tw, tl)
+        assert int(d[0]) == 1 and 0 < int(e[0]) <= 7
+
+    def test_match_ends_vs_dp(self, rng):
+        B = 6
+        qs = [_rand_seq(rng, int(rng.integers(2, 12))) for _ in range(B)]
+        ts = [_rand_seq(rng, int(rng.integers(1, 50))) for _ in range(B)]
+        qw, ql = _pack_batch(qs)
+        tw, tl = _pack_batch(ts)
+        errs = np.array([1 + (i % 3) for i in range(B)], np.int32)
+        got = np.asarray(
+            align.match_ends_packed(qw, ql, tw, tl, errs)
+        )
+        for b, (q, t) in enumerate(zip(qs, ts)):
+            cq = (np.frombuffer(q, np.uint8) >> 1) & 3
+            ct = (np.frombuffer(t, np.uint8) >> 1) & 3
+            m = len(cq)
+            prev = np.arange(m + 1, dtype=np.int64)
+            for j, x in enumerate(ct):
+                cur = np.empty_like(prev)
+                cur[0] = 0
+                for i in range(1, m + 1):
+                    cur[i] = min(
+                        prev[i - 1] + (cq[i - 1] != x),
+                        prev[i] + 1,
+                        cur[i - 1] + 1,
+                    )
+                prev = cur
+                assert bool(got[b, j]) == (prev[m] <= errs[b]), (b, j)
+            assert not got[b, len(t):].any()  # past tlen: always False

@@ -541,15 +541,32 @@ def test_cli_approx(tmp_path, capsys):
     assert cli.main(["approx", nup, "ACGX"]) == 1
 
 
-def test_cli_approx_rejects_base5(tmp_path, capsys):
+def test_cli_approx_base5(tmp_path, capsys):
     fa = tmp_path / "in.fa"
-    fa.write_bytes(b">r1\nACGTN\n")
+    #               GATNACA at 4 (N literal survives the base-5 codec)
+    fa.write_bytes(b">r1\nACGTGATNACAGGGG\n>r2\nAAAA\n")
     nup = str(tmp_path / "x5.nup")
     assert cli.main(
         ["encode", str(fa), nup, "--codec", "base5", "--tier", "oracle"]
     ) == 0
     capsys.readouterr()
-    assert cli.main(["approx", nup, "ACGT"]) == 1
+    # N literal: only the exact N-bearing query hits at distance 0
+    assert cli.main(["approx", nup, "GATNACA", "--cigar"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert (lines[0]["dist"], lines[0]["start"], lines[0]["end"],
+            lines[0]["cigar"]) == (0, 4, 11, "7M")
+    # an A in place of the N is a mismatch against the literal N
+    assert cli.main(["approx", nup, "GATAACA"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["dist"] == 1
+    # '?' is the wildcard on base-5: matches the N for free
+    assert cli.main(["approx", nup, "GAT?ACA", "--cigar"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["dist"] == 0 and lines[0]["cigar"] == "7M"
+    # reverse strand on base-5 under --both
+    assert cli.main(["approx", nup, "TGTNATC", "--both"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["dist"] == 0 and lines[0]["strand"] == "-"
 
 
 def test_cli_approx_cigar(tmp_path, capsys):
