@@ -23,6 +23,7 @@ run tune_enc_checked python tools/tune_enc_checked.py
 run tune_enc2 python tools/tune_enc2.py
 run tune_dec2 python tools/tune_dec2.py
 run tune_sketch python tools/tune_sketch.py
+run tune_align python tools/tune_align.py
 run vpu_peak python tools/vpu_peak.py
 # Fresh full-scale bench of the committed kernels (durable numbers even if
 # nobody ships tune winners before the relay drops again); detail JSON goes
