@@ -16,5 +16,5 @@ axes are first-class (SURVEY.md §2.3):
 """
 
 from .mesh import make_mesh, default_mesh  # noqa: F401
-from .data_parallel import ShardedCodec, data_parallel_encode, data_parallel_decode, kmer_spectrum, match_counts, sketch_sharded  # noqa: F401
+from .data_parallel import ShardedCodec, data_parallel_encode, data_parallel_decode, kmer_spectrum, match_counts, sketch_sharded, edit_distances  # noqa: F401
 from .longseq import encode_long_2bit, encode_long_b5, decode_long_2bit, decode_long_b5  # noqa: F401

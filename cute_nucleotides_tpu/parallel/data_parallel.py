@@ -452,3 +452,51 @@ class ShardedCodec:
         return data_parallel_decode_checked(
             words, mesh=self.mesh, tier=self.tier
         )
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_edit_distances(codec: str, mesh: Mesh):
+    from ..ops import align as align_lib
+
+    axis = mesh_lib.DATA_AXIS
+    fn = (
+        align_lib.edit_distance_packed_b5
+        if codec == "base5"
+        else align_lib.edit_distance_packed
+    )
+
+    def per_shard(qw, ql, tw, tl):
+        d = fn(qw, ql, tw, tl)
+        return jax.lax.all_gather(d, axis, axis=0, tiled=True)
+
+    return jax.jit(
+        shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis), P(axis, None), P(axis)),
+            out_specs=P(None),
+            check_vma=False,
+        )
+    )
+
+
+def edit_distances(
+    qwords: jax.Array,
+    qlens,
+    twords: jax.Array,
+    tlens,
+    *,
+    mesh: Mesh | None = None,
+    codec: str = "2bit",
+) -> jax.Array:
+    """Distributed batched edit distance: pair rows sharded over the data
+    axis (pairs are independent — pure data parallelism), global
+    Levenshtein per pair all-gathered to a replicated i32[B].
+    ``codec="base5"`` runs the digit-alphabet scan (``N`` literal).
+    B must divide by the data-axis size."""
+    if mesh is None:
+        mesh = mesh_lib.default_mesh()
+    B = qwords.shape[0]
+    qlens = jnp.broadcast_to(jnp.asarray(qlens, jnp.int32).reshape(-1), (B,))
+    tlens = jnp.broadcast_to(jnp.asarray(tlens, jnp.int32).reshape(-1), (B,))
+    return _jit_edit_distances(codec, mesh)(qwords, qlens, twords, tlens)

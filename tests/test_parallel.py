@@ -265,3 +265,36 @@ def test_best_match_long_sharded(rng):
     assert longseq.best_match_long(
         oracle.n_to_bits_lut(s2), 1000, b"AAAAA", mesh=m
     ) == (5, 0)
+
+
+def test_edit_distances_data_parallel(rng):
+    """Sharded batched edit distance == single-device op, both codecs."""
+    from cute_nucleotides_tpu.ops import align
+
+    B, m, n = 16, 40, 70
+    qs = [rng.choice(np.frombuffer(b"ACGT", np.uint8), size=m) for _ in range(B)]
+    ts = [rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=n) for _ in range(B)]
+
+    def rows(seqs, enc):
+        out = [spec.u64_to_u32_pairs(enc(s)).reshape(-1) for s in seqs]
+        return np.stack(out)
+
+    qw = rows(qs, oracle.n_to_bits_lut)
+    tw = rows([t.copy() for t in ts], oracle.n_to_bits_lut)
+    got = np.asarray(parallel.edit_distances(qw, m, tw, n))
+    want = np.asarray(
+        align.edit_distance_packed(
+            qw, np.full(B, m, np.int32), tw, np.full(B, n, np.int32)
+        )
+    )
+    assert np.array_equal(got, want)
+    qw5 = rows(qs, oracle.n_to_bits2_lut)
+    tw5 = rows([t.copy() for t in ts], oracle.n_to_bits2_lut)
+    got5 = np.asarray(
+        parallel.edit_distances(qw5, m, tw5, n, codec="base5")
+    )
+    want5 = [
+        align.edit_distance_reference_b5(bytes(q), bytes(t))
+        for q, t in zip(qs, ts)
+    ]
+    assert np.array_equal(got5, want5)
