@@ -8,7 +8,9 @@ formulation), computed for a whole *batch* of pairs at once — one pair per
 VPU lane, 32 DP rows per u32 block, so every vector op advances ``32 * B``
 DP cells.  No decode pass: the per-code query bitmasks (``Peq``) are built
 straight from the packed 2-bit words with the same SWAR folds the codecs
-use, and the text is unpacked lane-wise on device.
+use, and the text is consumed PACKED — the scan iterates words, each step
+advancing 16 DP columns (27 for base-5) from one u32 load per pair, so no
+unpacked codes array ever hits HBM and the loop count drops 16x/27x.
 
 Two modes over one scan:
 
@@ -28,9 +30,9 @@ the query-word count, so the block loop unrolls at trace time.
 
 The DP recurrence is strictly sequential along the text, so the TPU mapping
 puts the parallelism where it exists: across pairs (lanes) and query rows
-(bits).  A ``lax.scan`` carries ``(PV, MV, score)`` per lane; each step is
-~40 VPU lane-ops per 32-row block (selects, carry chain, score bit and
-ragged-length freeze included), i.e. ~1.3 lane-ops per DP cell.
+(bits).  A ``lax.scan`` carries ``(PV, MV, score)`` per lane; each char
+column is ~40 VPU lane-ops per 32-row block (selects, carry chain, score
+bit and ragged-length freeze included), i.e. ~1.3 lane-ops per DP cell.
 """
 
 from __future__ import annotations
@@ -193,13 +195,12 @@ def best_match_peq_b5(
     twords: jax.Array,
     tlens: jax.Array,
     *,
-    unroll: int = 4,
+    unroll: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """:func:`best_match_packed_b5` from precomputed 5-plane ``Peq``
     (``peq u32[B, 5, NB]``, e.g. :func:`peq_from_bytes_b5` broadcast)."""
-    tcodes = _unpack_digits_b5_t(twords)
-    _, best, best_end, _ = _myers_scan(
-        peq, qlens, tcodes, tlens, semiglobal=True, unroll=unroll
+    _, best, best_end, _ = _myers_scan_words_b5(
+        peq, qlens, twords, tlens, semiglobal=True, unroll=unroll
     )
     best = jnp.where(qlens == 0, 0, best)
     best_end = jnp.where(qlens == 0, 0, best_end)
@@ -213,58 +214,35 @@ def best_match_peq(
     twords: jax.Array,
     tlens: jax.Array,
     *,
-    unroll: int = 4,
+    unroll: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """:func:`best_match_packed` from precomputed ``Peq`` planes.
 
     ``peq u32[B, 4, NB]`` — e.g. one :func:`peq_from_bytes` result
     broadcast across the batch (which also enables N-wildcard queries).
     """
-    tcodes = _unpack_codes_t(twords)
-    _, best, best_end, _ = _myers_scan(
-        peq, qlens, tcodes, tlens, semiglobal=True, unroll=unroll
+    _, best, best_end, _ = _myers_scan_words(
+        peq, qlens, twords, tlens, semiglobal=True, unroll=unroll
     )
     best = jnp.where(qlens == 0, 0, best)
     best_end = jnp.where(qlens == 0, 0, best_end)
     return best, best_end
 
 
-def _unpack_codes_t(twords: jax.Array) -> jax.Array:
-    """Packed text u32[B, Wt] -> time-major codes u8[16 * Wt, B]."""
-    shifts = jnp.arange(
-        spec.NT_PER_U32_2BIT, dtype=jnp.uint32
-    )[None, None, :] * 2
-    codes = ((twords[:, :, None] >> shifts) & 3).astype(jnp.uint8)
-    B = twords.shape[0]
-    return codes.reshape(B, -1).T
+def _scan_setup(peq, qlens, semiglobal, emit_scores, tlens):
+    """Shared pieces of the word-native scans: initial carry + the
+    per-char DP column update (closure over the Peq planes).
 
-
-def _myers_scan(
-    peq: jax.Array,
-    qlens: jax.Array,
-    tcodes: jax.Array,
-    tlens: jax.Array,
-    *,
-    semiglobal: bool,
-    unroll: int,
-    emit_scores: bool = False,
-):
-    """Shared Myers column scan.
-
-    Returns ``(score, best, best_end, scores)``: the frozen-at-``tlen``
-    score, the running minimum over end positions with the first end
-    achieving it, and (when ``emit_scores``) the per-step frozen scores
-    ``i32[n, B]`` (invalid steps hold ``0x7FFFFFFF``), else ``None``.
-    ``semiglobal`` sets the row-0 horizontal boundary: ``D[0][j] = 0``
-    (occurrence anywhere) vs ``D[0][j] = j`` (global/prefix modes — the
-    running minimum is then the best-text-PREFIX distance, edlib's SHW).
+    The char step is the exact wide-word emulation of Hyyro's recurrence
+    (see the module docstring); both word drivers unroll it over the
+    chars a packed word carries, so the ``lax.scan`` iterates words — no
+    unpacked codes array ever hits HBM and the loop count drops 16x
+    (2-bit) / 27x (base-5).
     """
-    B, _, nb = peq.shape
-    n = tcodes.shape[0]
+    B, A, nb = peq.shape
     m1 = jnp.maximum(qlens.astype(jnp.int32), 1) - 1
     hb = m1 // ROWS_PER_BLOCK  # (B,) block holding the last query row
     hbit = (m1 % ROWS_PER_BLOCK).astype(jnp.uint32)
-    A = peq.shape[1]  # alphabet size: 4 (2-bit) or 5 (base-5 digits)
     peq_c = tuple(peq[:, c, :] for c in range(A))  # (B, NB) per code
 
     pv0 = tuple(jnp.full((B,), _FULL) for _ in range(nb))
@@ -272,9 +250,9 @@ def _myers_scan(
     score0 = qlens.astype(jnp.int32)
     carry0 = (pv0, mv0, score0, score0, jnp.zeros((B,), jnp.int32))
 
-    def step(carry, xs):
-        pv, mv, score, best, best_end = carry
-        c, j = xs
+    def char_step(state, c, j):
+        """One DP column: text code ``c`` (B,), position ``j`` (scalar)."""
+        pv, mv, score, best, best_end = state
         valid = j < tlens
         # Eq per block: A-way select on the text code (cheaper than gather)
         eq = [peq_c[0][:, b] for b in range(nb)]
@@ -335,11 +313,106 @@ def _myers_scan(
         )
         return (pv, mv, score, best, best_end), ys
 
-    xs = (tcodes, jnp.arange(n, dtype=jnp.int32)[:, None])
+    return carry0, char_step
+
+
+def _myers_scan_words(
+    peq: jax.Array,
+    qlens: jax.Array,
+    twords: jax.Array,
+    tlens: jax.Array,
+    *,
+    semiglobal: bool,
+    unroll: int,
+    emit_scores: bool = False,
+):
+    """Myers column scan over PACKED 2-bit text words ``u32[B, Wt]``.
+
+    The scan iterates words; each step advances 16 DP columns from one
+    u32 per pair (two VPU ops per char to expose the code — cheaper than
+    materializing a 16x-larger codes array in HBM).  Returns
+    ``(score, best, best_end, scores)``: the frozen-at-``tlen`` score,
+    the running minimum over end positions with the first end achieving
+    it, and (when ``emit_scores``) per-position frozen scores
+    ``i32[16*Wt, B]`` (invalid steps hold ``0x7FFFFFFF``), else ``None``.
+    ``semiglobal`` sets the row-0 horizontal boundary: ``D[0][j] = 0``
+    (occurrence anywhere) vs ``D[0][j] = j`` (global/prefix — the running
+    minimum is then the best-text-PREFIX distance, edlib's SHW).
+    """
+    carry0, char_step = _scan_setup(
+        peq, qlens, semiglobal, emit_scores, tlens
+    )
+    Wt = twords.shape[1]
+
+    def step(carry, xs):
+        w, wi = xs  # (B,) u32 word, scalar word index
+        j0 = spec.NT_PER_U32_2BIT * wi
+        ys16 = []
+        for s in range(spec.NT_PER_U32_2BIT):
+            c = (w >> jnp.uint32(2 * s)) & jnp.uint32(3)
+            carry, ys = char_step(carry, c, j0 + s)
+            if emit_scores:
+                ys16.append(ys)
+        return carry, (jnp.stack(ys16) if emit_scores else None)
+
+    xs = (twords.T, jnp.arange(Wt, dtype=jnp.int32))
     (pv, mv, score, best, best_end), scores = jax.lax.scan(
         step, carry0, xs, unroll=unroll
     )
+    if emit_scores:
+        scores = scores.reshape(-1, twords.shape[0])
     return score, best, best_end, scores
+
+
+def _myers_scan_words_b5(
+    peq: jax.Array,
+    qlens: jax.Array,
+    twords: jax.Array,
+    tlens: jax.Array,
+    *,
+    semiglobal: bool,
+    unroll: int,
+):
+    """Myers column scan over PACKED base-5 text: ``u32[B, 2*W]`` pairs.
+
+    Each step splits one u32 pair into 9 triplets (the decode tier's
+    layout) and 27 digits via exact multiply-shifts, advancing 27 DP
+    columns per scan iteration.
+    """
+    carry0, char_step = _scan_setup(peq, qlens, semiglobal, False, tlens)
+    B, w2 = twords.shape
+    if w2 % 2:
+        raise ValueError("base-5 packed stream must have even u32 count")
+    pair = twords.reshape(B, w2 // 2, 2)
+    lo_t, hi_t = pair[..., 0].T, pair[..., 1].T  # (W, B)
+    m7 = jnp.uint32(0x7F)
+
+    def step(carry, xs):
+        lo, hi, wi = xs
+        trips = (
+            lo & m7,
+            (lo >> 7) & m7,
+            (lo >> 14) & m7,
+            (lo >> 21) & m7,
+            ((lo >> 28) | (hi << 4)) & m7,
+            (hi >> 3) & m7,
+            (hi >> 10) & m7,
+            (hi >> 17) & m7,
+            (hi >> 24) & m7,
+        )
+        j0 = spec.NT_PER_WORD_B5 * wi
+        for k, t in enumerate(trips):
+            q5 = (t * jnp.uint32(205)) >> 10  # t // 5, exact for t < 1024
+            q25 = (t * jnp.uint32(41)) >> 10  # t // 25
+            for r, d in enumerate((t - 5 * q5, q5 - 5 * q25, q25)):
+                carry, _ = char_step(carry, d, j0 + 3 * k + r)
+        return carry, None
+
+    xs = (lo_t, hi_t, jnp.arange(lo_t.shape[0], dtype=jnp.int32))
+    (pv, mv, score, best, best_end), _ = jax.lax.scan(
+        step, carry0, xs, unroll=unroll
+    )
+    return score, best, best_end, None
 
 
 @functools.partial(jax.jit, static_argnames=("unroll",))
@@ -349,7 +422,7 @@ def edit_distance_packed(
     twords: jax.Array,
     tlens: jax.Array,
     *,
-    unroll: int = 4,
+    unroll: int = 1,
 ) -> jax.Array:
     """Batched global Levenshtein distance, packed-in: ``-> i32[B]``.
 
@@ -360,9 +433,8 @@ def edit_distance_packed(
     ragged lengths handled per row.
     """
     peq = peq_from_packed(qwords, qlens)
-    tcodes = _unpack_codes_t(twords)
-    score, _, _, _ = _myers_scan(
-        peq, qlens, tcodes, tlens, semiglobal=False, unroll=unroll
+    score, _, _, _ = _myers_scan_words(
+        peq, qlens, twords, tlens, semiglobal=False, unroll=unroll
     )
     # m == 0: every text char is an insertion; n == 0 is already score == m
     return jnp.where(qlens == 0, tlens.astype(jnp.int32), score)
@@ -375,7 +447,7 @@ def best_match_packed(
     twords: jax.Array,
     tlens: jax.Array,
     *,
-    unroll: int = 4,
+    unroll: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Best approximate occurrence of each query in its text.
 
@@ -386,9 +458,8 @@ def best_match_packed(
     is 0 when the empty substring is best (``dist == qlen``).
     """
     peq = peq_from_packed(qwords, qlens)
-    tcodes = _unpack_codes_t(twords)
-    _, best, best_end, _ = _myers_scan(
-        peq, qlens, tcodes, tlens, semiglobal=True, unroll=unroll
+    _, best, best_end, _ = _myers_scan_words(
+        peq, qlens, twords, tlens, semiglobal=True, unroll=unroll
     )
     best = jnp.where(qlens == 0, 0, best)
     best_end = jnp.where(qlens == 0, 0, best_end)
@@ -402,7 +473,7 @@ def prefix_distance_packed(
     twords: jax.Array,
     tlens: jax.Array,
     *,
-    unroll: int = 4,
+    unroll: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Whole query vs the best text PREFIX (edlib's SHW mode).
 
@@ -414,9 +485,8 @@ def prefix_distance_packed(
     canonical use: "how much of the read's head does this query explain".
     """
     peq = peq_from_packed(qwords, qlens)
-    tcodes = _unpack_codes_t(twords)
-    _, best, best_end, _ = _myers_scan(
-        peq, qlens, tcodes, tlens, semiglobal=False, unroll=unroll
+    _, best, best_end, _ = _myers_scan_words(
+        peq, qlens, twords, tlens, semiglobal=False, unroll=unroll
     )
     best = jnp.where(qlens == 0, 0, best)
     best_end = jnp.where(qlens == 0, 0, best_end)
@@ -431,7 +501,7 @@ def match_ends_packed(
     tlens: jax.Array,
     max_errors: jax.Array,
     *,
-    unroll: int = 4,
+    unroll: int = 1,
 ) -> jax.Array:
     """EVERY end position with edit distance <= ``max_errors``: bool[B, n].
 
@@ -441,9 +511,8 @@ def match_ends_packed(
     ``b`` within ``max_errors[b]`` edits.  Steps past ``tlens`` are False.
     """
     peq = peq_from_packed(qwords, qlens)
-    tcodes = _unpack_codes_t(twords)
-    _, _, _, scores = _myers_scan(
-        peq, qlens, tcodes, tlens, semiglobal=True, unroll=unroll,
+    _, _, _, scores = _myers_scan_words(
+        peq, qlens, twords, tlens, semiglobal=True, unroll=unroll,
         emit_scores=True,
     )
     return (scores <= max_errors.astype(jnp.int32)[None, :]).T
@@ -516,7 +585,7 @@ def edit_distance_packed_b5(
     twords: jax.Array,
     tlens: jax.Array,
     *,
-    unroll: int = 4,
+    unroll: int = 1,
 ) -> jax.Array:
     """Batched global Levenshtein on base-5 packed streams: ``-> i32[B]``.
 
@@ -528,9 +597,8 @@ def edit_distance_packed_b5(
     """
     qd = _unpack_digits_b5_t(qwords).T  # (B, Lq) digits
     peq = _peq_from_codes(qd, qlens, 5)
-    tcodes = _unpack_digits_b5_t(twords)
-    score, _, _, _ = _myers_scan(
-        peq, qlens, tcodes, tlens, semiglobal=False, unroll=unroll
+    score, _, _, _ = _myers_scan_words_b5(
+        peq, qlens, twords, tlens, semiglobal=False, unroll=unroll
     )
     return jnp.where(qlens == 0, tlens.astype(jnp.int32), score)
 
@@ -542,15 +610,14 @@ def best_match_packed_b5(
     twords: jax.Array,
     tlens: jax.Array,
     *,
-    unroll: int = 4,
+    unroll: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Base-5 mirror of :func:`best_match_packed` (5-symbol alphabet,
     ``N`` literal): ``(dist i32[B], end i32[B])``."""
     qd = _unpack_digits_b5_t(qwords).T
     peq = _peq_from_codes(qd, qlens, 5)
-    tcodes = _unpack_digits_b5_t(twords)
-    _, best, best_end, _ = _myers_scan(
-        peq, qlens, tcodes, tlens, semiglobal=True, unroll=unroll
+    _, best, best_end, _ = _myers_scan_words_b5(
+        peq, qlens, twords, tlens, semiglobal=True, unroll=unroll
     )
     best = jnp.where(qlens == 0, 0, best)
     best_end = jnp.where(qlens == 0, 0, best_end)
@@ -588,7 +655,7 @@ def _best_match_stream_impl(
     length: jax.Array,
     m: int,
     plan: tuple[int, int, int],
-    unroll: int = 4,
+    unroll: int = 1,
 ):
     R, wrb, H = plan
     idx = jnp.arange(R)[:, None] * wrb + jnp.arange(wrb + H)[None, :]
@@ -612,7 +679,7 @@ def _best_match_stream_impl(
 
 
 def best_match_stream(
-    words, length: int, query: bytes, *, unroll: int = 4
+    words, length: int, query: bytes, *, unroll: int = 1
 ) -> tuple[int, int]:
     """Best approximate occurrence of ``query`` in ONE long packed stream.
 
