@@ -1000,7 +1000,9 @@ def cmd_approx(args) -> int:
                 qb = qbytes_by_strand[strand]
                 mq = len(qb)
                 e_lo = max(0, end - (2 * mq - 1))
-                nt_w = 27 if is_b5 else 32
+                nt_w = (
+                    spec.NT_PER_WORD_B5 if is_b5 else spec.NT_PER_WORD_2BIT
+                )
                 a = (e_lo // nt_w) * nt_w
                 decode = oracle.bits_to_n2_lut if is_b5 else oracle.bits_to_n_lut
                 trace = (

@@ -229,7 +229,7 @@ def best_match_peq(
     return best, best_end
 
 
-def _scan_setup(peq, qlens, semiglobal, emit_scores, tlens):
+def _scan_setup(peq, qlens, semiglobal, emit_scores, tlens, track_best):
     """Shared pieces of the word-native scans: initial carry + the
     per-char DP column update (closure over the Peq planes).
 
@@ -303,9 +303,10 @@ def _scan_setup(peq, qlens, semiglobal, emit_scores, tlens):
             jnp.where(valid, nmv, omv) for nmv, omv in zip(new_mv, mv)
         )
         score = jnp.where(valid, new_score, score)
-        better = valid & (score < best)
-        best = jnp.where(better, score, best)
-        best_end = jnp.where(better, j + 1, best_end)
+        if track_best:  # min over end positions (semiglobal/prefix modes)
+            better = valid & (score < best)
+            best = jnp.where(better, score, best)
+            best_end = jnp.where(better, j + 1, best_end)
         ys = (
             jnp.where(valid, score, jnp.int32(0x7FFFFFFF))
             if emit_scores
@@ -325,6 +326,7 @@ def _myers_scan_words(
     semiglobal: bool,
     unroll: int,
     emit_scores: bool = False,
+    track_best: bool = True,
 ):
     """Myers column scan over PACKED 2-bit text words ``u32[B, Wt]``.
 
@@ -340,7 +342,7 @@ def _myers_scan_words(
     minimum is then the best-text-PREFIX distance, edlib's SHW).
     """
     carry0, char_step = _scan_setup(
-        peq, qlens, semiglobal, emit_scores, tlens
+        peq, qlens, semiglobal, emit_scores, tlens, track_best
     )
     Wt = twords.shape[1]
 
@@ -372,6 +374,7 @@ def _myers_scan_words_b5(
     *,
     semiglobal: bool,
     unroll: int,
+    track_best: bool = True,
 ):
     """Myers column scan over PACKED base-5 text: ``u32[B, 2*W]`` pairs.
 
@@ -379,7 +382,9 @@ def _myers_scan_words_b5(
     layout) and 27 digits via exact multiply-shifts, advancing 27 DP
     columns per scan iteration.
     """
-    carry0, char_step = _scan_setup(peq, qlens, semiglobal, False, tlens)
+    carry0, char_step = _scan_setup(
+        peq, qlens, semiglobal, False, tlens, track_best
+    )
     B, w2 = twords.shape
     if w2 % 2:
         raise ValueError("base-5 packed stream must have even u32 count")
@@ -434,7 +439,8 @@ def edit_distance_packed(
     """
     peq = peq_from_packed(qwords, qlens)
     score, _, _, _ = _myers_scan_words(
-        peq, qlens, twords, tlens, semiglobal=False, unroll=unroll
+        peq, qlens, twords, tlens, semiglobal=False, unroll=unroll,
+        track_best=False,
     )
     # m == 0: every text char is an insertion; n == 0 is already score == m
     return jnp.where(qlens == 0, tlens.astype(jnp.int32), score)
@@ -503,12 +509,13 @@ def match_ends_packed(
     *,
     unroll: int = 1,
 ) -> jax.Array:
-    """EVERY end position with edit distance <= ``max_errors``: bool[B, n].
+    """EVERY end position within ``max_errors`` edits: bool[B, 16 * Wt].
 
     The thresholded counterpart of :func:`best_match_packed` (the
     approximate analogue of ``search.match_mask``): ``out[b, j]`` is True
     iff some substring of text ``b`` ending at ``j + 1`` matches query
-    ``b`` within ``max_errors[b]`` edits.  Steps past ``tlens`` are False.
+    ``b`` within ``max_errors[b]`` edits.  Columns cover the words' full
+    16 * Wt capacity; positions at and past ``tlens[b]`` are False.
     """
     peq = peq_from_packed(qwords, qlens)
     _, _, _, scores = _myers_scan_words(
@@ -598,7 +605,8 @@ def edit_distance_packed_b5(
     qd = _unpack_digits_b5_t(qwords).T  # (B, Lq) digits
     peq = _peq_from_codes(qd, qlens, 5)
     score, _, _, _ = _myers_scan_words_b5(
-        peq, qlens, twords, tlens, semiglobal=False, unroll=unroll
+        peq, qlens, twords, tlens, semiglobal=False, unroll=unroll,
+        track_best=False,
     )
     return jnp.where(qlens == 0, tlens.astype(jnp.int32), score)
 

@@ -3,7 +3,7 @@
 ``ops/align._myers_scan`` is a ``lax.scan`` whose per-step body is ~40 VPU
 lane-ops per 32-row block; the knobs XLA leaves us are the scan ``unroll``
 factor (amortizes loop overhead, grows the fused body) and the batch size
-per dispatch (lane occupancy vs state footprint).  Sweeps unroll 1/2/4
+per dispatch (lane occupancy vs state footprint).  Sweeps unroll 1/2
 on the bench row's workload (B=8192 pairs, m=128, n=2048: 2.1 G DP cells)
 and B 2048/8192/16384 at the winner.  Ships by changing the ``unroll=1``
 default in ops/align.py if a variant wins by >= 3%.  (The scan is
@@ -107,7 +107,7 @@ def main() -> int:
         )
         return dt
 
-    best_u, best_dt = 4, None
+    best_u, best_dt = 1, None
     for name, fn, u in variants:
         dt = measure(name, fn, qw)
         if dt is not None and (best_dt is None or dt < best_dt):
