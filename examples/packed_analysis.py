@@ -9,6 +9,7 @@ of reads once, then computes — all on device, all from packed words:
 * a k-mer spectrum (Pallas funnel-shift extraction + scatter-free MXU
   histogram)
 * all-pairs Hamming distances (length-chunked int8 one-hot matmuls)
+* approximate search (Myers bit-parallel edit distance, word-native scan)
 
 Run on any backend:
 
@@ -86,6 +87,23 @@ iu = np.triu_indices(B, 1)
 print(f"pairwise Hamming: mean {d[iu].mean():.1f} of {L} "
       f"(expect ~{0.75 * L:.0f} for random)")
 assert (np.diag(d) == 0).all() and (d == d.T).all()
+
+# --- approximate search (Myers bit-parallel, no decode) --------------------
+from cute_nucleotides_tpu.ops import align
+
+query = bytes(reads[7, 100:130])  # a 30-nt substring of read 7
+peq, qm = align.peq_from_bytes(query)
+dists, ends = align.best_match_peq(
+    jnp.broadcast_to(jnp.asarray(peq)[None], (B,) + peq.shape),
+    jnp.full((B,), qm, jnp.int32),
+    words,
+    jnp.full((B,), L, jnp.int32),
+)
+dists, ends = np.asarray(dists), np.asarray(ends)
+print(f"best occurrence of a read-7 30-mer: dist {dists.min()} "
+      f"(read {dists.argmin()}, end {ends[dists.argmin()]}); "
+      f"median dist elsewhere {int(np.median(dists))}")
+assert dists[7] == 0 and ends[7] == 130
 
 # --- and the stream is still bit-exact to the reference layout -------------
 w0 = spec.u32_pairs_to_u64(np.asarray(words[0]))
