@@ -109,6 +109,10 @@ def load() -> ctypes.CDLL | None:
             u8p, ctypes.c_size_t, u8p, ctypes.c_size_t, i64p, i64p,
         ]
         lib.cutenuc_best_match.restype = None
+        lib.cutenuc_prefix_match.argtypes = [
+            u8p, ctypes.c_size_t, u8p, ctypes.c_size_t, i64p, i64p,
+        ]
+        lib.cutenuc_prefix_match.restype = None
         _lib = lib
         return _lib
 

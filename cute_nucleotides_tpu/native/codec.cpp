@@ -279,7 +279,7 @@ void myers_scan(const uint8_t* q, size_t m, const uint8_t* t, size_t n,
       pv[b] = ms | ~(xv[b] | ps);
       mv[b] = ps & xv[b];
     }
-    if (semiglobal && score < best) {
+    if (score < best) {
       best = score;
       best_end = static_cast<int64_t>(j) + 1;
     }
@@ -313,6 +313,21 @@ void cutenuc_best_match(const uint8_t* q, size_t m, const uint8_t* t,
   }
   int64_t score, best, best_end;
   myers_scan(q, m, t, n, true, &score, &best, &best_end);
+  *dist = best;
+  *end = best_end;
+}
+
+// Prefix (SHW) mode: whole query vs the best text PREFIX — the running
+// minimum of the global-mode scan (align.prefix_distance_packed's mirror).
+void cutenuc_prefix_match(const uint8_t* q, size_t m, const uint8_t* t,
+                          size_t n, int64_t* dist, int64_t* end) {
+  if (m == 0) {
+    *dist = 0;
+    *end = 0;
+    return;
+  }
+  int64_t score, best, best_end;
+  myers_scan(q, m, t, n, false, &score, &best, &best_end);
   *dist = best;
   *end = best_end;
 }

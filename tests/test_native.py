@@ -99,3 +99,26 @@ def test_native_myers_vs_oracle(rng):
     assert native.edit_distance(b"", b"ACGT") == 4
     assert native.best_match(b"", b"ACGT") == (0, 0)
     assert native.edit_distance(b"ACG", b"") == 3
+
+
+def test_native_prefix_match(rng):
+    from cute_nucleotides_tpu.ops import align, oracle, spec
+
+    for _ in range(10):
+        m = int(rng.integers(1, 70))
+        n = int(rng.integers(0, 120))
+        q = bytes(rng.choice(list(b"ACGT"), size=m).astype(np.uint8))
+        t = bytes(rng.choice(list(b"ACGT"), size=n).astype(np.uint8))
+        d, e = native.prefix_match(q, t)
+        # the device SHW mode is the ground truth here
+        def pack(s):
+            w = np.zeros((1, 2 * max(1, -(-len(s) // 32))), np.uint32)
+            if s:
+                v = spec.u64_to_u32_pairs(oracle.n_to_bits_lut(s)).reshape(-1)
+                w[0, : v.size] = v
+            return w
+        dd, de = align.prefix_distance_packed(
+            pack(q), np.array([m], np.int32), pack(t), np.array([n], np.int32)
+        )
+        assert (d, e) == (int(dd[0]), int(de[0])), (q, t)
+    assert native.prefix_match(b"", b"ACG") == (0, 0)
