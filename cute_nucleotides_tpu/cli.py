@@ -1023,6 +1023,51 @@ def cmd_approx(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Remove exact-duplicate records (same normalized sequence) from a
+    .nup container — ``seqkit rmdup -s`` on the packed domain.  Equality
+    is over the packed words + length (case/U folding happened at encode
+    time), decided by one stable device sort (``ops.seqops.duplicate_mask``);
+    first occurrence wins.  Prints a one-line JSON summary."""
+    import jax.numpy as jnp
+
+    from .ops import seqops, spec
+
+    codec, entries = read_nup(args.input)
+    if not entries:
+        write_nup(args.output, [], [], [], codec)
+        print(json.dumps({"records": 0, "kept": 0, "removed": 0}))
+        return 0
+    wmax = max(1, max(len(w) for _, _, w in entries))
+    rows = np.zeros((len(entries), 2 * wmax), np.uint32)
+    lens = np.zeros(len(entries), np.int64)
+    for i, (_, length, words) in enumerate(entries):
+        w32 = spec.u64_to_u32_pairs(np.ascontiguousarray(words)).reshape(-1)
+        rows[i, : w32.size] = w32
+        lens[i] = length
+    dup = np.asarray(
+        seqops.duplicate_mask(jnp.asarray(rows), jnp.asarray(lens, np.int32))
+    )
+    keep = [e for e, d in zip(entries, dup) if not d]
+    write_nup(
+        args.output,
+        [n for n, _, _ in keep],
+        [w for _, _, w in keep],
+        [length for _, length, _ in keep],
+        codec,
+    )
+    print(
+        json.dumps(
+            {
+                "records": len(entries),
+                "kept": len(keep),
+                "removed": int(dup.sum()),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_bench(args) -> int:
     import runpy
     import os
@@ -1191,6 +1236,15 @@ def main(argv=None) -> int:
         help="codec-model tier for encoding ASCII inputs",
     )
     pk.set_defaults(fn=cmd_sketch)
+
+    pu = sub.add_parser(
+        "dedup",
+        help="remove exact-duplicate records (packed-word equality, "
+        "first occurrence wins)",
+    )
+    pu.add_argument("input", help=".nup container (either codec)")
+    pu.add_argument("output", help="deduplicated .nup")
+    pu.set_defaults(fn=cmd_dedup)
 
     pb = sub.add_parser("bench", help="run the benchmark harness")
     pb.set_defaults(fn=cmd_bench)

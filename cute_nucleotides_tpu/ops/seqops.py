@@ -42,6 +42,7 @@ __all__ = [
     "translate_6frame",
     "translate_packed_b5",
     "translate_6frame_b5",
+    "duplicate_mask",
 ]
 
 
@@ -753,3 +754,36 @@ def translate_6frame_b5(words: jax.Array, length: int) -> list[jax.Array]:
     return [translate_packed_b5(words, length, f) for f in range(3)] + [
         translate_packed_b5(rc, length, f) for f in range(3)
     ]
+
+
+# --- exact read deduplication -----------------------------------------------
+
+@jax.jit
+def duplicate_mask(words: jax.Array, lengths: jax.Array) -> jax.Array:
+    """True for rows duplicating an EARLIER row: (u32[B, W], i32[B]) -> bool[B].
+
+    ``seqkit rmdup -s``'s job on the packed domain: two reads are
+    duplicates iff their normalized sequences are identical (same length,
+    same packed words — the codec's case/U folding and 'A' padding make
+    content equality plain word equality).  One stable multi-key
+    ``lax.sort`` over (length, every word column) makes equal rows
+    adjacent in first-occurrence order; a neighbor compare marks all but
+    the group head.  Exact — the sort keys ARE the full content, no hash
+    involved.  W is static, so the comparator has W + 1 keys; intended
+    for read batches (W up to a few hundred words).
+    """
+    B, W = words.shape
+    idx = jnp.arange(B, dtype=jnp.int32)
+    keys = (lengths.astype(jnp.int32),) + tuple(
+        words[:, w] for w in range(W)
+    )
+    out = jax.lax.sort(
+        keys + (idx,), num_keys=len(keys), is_stable=True
+    )
+    s_len, s_words, s_idx = out[0], out[1:-1], out[-1]
+    same = s_len[1:] == s_len[:-1]
+    for col in s_words:
+        same = same & (col[1:] == col[:-1])
+    dup_sorted = jnp.concatenate([jnp.zeros((1,), bool), same])
+    # scatter back: row s_idx[i] is a duplicate iff dup_sorted[i]
+    return jnp.zeros((B,), bool).at[s_idx].set(dup_sorted)

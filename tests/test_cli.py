@@ -588,3 +588,28 @@ def test_cli_approx_cigar(tmp_path, capsys):
         if op in "MI"
     )
     assert msum == 8  # M + I consume the whole query
+
+
+def test_cli_dedup(tmp_path, capsys):
+    fa = tmp_path / "in.fa"
+    # r2 duplicates r1 after case/U folding; r4 duplicates r3; r5 unique
+    fa.write_bytes(
+        b">r1\nACGTACGTAC\n>r2\nacguacguac\n>r3\nGGGG\n>r4\nGGGG\n"
+        b">r5\nGGG\n"
+    )
+    nup = str(tmp_path / "x.nup")
+    out = str(tmp_path / "dedup.nup")
+    assert cli.main(["encode", str(fa), nup, "--tier", "oracle"]) == 0
+    capsys.readouterr()
+    assert cli.main(["dedup", nup, out]) == 0
+    info = json.loads(capsys.readouterr().out.strip())
+    assert info == {"records": 5, "kept": 3, "removed": 2}
+    codec, entries = cli.read_nup(out)
+    assert [e[0] for e in entries] == [b"r1", b"r3", b"r5"]
+    assert [e[1] for e in entries] == [10, 4, 3]
+    # roundtrip: surviving records decode to the folded originals
+    out_fa = str(tmp_path / "out.fa")
+    assert cli.main(["decode", out, out_fa, "--tier", "oracle"]) == 0
+    assert open(out_fa, "rb").read() == (
+        b">r1\nACGTACGTAC\n>r3\nGGGG\n>r5\nGGG\n"
+    )

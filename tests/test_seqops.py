@@ -436,3 +436,52 @@ def test_translate_b5_errors():
         seqops.translate_packed_b5(w, 9, 3)
     with pytest.raises(ValueError):
         seqops.translate_packed_b5(w, 28, 0)  # exceeds one-word capacity
+
+
+class TestDuplicateMask:
+    def _pack_rows(self, seqs):
+        from cute_nucleotides_tpu.ops import oracle, spec
+
+        lens = np.array([len(s) for s in seqs], np.int32)
+        W = 2 * max(1, -(-int(lens.max()) // 32))
+        rows = np.zeros((len(seqs), W), np.uint32)
+        for i, s in enumerate(seqs):
+            if s:
+                v = spec.u64_to_u32_pairs(oracle.n_to_bits_lut(s)).reshape(-1)
+                rows[i, : v.size] = v
+        return rows, lens
+
+    def test_vs_dict_oracle(self, rng):
+        from cute_nucleotides_tpu.ops import seqops
+
+        pool = [
+            bytes(rng.choice(list(b"ACGT"), size=int(rng.integers(5, 60))).astype(np.uint8))
+            for _ in range(12)
+        ]
+        seqs = [pool[int(rng.integers(0, len(pool)))] for _ in range(64)]
+        rows, lens = self._pack_rows(seqs)
+        got = np.asarray(seqops.duplicate_mask(rows, lens))
+        seen = set()
+        want = []
+        for s in seqs:
+            want.append(s in seen)
+            seen.add(s)
+        assert list(got) == want
+
+    def test_case_and_padding_fold(self):
+        from cute_nucleotides_tpu.ops import seqops
+
+        # 'acgu' encodes identically to 'ACGT'; a prefix is NOT a dup
+        rows, lens = self._pack_rows([b"ACGT", b"acgu", b"ACG", b"ACGT"])
+        got = np.asarray(seqops.duplicate_mask(rows, lens))
+        assert list(got) == [False, True, False, True]
+
+    def test_length_distinguishes_padded_equals(self):
+        from cute_nucleotides_tpu.ops import seqops
+
+        # same packed words ('A' padding) but different lengths
+        rows, lens = self._pack_rows([b"ACGTA", b"ACGT"])
+        assert list(np.asarray(seqops.duplicate_mask(rows, lens))) == [
+            False,
+            False,
+        ]
