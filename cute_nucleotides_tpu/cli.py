@@ -832,6 +832,23 @@ def cmd_sketch(args) -> int:
     return 0
 
 
+def _revcomp_pattern(raw: bytes, is_b5: bool) -> bytes:
+    """Reverse-complement a CLI pattern, preserving wildcard semantics.
+
+    Base-5 patterns use ``?`` as the wildcard, which is not a base:
+    complement via the N placeholder, then restore each ``?`` at its
+    reversed position (literal Ns keep mapping N -> N)."""
+    from .ops import search
+
+    if is_b5:
+        rc = search.revcomp_query(raw.replace(b"?", b"N"))
+        return bytes(
+            ord("?") if p == ord("?") else w
+            for p, w in zip(raw[::-1], rc)
+        )
+    return search.revcomp_query(raw)
+
+
 def cmd_grep(args) -> int:
     """Find every occurrence of a pattern in a .nup's records, scanning the
     PACKED words (``ops.search`` — no decode pass).  On 2-bit streams ``N``
@@ -855,17 +872,7 @@ def cmd_grep(args) -> int:
     queries = [(args.pattern.encode(), "+")]
     if args.both:
         raw = args.pattern.encode()
-        if is_b5:
-            # '?' is not a base: complement via the N placeholder, then
-            # restore the wildcard at its reversed position (literal Ns
-            # keep mapping N -> N)
-            rc = search.revcomp_query(raw.replace(b"?", b"N"))
-            rc = bytes(
-                ord("?") if p == ord("?") else w
-                for p, w in zip(raw[::-1], rc)
-            )
-        else:
-            rc = search.revcomp_query(raw)
+        rc = _revcomp_pattern(raw, is_b5)
         if rc != raw.upper().replace(b"U", b"T"):
             queries.append((rc, "-"))
     if args.batch:
@@ -919,7 +926,7 @@ def cmd_approx(args) -> int:
     records with distance <= E (exit 1 when none qualify)."""
     import jax.numpy as jnp
 
-    from .ops import align, search, spec
+    from .ops import align, spec
 
     codec, entries = read_nup(args.input)
     is_b5 = codec != "2bit"
@@ -929,14 +936,7 @@ def cmd_approx(args) -> int:
     try:
         strands = [(compile_q(raw), "+", raw)]
         if args.both:
-            if is_b5:
-                rc = search.revcomp_query(raw.replace(b"?", b"N"))
-                rc = bytes(
-                    ord("?") if p == ord("?") else w
-                    for p, w in zip(raw[::-1], rc)
-                )
-            else:
-                rc = search.revcomp_query(raw)
+            rc = _revcomp_pattern(raw, is_b5)
             if rc != raw.upper().replace(b"U", b"T"):
                 strands.append((compile_q(rc), "-", rc))
     except ValueError as e:

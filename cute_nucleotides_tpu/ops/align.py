@@ -61,6 +61,7 @@ __all__ = [
     "edit_distance_reference",
     "edit_distance_reference_b5",
     "best_match_reference",
+    "prefix_distance_reference",
     "best_match_reference_b5",
     "semiglobal_traceback",
     "semiglobal_traceback_b5",
@@ -727,11 +728,10 @@ def _wild_rows(seq: bytes) -> np.ndarray:
     return (np.frombuffer(bytes(seq), np.uint8) & 0xDF) == ord("N")
 
 
-def edit_distance_reference(a: bytes, b: bytes) -> int:
-    """NumPy DP oracle: global Levenshtein over normalized codes
-    (``N``/``n`` in ``a``, the query, matches any base)."""
-    ca, cb = _fold_codes(a), _fold_codes(b)
-    wild = _wild_rows(a)
+def _dp_last_row(ca, cb, wild) -> np.ndarray:
+    """Global-recurrence DP over integer codes: the last row ``D[m][:]``
+    (``D[0][j] = j``).  Shared by the global, prefix and native-fallback
+    oracles; ``wild[i]`` makes query row ``i`` match any code for free."""
     prev = np.arange(len(cb) + 1, dtype=np.int64)
     for i, x in enumerate(ca):
         cur = np.empty_like(prev)
@@ -740,7 +740,41 @@ def edit_distance_reference(a: bytes, b: bytes) -> int:
         for j in range(1, len(cur)):  # left-to-right insertion chain
             cur[j] = min(cur[j], cur[j - 1] + 1)
         prev = cur
-    return int(prev[-1])
+    return prev
+
+
+def _dp_best_match(cq, ct, wild) -> tuple[int, int]:
+    """Semiglobal DP over integer codes: ``(min dist, first best end)``
+    (``D[0][j] = 0``)."""
+    m = len(cq)
+    prev = np.arange(m + 1, dtype=np.int64)  # D[i][0] = i
+    best, best_end = m, 0
+    for j, x in enumerate(ct):
+        cur = np.empty_like(prev)
+        cur[0] = 0  # D[0][j] = 0: text prefix free
+        for i in range(1, m + 1):
+            cur[i] = min(
+                prev[i - 1] + int(cq[i - 1] != x and not wild[i - 1]),
+                prev[i] + 1,
+                cur[i - 1] + 1,
+            )
+        prev = cur
+        if cur[m] < best:
+            best, best_end = int(cur[m]), j + 1
+    return best, best_end
+
+
+def edit_distance_reference(a: bytes, b: bytes) -> int:
+    """NumPy DP oracle: global Levenshtein over normalized codes
+    (``N``/``n`` in ``a``, the query, matches any base)."""
+    return int(_dp_last_row(_fold_codes(a), _fold_codes(b), _wild_rows(a))[-1])
+
+
+def prefix_distance_reference(q: bytes, t: bytes) -> tuple[int, int]:
+    """DP oracle for :func:`prefix_distance_packed` (SHW): the global-mode
+    last row's ``(min, first argmin)`` — query vs the best text prefix."""
+    row = _dp_last_row(_fold_codes(q), _fold_codes(t), _wild_rows(q))
+    return int(row.min()), int(row.argmin())
 
 
 def semiglobal_traceback(
@@ -823,56 +857,19 @@ def _b5_digits_of(seq: bytes) -> np.ndarray:
 def edit_distance_reference_b5(a: bytes, b: bytes) -> int:
     """DP oracle over base-5 DIGITS: the 5-symbol alphabet, ``N`` a
     literal (no wildcards — the codec's semantics)."""
-    ca, cb = _b5_digits_of(a), _b5_digits_of(b)
-    prev = np.arange(len(cb) + 1, dtype=np.int64)
-    for x in ca:
-        cur = np.empty_like(prev)
-        cur[0] = prev[0] + 1
-        cur[1:] = np.minimum(prev[:-1] + (cb != x), prev[1:] + 1)
-        for j in range(1, len(cur)):
-            cur[j] = min(cur[j], cur[j - 1] + 1)
-        prev = cur
-    return int(prev[-1])
+    ca = _b5_digits_of(a)
+    return int(
+        _dp_last_row(ca, _b5_digits_of(b), np.zeros(len(ca), bool))[-1]
+    )
 
 
 def best_match_reference_b5(q: bytes, t: bytes) -> tuple[int, int]:
     """Base-5-digit DP oracle for :func:`best_match_packed_b5`."""
-    cq, ct = _b5_digits_of(q), _b5_digits_of(t)
-    m = len(cq)
-    prev = np.arange(m + 1, dtype=np.int64)
-    best, best_end = m, 0
-    for j, x in enumerate(ct):
-        cur = np.empty_like(prev)
-        cur[0] = 0
-        for i in range(1, m + 1):
-            cur[i] = min(
-                prev[i - 1] + (cq[i - 1] != x), prev[i] + 1, cur[i - 1] + 1
-            )
-        prev = cur
-        if cur[m] < best:
-            best, best_end = int(cur[m]), j + 1
-    return best, best_end
+    cq = _b5_digits_of(q)
+    return _dp_best_match(cq, _b5_digits_of(t), np.zeros(len(cq), bool))
 
 
 def best_match_reference(q: bytes, t: bytes) -> tuple[int, int]:
     """DP oracle for :func:`best_match_packed`: ``(dist, first end)``
     (``N``/``n`` in the query matches any base)."""
-    cq, ct = _fold_codes(q), _fold_codes(t)
-    wild = _wild_rows(q)
-    m = len(cq)
-    prev = np.zeros(m + 1, dtype=np.int64)
-    prev[:] = np.arange(m + 1)  # D[i][0] = i
-    best, best_end = m, 0
-    for j, x in enumerate(ct):
-        cur = np.empty_like(prev)
-        cur[0] = 0  # D[0][j] = 0: text prefix free
-        for i in range(1, m + 1):
-            cur[i] = min(
-                prev[i - 1] + int(cq[i - 1] != x and not wild[i - 1]),
-                prev[i] + 1,
-                cur[i - 1] + 1,
-            )
-        prev = cur
-        if cur[m] < best:
-            best, best_end = int(cur[m]), j + 1
-    return best, best_end
+    return _dp_best_match(_fold_codes(q), _fold_codes(t), _wild_rows(q))

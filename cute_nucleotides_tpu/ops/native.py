@@ -175,25 +175,11 @@ def prefix_match(query, text) -> tuple[int, int]:
     q, t = _as_u8(query), _as_u8(text)
     lib = _lib()
     if lib is None:
-        # NumPy fallback: global-mode DP, min over the last row
         from . import align
 
-        cq = (np.frombuffer(bytes(q), np.uint8) >> 1) & 3
-        ct = (np.frombuffer(bytes(t), np.uint8) >> 1) & 3
-        wild = (np.frombuffer(bytes(q), np.uint8) & 0xDF) == ord("N")
-        prev = np.arange(len(ct) + 1, dtype=np.int64)
-        for i, x in enumerate(cq):
-            cur = np.empty_like(prev)
-            cur[0] = prev[0] + 1
-            cur[1:] = np.minimum(
-                prev[:-1] + ((ct != x) & ~wild[i]), prev[1:] + 1
-            )
-            for j in range(1, len(cur)):
-                cur[j] = min(cur[j], cur[j - 1] + 1)
-            prev = cur
-        if len(cq) == 0:
+        if q.size == 0:
             return 0, 0
-        return int(prev.min()), int(prev.argmin())
+        return align.prefix_distance_reference(bytes(q), bytes(t))
     d = ctypes.c_int64()
     e = ctypes.c_int64()
     lib.cutenuc_prefix_match(
