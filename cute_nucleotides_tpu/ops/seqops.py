@@ -28,6 +28,7 @@ __all__ = [
     "complement_packed",
     "revcomp_packed",
     "gc_content_packed",
+    "gc_bins_packed",
     "gc_content_bytes",
     "base_composition_packed",
     "gc_content_packed_b5",
@@ -136,6 +137,38 @@ def gc_content_packed(words: jax.Array) -> jax.Array:
         ),
         axis=-1,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("bin_nt",))
+def gc_bins_packed(words: jax.Array, bin_nt: int = 1024) -> jax.Array:
+    """Binned GC profile, fully packed: u32[..., W] -> i32[..., ceil(16W/bin)].
+
+    The "GC content per 1 kb window" track (isochores, coverage-bias
+    normalization) computed without unpacking positions: each word's GC
+    count is one masked popcount (16-nt granularity), and a bin is a
+    reshape-sum of ``bin_nt // 16`` word counts — the read stays 0.25
+    bytes/nt and the output is ``length / bin_nt`` ints.  ``bin_nt`` must
+    be a multiple of 16 so bins align to word boundaries; 'A' padding
+    counts 0, so the tail bin is exact without masking (its denominator
+    is ``length - 16W' `` — the caller's bookkeeping).
+    """
+    if bin_nt % 16:
+        raise ValueError("bin_nt must be a multiple of 16 (word alignment)")
+    wpb = bin_nt // 16
+    W = words.shape[-1]
+    pad = (-W) % wpb
+    if pad:
+        words = jnp.concatenate(
+            [
+                words,
+                jnp.zeros(words.shape[:-1] + (pad,), jnp.uint32),
+            ],
+            axis=-1,
+        )
+    per_word = jax.lax.population_count(
+        words & jnp.uint32(0x55555555)
+    ).astype(jnp.int32)
+    return per_word.reshape(words.shape[:-1] + (-1, wpb)).sum(axis=-1)
 
 
 def base_composition_packed(

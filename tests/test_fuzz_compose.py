@@ -88,3 +88,65 @@ def test_random_op_programs_match_byte_oracle(codec):
                 dec_b, bad = pk.decode_b5_bytes_checked(words)
                 assert not bool(bad), (prog, step, op, n)
                 assert bytes(np.asarray(dec_b)[:n]) == seq
+
+
+def test_align_metric_properties():
+    """Edit distance property fuzz: metric axioms + op-algebra invariants.
+
+    The DP oracles pin exact values elsewhere; these assert the properties
+    real pipelines rely on across random inputs: symmetry, identity,
+    triangle inequality, the k-mutation upper bound, and revcomp
+    invariance (d(a, b) == d(revcomp(a), revcomp(b)) — alignment is
+    reversal- and complement-invariant under unit costs).
+    """
+    from cute_nucleotides_tpu.ops import align
+
+    rng = np.random.default_rng(0xFADE)
+
+    def pack_batch(seqs):
+        lens = np.array([len(s) for s in seqs], np.int32)
+        W = 2 * max(1, -(-int(lens.max()) // 32))
+        rows = np.zeros((len(seqs), W), np.uint32)
+        for i, s in enumerate(seqs):
+            if s:
+                v = spec.u64_to_u32_pairs(
+                    oracle.n_to_bits_lut(np.frombuffer(s, np.uint8))
+                ).reshape(-1)
+                rows[i, : v.size] = v
+        return rows, lens
+
+    def dist(xs, ys):
+        qw, ql = pack_batch(xs)
+        tw, tl = pack_batch(ys)
+        return np.asarray(align.edit_distance_packed(qw, ql, tw, tl))
+
+    def rand(n):
+        return bytes(rng.choice(list(b"ACGT"), size=n).astype(np.uint8))
+
+    def revcomp(s):
+        return s[::-1].translate(bytes.maketrans(b"ACGT", b"TGCA"))
+
+    a = [rand(int(rng.integers(1, 70))) for _ in range(8)]
+    b = [rand(int(rng.integers(1, 70))) for _ in range(8)]
+    c = [rand(int(rng.integers(1, 70))) for _ in range(8)]
+
+    d_ab, d_ba = dist(a, b), dist(b, a)
+    np.testing.assert_array_equal(d_ab, d_ba)  # symmetry
+    assert (dist(a, a) == 0).all()  # identity
+    d_ac, d_cb = dist(a, c), dist(c, b)
+    assert (d_ab <= d_ac + d_cb).all()  # triangle inequality
+    # k point mutations bound the distance by k
+    mut = []
+    ks = []
+    for s in a:
+        s = bytearray(s)
+        k = int(rng.integers(0, min(4, len(s)) + 1))
+        for pos in rng.choice(len(s), size=k, replace=False):
+            s[pos] = rng.choice([x for x in b"ACGT" if x != s[pos]])
+        mut.append(bytes(s))
+        ks.append(k)
+    assert (dist(a, mut) <= np.array(ks)).all()
+    # revcomp invariance
+    np.testing.assert_array_equal(
+        d_ab, dist([revcomp(s) for s in a], [revcomp(s) for s in b])
+    )

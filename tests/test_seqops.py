@@ -485,3 +485,40 @@ class TestDuplicateMask:
             False,
             False,
         ]
+
+
+class TestGcBins:
+    def test_vs_byte_oracle(self, rng):
+        from cute_nucleotides_tpu.ops import oracle, seqops, spec
+
+        L = 5000
+        s = rng.choice(np.frombuffer(b"ACGTacgtu", np.uint8), size=L)
+        w = spec.u64_to_u32_pairs(oracle.n_to_bits_lut(s)).reshape(-1)
+        for bin_nt in (16, 64, 1024):
+            got = np.asarray(seqops.gc_bins_packed(w, bin_nt=bin_nt))
+            folded = np.frombuffer(
+                bytes(s).upper().replace(b"U", b"T"), np.uint8
+            )
+            gc = (folded == ord("G")) | (folded == ord("C"))
+            nb = -(-16 * w.size // bin_nt)
+            want = np.zeros(nb, np.int64)
+            for i in range(L):
+                want[i // bin_nt] += gc[i]
+            assert got.shape == (nb,)
+            np.testing.assert_array_equal(got, want)
+
+    def test_batched_and_guard(self, rng):
+        from cute_nucleotides_tpu.ops import seqops
+
+        rows = rng.integers(0, 2**32, (4, 8), dtype=np.uint64).astype(
+            np.uint32
+        )
+        out = np.asarray(seqops.gc_bins_packed(rows, bin_nt=32))
+        assert out.shape == (4, 4)
+        assert out.sum() == np.asarray(
+            seqops.gc_content_packed(rows)
+        ).sum()
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            seqops.gc_bins_packed(rows, bin_nt=24)
