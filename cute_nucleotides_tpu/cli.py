@@ -930,6 +930,17 @@ def cmd_approx(args) -> int:
 
     codec, entries = read_nup(args.input)
     is_b5 = codec != "2bit"
+    if args.all:
+        if args.max_errors < 0:
+            print("error: --all requires --max-errors", file=sys.stderr)
+            return 1
+        if is_b5:
+            print(
+                "error: --all is 2-bit only (the base-5 scan does not "
+                "emit per-position scores)",
+                file=sys.stderr,
+            )
+            return 1
     compile_q = align.peq_from_bytes_b5 if is_b5 else align.peq_from_bytes
     best_peq = align.best_match_peq_b5 if is_b5 else align.best_match_peq
     raw = args.pattern.encode()
@@ -972,6 +983,28 @@ def cmd_approx(args) -> int:
         tl = np.zeros(chunk, np.int32)
         tl[: len(part)] = lens
         tw_dev, tl_dev = jnp.asarray(mat), jnp.asarray(tl)
+        if args.all:
+            # every qualifying end per record/strand, not just the best
+            errs = jnp.full((chunk,), args.max_errors, jnp.int32)
+            for peq_dev, ql_dev, strand in dev_strands:
+                ends = np.asarray(
+                    align.match_ends_peq(
+                        peq_dev, ql_dev, tw_dev, tl_dev, errs
+                    )
+                )
+                for i, (name, _length, _words) in enumerate(part):
+                    for j in np.nonzero(ends[i])[0]:
+                        shown += 1
+                        print(
+                            json.dumps(
+                                {
+                                    "record": name.decode(errors="replace"),
+                                    "end": int(j) + 1,
+                                    "strand": strand,
+                                }
+                            )
+                        )
+            continue
         results = []  # per strand: (dist [B], end [B], strand)
         for peq_dev, ql_dev, strand in dev_strands:
             d, e = best_peq(peq_dev, ql_dev, tw_dev, tl_dev)
@@ -1180,6 +1213,11 @@ def main(argv=None) -> int:
     pa.add_argument(
         "--max-errors", type=int, default=-1, metavar="E",
         help="only report records with edit distance <= E (exit 1 if none)",
+    )
+    pa.add_argument(
+        "--all", action="store_true",
+        help="report EVERY end position within --max-errors, not just "
+        "each record's best (2-bit containers)",
     )
     pa.add_argument(
         "--cigar", action="store_true",

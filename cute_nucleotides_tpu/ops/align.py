@@ -55,6 +55,7 @@ __all__ = [
     "best_match_packed_b5",
     "prefix_distance_packed",
     "match_ends_packed",
+    "match_ends_peq",
     "best_match_peq",
     "best_match_peq_b5",
     "best_match_stream",
@@ -519,6 +520,25 @@ def match_ends_packed(
     16 * Wt capacity; positions at and past ``tlens[b]`` are False.
     """
     peq = peq_from_packed(qwords, qlens)
+    _, _, _, scores = _myers_scan_words(
+        peq, qlens, twords, tlens, semiglobal=True, unroll=unroll,
+        emit_scores=True,
+    )
+    return (scores <= max_errors.astype(jnp.int32)[None, :]).T
+
+
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def match_ends_peq(
+    peq: jax.Array,
+    qlens: jax.Array,
+    twords: jax.Array,
+    tlens: jax.Array,
+    max_errors: jax.Array,
+    *,
+    unroll: int = 1,
+) -> jax.Array:
+    """:func:`match_ends_packed` from precomputed ``Peq`` planes
+    (``u32[B, 4, NB]`` — the query-vs-records form, N wildcards ok)."""
     _, _, _, scores = _myers_scan_words(
         peq, qlens, twords, tlens, semiglobal=True, unroll=unroll,
         emit_scores=True,

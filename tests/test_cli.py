@@ -613,3 +613,36 @@ def test_cli_dedup(tmp_path, capsys):
     assert open(out_fa, "rb").read() == (
         b">r1\nACGTACGTAC\n>r3\nGGGG\n>r5\nGGG\n"
     )
+
+
+def test_cli_approx_all(tmp_path, capsys):
+    fa = tmp_path / "in.fa"
+    # two exact GATTACA occurrences in one record
+    fa.write_bytes(b">r1\nGGGGATTACAGGGGGATTACAGG\n")
+    nup = str(tmp_path / "x.nup")
+    assert cli.main(["encode", str(fa), nup, "--tier", "oracle"]) == 0
+    capsys.readouterr()
+    assert cli.main(
+        ["approx", nup, "GATTACA", "--all", "--max-errors", "0"]
+    ) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {d["end"] for d in lines} == {10, 21}
+    # --all at E=1 also catches 1-edit neighborhoods around each hit
+    assert cli.main(
+        ["approx", nup, "GATTACA", "--all", "--max-errors", "1"]
+    ) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    ends = {d["end"] for d in lines}
+    assert {10, 21} <= ends and len(ends) > 2
+    # guards: --all without --max-errors, and on base-5 containers
+    assert cli.main(["approx", nup, "GATTACA", "--all"]) == 1
+    fa5 = tmp_path / "n.fa"
+    fa5.write_bytes(b">r1\nACGTN\n")
+    nup5 = str(tmp_path / "x5.nup")
+    assert cli.main(
+        ["encode", str(fa5), nup5, "--codec", "base5", "--tier", "oracle"]
+    ) == 0
+    capsys.readouterr()
+    assert cli.main(
+        ["approx", nup5, "ACG", "--all", "--max-errors", "0"]
+    ) == 1
