@@ -150,3 +150,38 @@ def test_align_metric_properties():
     np.testing.assert_array_equal(
         d_ab, dist([revcomp(s) for s in a], [revcomp(s) for s in b])
     )
+
+
+def test_align_metric_properties_b5():
+    """Base-5 mirror of the metric fuzz (5-symbol alphabet, N literal)."""
+    from cute_nucleotides_tpu.ops import align
+
+    rng = np.random.default_rng(0xB5FA)
+
+    def pack_batch(seqs):
+        lens = np.array([len(s) for s in seqs], np.int32)
+        W = 2 * max(1, -(-int(lens.max()) // 27))
+        rows = np.zeros((len(seqs), W), np.uint32)
+        for i, s in enumerate(seqs):
+            if s:
+                v = spec.u64_to_u32_pairs(
+                    oracle.n_to_bits2_lut(np.frombuffer(s, np.uint8))
+                ).reshape(-1)
+                rows[i, : v.size] = v
+        return rows, lens
+
+    def dist(xs, ys):
+        qw, ql = pack_batch(xs)
+        tw, tl = pack_batch(ys)
+        return np.asarray(align.edit_distance_packed_b5(qw, ql, tw, tl))
+
+    def rand(n):
+        return bytes(rng.choice(list(b"ACGTN"), size=n).astype(np.uint8))
+
+    a = [rand(int(rng.integers(1, 60))) for _ in range(6)]
+    b = [rand(int(rng.integers(1, 60))) for _ in range(6)]
+    c = [rand(int(rng.integers(1, 60))) for _ in range(6)]
+    d_ab = dist(a, b)
+    np.testing.assert_array_equal(d_ab, dist(b, a))  # symmetry (N literal)
+    assert (dist(a, a) == 0).all()  # identity: N matches N
+    assert (d_ab <= dist(a, c) + dist(c, b)).all()  # triangle inequality
