@@ -59,6 +59,7 @@ __all__ = [
     "best_match_peq",
     "best_match_peq_b5",
     "best_match_stream",
+    "best_match_stream_b5",
     "edit_distance_reference",
     "edit_distance_reference_b5",
     "best_match_reference",
@@ -733,6 +734,70 @@ def best_match_stream(
         )
     plan = stream_rows_plan(words.shape[0], m)
     d, e = _best_match_stream_impl(
+        jnp.asarray(peq), words, jnp.int32(length), m, plan, unroll=unroll
+    )
+    return int(d), int(e)
+
+
+def stream_rows_plan_b5(Wp: int, m: int) -> tuple[int, int, int]:
+    """Base-5 row-split plan over u32 PAIRS (27 nt each): ``(R, prb, Hp)``.
+
+    Same span-bound construction as :func:`stream_rows_plan`, but row
+    boundaries land on pair (triplet-block) boundaries.
+    """
+    Hp = max(1, -(-(2 * m - 2) // spec.NT_PER_WORD_B5))
+    R = max(1, min(4096, (3 * Wp) // max(m - 1, 1), Wp))
+    prb = -(-Wp // R)
+    return -(-Wp // prb), prb, Hp
+
+
+@functools.partial(jax.jit, static_argnames=("m", "plan", "unroll"))
+def _best_match_stream_impl_b5(
+    peq: jax.Array,
+    ext: jax.Array,
+    length: jax.Array,
+    m: int,
+    plan: tuple[int, int, int],
+    unroll: int = 1,
+):
+    R, prb, Hp = plan
+    pidx = jnp.arange(R)[:, None] * prb + jnp.arange(prb + Hp)[None, :]
+    cols = jnp.stack([2 * pidx, 2 * pidx + 1], axis=-1).reshape(R, -1)
+    rows = jnp.take(ext, cols, mode="clip")  # (R, 2*(prb+Hp)) u32
+    base = spec.NT_PER_WORD_B5 * prb * jnp.arange(R, dtype=jnp.int32)
+    tl = jnp.clip(
+        length - base, 0, spec.NT_PER_WORD_B5 * (prb + Hp)
+    ).astype(jnp.int32)
+    d, e = best_match_peq_b5(
+        jnp.broadcast_to(peq[None], (R,) + peq.shape),
+        jnp.full((R,), m, jnp.int32),
+        rows,
+        tl,
+        unroll=unroll,
+    )
+    dmin = jnp.min(d)
+    emin = jnp.min(jnp.where(d == dmin, base + e, jnp.int32(0x7FFFFFFF)))
+    return dmin, jnp.where(dmin >= m, 0, emin)
+
+
+def best_match_stream_b5(
+    words, length: int, query: bytes, *, unroll: int = 1
+) -> tuple[int, int]:
+    """Base-5 mirror of :func:`best_match_stream` (one long packed stream,
+    digit alphabet — ``N`` literal, ``?`` wildcard).  ``words u32[2*Wp]``
+    is the serialized base-5 stream; returns ``(dist, end)``."""
+    peq, m = peq_from_bytes_b5(query)
+    words = jnp.asarray(words)
+    if words.ndim != 1 or words.shape[0] % 2:
+        raise ValueError(
+            "best_match_stream_b5 takes a flat u32 stream of whole pairs"
+        )
+    if length > spec.NT_PER_WORD_B5 * (words.shape[0] // 2):
+        raise ValueError("length exceeds stream capacity")
+    if length >= 2**31:
+        raise ValueError("single-device scan positions are int32")
+    plan = stream_rows_plan_b5(words.shape[0] // 2, m)
+    d, e = _best_match_stream_impl_b5(
         jnp.asarray(peq), words, jnp.int32(length), m, plan, unroll=unroll
     )
     return int(d), int(e)

@@ -392,3 +392,38 @@ class TestModes:
                 prev = cur
                 assert bool(got[b, j]) == (prev[m] <= errs[b]), (b, j)
             assert not got[b, len(t):].any()  # past tlen: always False
+
+
+class TestStreamB5:
+    def test_vs_dp_random(self, rng):
+        L = 540
+        s = _rand_seq_n(rng, L)
+        w = spec.u64_to_u32_pairs(oracle.n_to_bits2_lut(s)).reshape(-1)
+        for q in (b"GATTACAGN", b"ACGTNACGTNACGT"):
+            d, e = align.best_match_stream_b5(w, L, q)
+            # oracle: N literal -> plain digit DP
+            assert (d, e) == align.best_match_reference_b5(q, s), q
+
+    def test_planted_at_row_seam(self, rng):
+        q = b"GATTACANGATTACA"
+        L = 2700
+        s = bytearray(_rand_seq_n(rng, L))
+        Wp = -(-L // 27)
+        _, prb, _ = align.stream_rows_plan_b5(Wp, len(q))
+        mut = bytearray(q)
+        mut[4] = ord("G")  # one substitution (A -> G)
+        seam = 27 * prb
+        s[seam - 6 : seam - 6 + len(q)] = bytes(mut)
+        w = spec.u64_to_u32_pairs(oracle.n_to_bits2_lut(bytes(s))).reshape(-1)
+        d, e = align.best_match_stream_b5(w, L, bytes(q))
+        assert (d, e) == align.best_match_reference_b5(bytes(q), bytes(s))
+        assert d <= 1
+
+    def test_wildcard_and_guards(self):
+        s = b"N" * 270
+        w = spec.u64_to_u32_pairs(oracle.n_to_bits2_lut(s)).reshape(-1)
+        # '?' matches the N run; literal A does not
+        assert align.best_match_stream_b5(w, 270, b"????") == (0, 4)
+        assert align.best_match_stream_b5(w, 270, b"AAAA") == (4, 0)
+        with pytest.raises(ValueError):
+            align.best_match_stream_b5(w[:-1], 100, b"ACG")  # odd words
