@@ -380,6 +380,87 @@ def best_match_long(
     return best
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_shard_best_match_b5(
+    mesh: Mesh, peq_key: tuple, m: int, p_eq: int, Hp: int
+):
+    axis = mesh_lib.SEQ_AXIS
+    from ..ops import align as align_ops
+
+    S = mesh.shape[axis]
+    nb = len(peq_key) // 5
+    peq_np = np.asarray(peq_key, np.uint32).reshape(5, nb)
+    plan = align_ops.stream_rows_plan_b5(p_eq + Hp, m)
+
+    def per_shard(w, valid):  # u32[1, 2*p_eq], i32[1]
+        flat = w.reshape(-1)
+        head = jax.lax.slice(flat, (0,), (2 * Hp,))
+        halo = jax.lax.ppermute(
+            head, axis, [((i + 1) % S, i) for i in range(S)]
+        )
+        ext = jnp.concatenate([flat, halo])
+        d, e = align_ops._best_match_stream_impl_b5(
+            jnp.asarray(peq_np), ext, valid.reshape(()), m, plan
+        )
+        return d.reshape(1, 1), e.reshape(1, 1)
+
+    return jax.jit(
+        shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis)),
+            out_specs=(P(axis, None), P(axis, None)),
+            check_vma=False,
+        )
+    )
+
+
+def best_match_long_b5(
+    bits, length: int, query: bytes, *, mesh: Mesh | None = None
+) -> tuple[int, int]:
+    """Base-5 mirror of :func:`best_match_long`: approximate search over
+    ONE long base-5 stream, pair-aligned shards on the seq axis (``N``
+    literal, ``?`` wildcard)."""
+    from ..ops import align as align_ops
+
+    if mesh is None:
+        mesh = mesh_lib.make_mesh(data=1, seq=len(jax.devices()))
+    S = mesh.shape[mesh_lib.SEQ_AXIS]
+    peq, m = align_ops.peq_from_bytes_b5(query)
+    bits = np.ascontiguousarray(bits, dtype=np.uint64)
+    if length > bits.size * spec.NT_PER_WORD_B5:
+        raise ValueError("length exceeds stream capacity")
+    w32 = spec.u64_to_u32_pairs(bits).reshape(-1)
+    Wp = w32.size // 2
+    Hp = max(1, -(-(2 * m - 2) // spec.NT_PER_WORD_B5))
+    p_eq = max(-(-Wp // S), Hp)
+    x = _shard_stream_words(w32, mesh, 2 * p_eq)
+    valid = np.clip(
+        np.int64(length)
+        - spec.NT_PER_WORD_B5 * np.int64(p_eq) * np.arange(S, dtype=np.int64),
+        0,
+        spec.NT_PER_WORD_B5 * (p_eq + Hp),
+    ).astype(np.int32)
+    step = _jit_shard_best_match_b5(
+        mesh, tuple(map(int, peq.reshape(-1))), m, p_eq, Hp
+    )
+    d, e = step(
+        x,
+        jax.device_put(valid, NamedSharding(mesh, P(mesh_lib.SEQ_AXIS))),
+    )
+    d = np.asarray(d).reshape(-1)
+    e = np.asarray(e).reshape(-1)
+    best = (m, 0)
+    for i in range(S):
+        if int(d[i]) < best[0]:
+            best = (int(d[i]), spec.NT_PER_WORD_B5 * p_eq * i + int(e[i]))
+        elif int(d[i]) == best[0] and best[0] < m:
+            cand = spec.NT_PER_WORD_B5 * p_eq * i + int(e[i])
+            if cand < best[1]:
+                best = (best[0], cand)
+    return best
+
+
 def decode_long_2bit(bits, length: int, *, mesh: Mesh | None = None) -> np.ndarray:
     """Decode a long 2-bit word stream, words sharded over the seq axis."""
     return _decode_long(bits, length, "2bit", mesh)

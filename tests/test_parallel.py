@@ -298,3 +298,32 @@ def test_edit_distances_data_parallel(rng):
         for q, t in zip(qs, ts)
     ]
     assert np.array_equal(got5, want5)
+
+
+def test_best_match_long_b5_sharded(rng):
+    """Base-5 sharded approximate search == digit-DP oracle, boundary hit."""
+    from cute_nucleotides_tpu.ops import align, spec
+
+    L = 27 * 500  # 13500 nt
+    s = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=L)
+    q = b"GATTACANGATTACANGATTA"
+    Wp = spec.num_words_b5(L)  # u64 words == u32 pairs
+    p_eq = -(-Wp // 8)
+    mut = bytearray(q)
+    mut[2] = ord("C")  # T -> C
+    p = 27 * (3 * p_eq) - 5  # straddles the shard-2/3 pair boundary
+    s[p : p + len(q)] = np.frombuffer(bytes(mut), np.uint8)
+    bits = oracle.n_to_bits2_lut(s)
+    got = longseq.best_match_long_b5(bits, L, q)
+    want = align.best_match_reference_b5(q, bytes(s))
+    assert got == want
+    assert got[0] == 1 and got[1] == p + len(q)
+    # wildcard query + trivial case on an explicit mesh
+    m = mesh_lib.make_mesh(data=1, seq=4, devices=jax.devices()[:4])
+    s2 = np.full(1000, ord("C"), np.uint8)
+    assert longseq.best_match_long_b5(
+        oracle.n_to_bits2_lut(s2), 1000, b"NNNNN", mesh=m
+    ) == (5, 0)
+    assert longseq.best_match_long_b5(
+        oracle.n_to_bits2_lut(s2), 1000, b"??C??", mesh=m
+    ) == (0, 5)  # ? matches any digit, so the C run is an exact hit
