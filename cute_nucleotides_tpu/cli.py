@@ -934,6 +934,13 @@ def cmd_approx(args) -> int:
         if args.max_errors < 0:
             print("error: --all requires --max-errors", file=sys.stderr)
             return 1
+        if args.cigar:
+            print(
+                "error: --all and --cigar are mutually exclusive (the "
+                "all-ends scan has no single match to trace back)",
+                file=sys.stderr,
+            )
+            return 1
         if is_b5:
             print(
                 "error: --all is 2-bit only (the base-5 scan does not "
@@ -1072,6 +1079,14 @@ def cmd_dedup(args) -> int:
         print(json.dumps({"records": 0, "kept": 0, "removed": 0}))
         return 0
     wmax = max(1, max(len(w) for _, _, w in entries))
+    if wmax > 256:  # 2*wmax + 1 sort keys; compiles superlinearly beyond
+        print(
+            f"error: dedup is read-batch-scoped (records up to "
+            f"{32 * 256} nt); longest record here is "
+            f"{max(length for _, length, _ in entries)} nt",
+            file=sys.stderr,
+        )
+        return 1
     rows = np.zeros((len(entries), 2 * wmax), np.uint32)
     lens = np.zeros(len(entries), np.int64)
     for i, (_, length, words) in enumerate(entries):

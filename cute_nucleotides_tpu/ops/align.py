@@ -732,6 +732,8 @@ def best_match_stream(
             "single-device scan positions are int32; shard streams "
             ">= 2^31 nt with parallel.longseq.best_match_long"
         )
+    if length == 0 or words.shape[0] == 0:
+        return m, 0  # empty text: only the trivial alignment exists
     plan = stream_rows_plan(words.shape[0], m)
     d, e = _best_match_stream_impl(
         jnp.asarray(peq), words, jnp.int32(length), m, plan, unroll=unroll
@@ -796,6 +798,8 @@ def best_match_stream_b5(
         raise ValueError("length exceeds stream capacity")
     if length >= 2**31:
         raise ValueError("single-device scan positions are int32")
+    if length == 0 or words.shape[0] == 0:
+        return m, 0  # empty text: only the trivial alignment exists
     plan = stream_rows_plan_b5(words.shape[0] // 2, m)
     d, e = _best_match_stream_impl_b5(
         jnp.asarray(peq), words, jnp.int32(length), m, plan, unroll=unroll

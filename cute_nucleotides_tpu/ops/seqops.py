@@ -152,8 +152,10 @@ def gc_bins_packed(words: jax.Array, bin_nt: int = 1024) -> jax.Array:
     counts 0, so the tail bin is exact without masking (its denominator
     is ``length - 16W' `` — the caller's bookkeeping).
     """
-    if bin_nt % 16:
-        raise ValueError("bin_nt must be a multiple of 16 (word alignment)")
+    if bin_nt <= 0 or bin_nt % 16:
+        raise ValueError(
+            "bin_nt must be a positive multiple of 16 (word alignment)"
+        )
     wpb = bin_nt // 16
     W = words.shape[-1]
     pad = (-W) % wpb

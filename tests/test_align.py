@@ -427,3 +427,11 @@ class TestStreamB5:
         assert align.best_match_stream_b5(w, 270, b"AAAA") == (4, 0)
         with pytest.raises(ValueError):
             align.best_match_stream_b5(w[:-1], 100, b"ACG")  # odd words
+
+    def test_empty_stream(self):
+        assert align.best_match_stream(
+            np.zeros(0, np.uint32), 0, b"ACG"
+        ) == (3, 0)
+        assert align.best_match_stream_b5(
+            np.zeros(0, np.uint32), 0, b"ACG"
+        ) == (3, 0)
