@@ -12,15 +12,28 @@ use, and the text is consumed PACKED — the scan iterates words, each step
 advancing 16 DP columns (27 for base-5) from one u32 load per pair, so no
 unpacked codes array ever hits HBM and the loop count drops 16x/27x.
 
-Two modes over one scan:
+One scan, the full edlib anchoring menu and more:
 
-* **global** (:func:`edit_distance_packed`): full-sequence Levenshtein
-  distance per pair — ``D[m][n]`` with unit costs.
-* **semiglobal** (:func:`best_match_packed`): the best approximate
-  occurrence of each query anywhere in its text (prefix/suffix of the text
-  free — ``D[0][j] = 0``), returning the minimum distance and the end
-  position of the first such occurrence.  This is the approximate-matching
-  counterpart of the exact scanner in :mod:`.search`.
+* **global / NW** (:func:`edit_distance_packed`): full-sequence
+  Levenshtein distance per pair — ``D[m][n]`` with unit costs.
+* **semiglobal / HW** (:func:`best_match_packed`): the best approximate
+  occurrence of each query anywhere in its text (``D[0][j] = 0``), with
+  the first end position — the approximate-matching counterpart of the
+  exact scanner in :mod:`.search`; :func:`match_ends_packed` reports
+  EVERY end within a threshold instead of the best.
+* **prefix / SHW** (:func:`prefix_distance_packed`): query vs the best
+  text prefix (adapter/primer trimming).
+* **base-5 mirrors** (``*_b5``): the same scan over the 5-digit alphabet
+  (``N`` literal, ``?`` wildcard in byte queries).
+* **one long stream** (:func:`best_match_stream`, ``_b5``): the span
+  bound ``d >= |span - m|`` lets overlapping rows with a ``2m - 2`` nt
+  halo see every occurrence worth reporting, so the text-sequential DP
+  runs lane-parallel; ``parallel.longseq.best_match_long`` adds a
+  mesh-shard level with a ppermute halo.
+* **host tiers**: NumPy DP oracles (the test ground truth), the u64 C++
+  mirror in ``native/codec.cpp`` (latency path), and
+  :func:`semiglobal_traceback` — a tiny windowed DP that upgrades any
+  reported ``(dist, end)`` to ``(start, SAM CIGAR)``.
 
 Queries and texts are compared over *normalized* codes (uppercase, U->T:
 the ``(byte >> 1) & 3`` fold of ops/spec.py), so 'a' == 'A' and 'U' == 'T'.
