@@ -53,16 +53,17 @@ def main() -> int:
     # the scan body is already 16 chars per step (word-native); XLA's
     # optimizer is superlinear in inlined columns — unroll 4 at nb >= 2
     # already compiles for MINUTES (measured on CPU), so the sweep stops
-    # at 2
+    # at 2.  Variants gate+measure one at a time (below) so a slow
+    # compile cannot eat an earlier variant's logged result.
     want = np.asarray(fn_unroll(1)(args[0]))
     ok_all = True
     variants = [(f"unroll{u}", fn_unroll(u), u) for u in (1, 2)]
-    for name, fn, _u in variants:
-        got = np.asarray(fn(args[0]))
-        ok = np.array_equal(got, want)
-        ok_all &= ok
-        print(f"{name:10s} {'bit-exact' if ok else 'WRONG'}", flush=True)
     if selftest:
+        for name, fn, _u in variants:
+            got = np.asarray(fn(args[0]))
+            ok = np.array_equal(got, want)
+            ok_all &= ok
+            print(f"{name:10s} {'bit-exact' if ok else 'WRONG'}", flush=True)
         # also pin one row against the DP oracle
         i = int(rng.integers(0, B))
         qs = np.zeros(m, np.uint8)
@@ -76,9 +77,6 @@ def main() -> int:
         print("dp-oracle row", "ok" if ok else "WRONG", flush=True)
         print("selftest", "PASS" if ok_all else "FAIL", flush=True)
         return 0 if ok_all else 1
-    if not ok_all:
-        return 1
-
     cells = B * m * n
 
     def chained(fn):
@@ -109,6 +107,11 @@ def main() -> int:
 
     best_u, best_dt = 1, None
     for name, fn, u in variants:
+        got = np.asarray(fn(args[0]))  # bit-exact gate, per variant
+        if not np.array_equal(got, want):
+            print(f"{name:10s} WRONG — skipped", flush=True)
+            continue
+        print(f"{name:10s} bit-exact", flush=True)
         dt = measure(name, fn, qw)
         if dt is not None and (best_dt is None or dt < best_dt):
             best_u, best_dt = u, dt
