@@ -77,3 +77,23 @@ words5, bad = b5.encode_checked(jnp.asarray(reads5))
 print("encode valid:", not bool(np.any(np.asarray(bad))))
 decoded, corrupt = b5.decode_checked(words5)
 print("stream intact:", not bool(corrupt))
+
+# --- 9. approximate matching (Myers bit-parallel, no decode) ----------------
+# best occurrence of a query in every read of the resident batch, then a
+# tiny host traceback turns the best hit into aligner output
+from cute_nucleotides_tpu.ops import align
+
+query = b"ACGTACGAACGT"  # one substitution vs the reads' ACGT repeat
+peq, m = align.peq_from_bytes(query)
+B = packed.shape[0]
+dists, ends = align.best_match_peq(
+    jnp.broadcast_to(jnp.asarray(peq)[None], (B,) + peq.shape),
+    jnp.full((B,), m, jnp.int32),
+    packed,
+    jnp.asarray(lengths, jnp.int32),
+)
+i = int(np.asarray(dists).argmin())
+read_i = bytes(batch[i][: int(lengths[i])])
+window = read_i[max(0, int(ends[i]) - (2 * m - 1)) : int(ends[i])]
+d, s, e, cigar = align.semiglobal_traceback(query, window)
+print(f"best occurrence: read {i}, dist {int(dists[i])}, cigar {cigar}")
