@@ -185,3 +185,35 @@ def test_align_metric_properties_b5():
     np.testing.assert_array_equal(d_ab, dist(b, a))  # symmetry (N literal)
     assert (dist(a, a) == 0).all()  # identity: N matches N
     assert (d_ab <= dist(a, c) + dist(c, b)).all()  # triangle inequality
+
+
+def test_align_composes_with_packed_slice(rng):
+    """d(q, slice(t, a, n)) computed on device-sliced packed words equals
+    the byte-domain DP on the same substring — alignment composes with the
+    region ops without a decode round-trip."""
+    from cute_nucleotides_tpu.ops import align, seqops
+
+    t = bytes(
+        rng.choice(list(b"ACGT"), size=300).astype(np.uint8)
+    )
+    tw = jnp.asarray(
+        spec.u64_to_u32_pairs(
+            oracle.n_to_bits_lut(np.frombuffer(t, np.uint8))
+        ).reshape(-1)
+    )
+    for _ in range(6):
+        a = int(rng.integers(0, 200))
+        n = int(rng.integers(1, 90))
+        q = bytes(rng.choice(list(b"ACGT"), size=17).astype(np.uint8))
+        sub_w = np.asarray(seqops.packed_slice(tw, a, n))
+        qw = spec.u64_to_u32_pairs(oracle.n_to_bits_lut(q)).reshape(-1)
+        W = max(len(sub_w), 2)
+        d = int(
+            align.edit_distance_packed(
+                np.pad(qw, (0, max(0, 2 - len(qw))))[None, :],
+                np.array([len(q)], np.int32),
+                np.pad(sub_w, (0, W - len(sub_w)))[None, :],
+                np.array([n], np.int32),
+            )[0]
+        )
+        assert d == align.edit_distance_reference(q, t[a : a + n]), (a, n)
