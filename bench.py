@@ -385,14 +385,15 @@ def main() -> int:
     nt_b5 = rows_b5 * pk.B5_ROW_NT
 
     def b5_roof(base, kernel, rows=rows_b5):
+        # NOTE: the codec kernels' vpu_lane_ops audits are NOT fed into the
+        # roofline — the measured VPU rate is a ceiling only for the Myers
+        # rows' dependent-chain mix; the decoder demonstrably exceeds it on
+        # its mixed stream (see utils/profiling.VPU_U32_GOPS scope note),
+        # so the MXU + HBM terms are the honest bound here.
         i8, bf = pk.b5_kernel_macs(kernel)
-        try:
-            vpu = rows * pk.b5_kernel_vpu_lane_ops(kernel)
-        except KeyError:
-            vpu = 0  # only the VPU-bound champion carries a lane-op audit
         return R(
             base.read_bytes, base.write_bytes,
-            int8_macs=rows * i8, bf16_macs=rows * bf, vpu_lane_ops=vpu,
+            int8_macs=rows * i8, bf16_macs=rows * bf,
         )
 
     run(
@@ -678,25 +679,36 @@ def main() -> int:
             4 * wb5_flat.size,
             R(4 * wb5_flat.size, 4 * wb5_flat.size),
         )
+        # routes to the Pallas kernel (MXU gather-fold triplet extraction);
+        # roofline carries its dense bf16 MACs + audited VPU lane-ops
+        gc_rows = -(-wb5_flat.size // (2 * pk.B5_ROW_WORDS))
         run(
             "gc_content_packed_b5",
             chained(lambda w: seqops.gc_content_packed_b5(w)[None]),
             jnp.asarray(wb5_flat),
             (wb5_flat.size // 2) * 27,
-            R(4 * wb5_flat.size, 4),
+            R(4 * wb5_flat.size, 4 * gc_rows,
+              bf16_macs=gc_rows * pk.b5_kernel_macs("gc_inter")[1]),
         )
-        # base-5 packed revcomp at a ragged length (digit-funnel path)
+        # base-5 packed revcomp at a ragged length (digit-funnel path);
+        # ALU-bound: the audited VPU lane-op term is the honest ceiling
+        rc5_len = (wb5_flat.size // 2) * 27 - 5
         run(
             "revcomp_packed_b5",
-            chained(
-                lambda w: seqops.revcomp_packed_b5(
-                    w, (wb5_flat.size // 2) * 27 - 5
-                )
-            ),
+            chained(lambda w: seqops.revcomp_packed_b5(w, rc5_len)),
             jnp.asarray(wb5_flat),
             (wb5_flat.size // 2) * 27,
             R(4 * wb5_flat.size, 4 * wb5_flat.size),
         )
+        # the XLA digit funnel is ALU/issue-bound, not HBM-bound (audit:
+        # seqops.revcomp_b5_xla_lane_ops — ~250 emitted exprs per lane, far
+        # above the bytes term), but the measured VPU rate is not a valid
+        # ceiling for its post-CSE mix (see profiling.VPU_U32_GOPS scope
+        # note) — tag the bound honestly and drop the bytes-only SoL, which
+        # would misread as "10% of light" for an op at its issue ceiling.
+        if "revcomp_packed_b5" in bound:
+            bound["revcomp_packed_b5"] = "vpu"
+            sol.pop("revcomp_packed_b5", None)
         wa = packed_np.reshape(ROWS, -1).view(np.uint32)
         run(
             "hamming_packed",
@@ -707,7 +719,9 @@ def main() -> int:
         )
         # all-pairs distances, B=4096 x L=8192 (int8 MXU, compute-bound:
         # B^2 * 4L MACs; the GiB/s column is input-bytes and NOT the story)
-        ph_B = 4096
+        # clamp to the actual row count so scaled runs don't claim 4096^2
+        # MACs for a smaller slice (sol > 1 artifact at BENCH_SCALE >= 16)
+        ph_B = min(4096, ROWS)
         run(
             "pairwise_hamming_4096",
             chained(pairwise_hamming),

@@ -1335,6 +1335,106 @@ def _decode_b5_inter_call(
     )(words, *mats)
 
 
+# --- base-5 GC content: the decode's triplet extraction, then 8 VPU ops --
+
+
+def _gc_b5_inter_kernel(x_ref, g_ref, o_ref):
+    """Interleaved u32[rb, 256] base-5 words -> per-row GC count i32[rb, 1].
+
+    GC count on the packed base-5 stream without a decode pass: ride the
+    decoder's bf16 gather-fold (:func:`_b5_dec_gather_fold_bf16`) to land
+    every 7-bit triplet value ``t`` on its own lane — the hard part of any
+    base-5 digit walk, done here by the MXU — then the parity shortcut of
+    ``seqops.gc_content_packed_b5`` (digit low bits are XORs of the two
+    multiply-shift quotients: ``gc = (t^u)&1 + (u^v)&1 + v&1`` with
+    ``u = t//5``, ``v = t//25``) costs ~10 VPU lane-ops per t-lane.  The
+    scatter matmul, digit split and char mapping of the full decode (all
+    of its int8 MXU time and most of its VPU time) are skipped.  TPAD
+    columns gather ``t = 0`` ('AAA') and contribute 0 — no masking; all-
+    zero pad WORDS are 'AAA' triplets too, so zero-padded ragged streams
+    need no mask either.  Output is the per-row lane reduction (4 B/row of
+    HBM write vs 1 KiB read).
+    """
+    x = x_ref[:]
+    rb = x.shape[0]
+    m8 = jnp.uint32(0xFF)
+    p0 = (x & m8).astype(jnp.int32).astype(jnp.bfloat16)
+    p1 = ((x >> 8) & m8).astype(jnp.int32).astype(jnp.bfloat16)
+    p2 = ((x >> 16) & m8).astype(jnp.int32).astype(jnp.bfloat16)
+    p3 = (x >> 24).astype(jnp.int32).astype(jnp.bfloat16)
+    acc = jnp.zeros((rb, 2 * B5_ROW_WORDS), jnp.int32)
+    for g in range(B5_SLICES):
+        planes = jnp.concatenate(
+            [
+                jax.lax.slice(p, (0, 32 * g), (rb, 32 * (g + 1)))
+                for p in (p0, p1, p2, p3)
+            ],
+            axis=1,
+        )
+        z = jnp.dot(planes, g_ref[:], preferred_element_type=jnp.float32)
+        t = (z.astype(jnp.int32) >> 7) & 0x7F
+        u = (t * 205) >> 10
+        v = (t * 41) >> 10
+        acc += ((t ^ u) & 1) + ((u ^ v) & 1) + (v & 1)
+    o_ref[:, 0] = jnp.sum(acc, axis=1)
+
+
+def gc_b5_row_sums(
+    words: jax.Array, *, interpret: bool = False, row_block: int = 512
+) -> jax.Array:
+    """Per-row GC counts of interleaved u32[R, 256] panels -> i32[R]."""
+    if (
+        words.dtype != jnp.uint32
+        or words.ndim != 2
+        or words.shape[1] != 2 * B5_ROW_WORDS
+    ):
+        raise TypeError(
+            f"expected u32[R, {2 * B5_ROW_WORDS}], got {words.dtype}{words.shape}"
+        )
+    interpret = _auto_interpret(interpret)
+    R = words.shape[0]
+    rb = _row_block8(R, row_block)
+    g = _b5_dec_gather_fold_bf16()
+    out = pl.pallas_call(
+        _gc_b5_inter_kernel,
+        grid=(_cdiv(R, rb),),
+        in_specs=[
+            pl.BlockSpec(
+                (rb, 2 * B5_ROW_WORDS), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(g.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        interpret=interpret,
+    )(words, g)
+    return out[:, 0]
+
+
+def gc_content_b5_stream_pallas(
+    words: jax.Array, *, interpret: bool = False, row_block: int = 512
+) -> jax.Array:
+    """GC count of one flat interleaved base-5 u32[2W] stream -> i32 scalar.
+
+    The Pallas fast path behind ``seqops.gc_content_packed_b5`` for long
+    flat streams: zero-pads to whole 3456-nt panel rows (zero words decode
+    as 'AAA' — GC 0 — so padding needs no mask) and sums the per-row
+    kernel counts.  Bit-identical to the XLA lane-parity form.
+    """
+    if words.dtype != jnp.uint32 or words.ndim != 1:
+        raise TypeError(f"expected flat u32 stream, got {words.dtype}{words.shape}")
+    lw = 2 * B5_ROW_WORDS
+    R = max(_cdiv(words.shape[0], lw), 1)
+    pad = R * lw - words.shape[0]
+    if pad:
+        words = jnp.concatenate([words, jnp.zeros((pad,), jnp.uint32)])
+    return jnp.sum(
+        gc_b5_row_sums(
+            words.reshape(R, lw), interpret=interpret, row_block=row_block
+        )
+    )
+
+
 def _decode_b5_nt4_kernel(padded: bool):
     ow = 112 if padded else 108  # output lanes consumed per slice
 
@@ -1489,33 +1589,53 @@ def b5_kernel_macs(kernel: str) -> tuple[int, int]:
             B5_SLICES * s.shape[0] * s.shape[1],
             B5_SLICES * (pa.shape[0] * pa.shape[1] + pb.shape[0] * pb.shape[1]),
         )
+    if kernel == "gc_inter":
+        g = _b5_dec_gather_fold_bf16()
+        return 0, B5_SLICES * g.shape[0] * g.shape[1]
     raise KeyError(kernel)
 
 
 def b5_kernel_vpu_lane_ops(kernel: str) -> int:
     """Static elementwise u32 VPU lane-op count of one 3456-nt row.
 
-    The interleaved decoder runs ~2.3x above max(HBM, MXU) time — the VPU is
-    its binding resource — so its honest roofline needs this third
-    denominator (paired with the measured sustained rate from
-    tools/vpu_peak.py via utils.profiling.VPU_U32_GOPS).  The count is a
-    hand audit of :func:`_decode_b5_inter_kernel` in the reference
-    README's port-pressure style (reference README.md:383-402): one op =
-    one elementwise ALU/convert/copy per lane; u32<->i32 reinterprets are
-    free; MXU matmuls and stores are excluded (they are the other two
-    roofline terms).
+    The interleaved decoder runs ~2x above max(HBM, MXU) time — the VPU
+    issue stream is its binding resource.  The count is a hand audit of
+    :func:`_decode_b5_inter_kernel` in the reference README's
+    port-pressure style (reference README.md:383-402): one op = one
+    elementwise ALU/convert/copy per lane; u32<->i32 reinterprets are
+    free; MXU matmuls and stores are excluded.
+
+    DIAGNOSTIC ONLY — not a roofline term.  The 2026-08 hardware
+    calibration (tools/vpu_peak.py, 2.165 T dependent-chain ops/s)
+    cross-checked against this audit showed the decoder executing its
+    ~64k audited ops per row in 13.75 ns (~4.7 T audited-ops/s): converts,
+    copies and fused shift+mask pairs issue beside the ALU slots the tool
+    saturates, so audited-op counts and the measured rate are different
+    units for mixed streams.  See utils.profiling.VPU_U32_GOPS for the
+    scope rule (the rate IS a valid ceiling for the Myers rows'
+    dependent add/xor/shift/and recurrences).
     """
-    if kernel != "dec_inter":
-        raise KeyError(kernel)
     hoisted = 256 * (2 + 3 + 3 + 2)  # byte planes: ands/shifts + bf16 converts
-    per_slice = (
-        128 * 1            # 4x32-lane plane concat copies
-        + 256 * 3          # t: f32->i32 convert, >>7, &0x7F
-        + 256 * 2 * 2      # q5, q25 multiply-shift divisions
-        + 256 * 2 * 2      # digits: t-5*q5, q5-5*q25 (mul+sub each)
-        + 768 * 2          # digit concat copies + int8 converts
-        + 128 * 6          # v5/v25/v125 multiply-shift splits
-        + 128 * 6          # linear packed-digit assembly (3 mul + 3 add)
-        + 112 * 15         # SWAR digits->chars (shifts/nots/ands/muls/adds)
-    )
-    return hoisted + B5_SLICES * per_slice
+    if kernel == "dec_inter":
+        per_slice = (
+            128 * 1            # 4x32-lane plane concat copies
+            + 256 * 3          # t: f32->i32 convert, >>7, &0x7F
+            + 256 * 2 * 2      # q5, q25 multiply-shift divisions
+            + 256 * 2 * 2      # digits: t-5*q5, q5-5*q25 (mul+sub each)
+            + 768 * 2          # digit concat copies + int8 converts
+            + 128 * 6          # v5/v25/v125 multiply-shift splits
+            + 128 * 6          # linear packed-digit assembly (3 mul + 3 add)
+            + 112 * 15         # SWAR digits->chars (shifts/nots/ands/muls/adds)
+        )
+        return hoisted + B5_SLICES * per_slice
+    if kernel == "gc_inter":
+        per_slice = (
+            128 * 1            # 4x32-lane plane concat copies
+            + 256 * 3          # t: f32->i32 convert, >>7, &0x7F
+            + 256 * 2 * 2      # u, v multiply-shift quotients
+            + 256 * 8          # (t^u)&1 + (u^v)&1 + (v&1): 5 ALU, 2 add,
+                               # 1 accumulate
+        )
+        # + the per-row lane reduction (log2(256) strided folds)
+        return hoisted + B5_SLICES * per_slice + 256 * 8
+    raise KeyError(kernel)

@@ -309,7 +309,17 @@ def gc_content_packed_b5(words: jax.Array) -> jax.Array:
     quotients — ``a & 1 = (t ^ u) & 1``, ``b & 1 = (u ^ v) & 1``,
     ``c & 1 = v & 1`` (5d and d share parity) — so the per-triplet count
     needs only the two multiply-shift quotients, no remainders.
+
+    Long flat streams route to the Pallas kernel
+    (:func:`..ops.pallas_kernels.gc_content_b5_stream_pallas`): the MXU
+    gather-fold does the triplet extraction that dominates this XLA
+    lane-parity walk, bit-identical result.
     """
+    if words.ndim == 1 and words.shape[0] >= 1024 and not words.shape[0] % 2:
+        from . import pallas_kernels as _pk
+
+        return _pk.gc_content_b5_stream_pallas(words)
+
     def per_triplet(t):
         t = t.astype(jnp.int32)
         u = (t * 205) >> 10
@@ -451,6 +461,28 @@ def revcomp_packed_b5(words: jax.Array, length: int) -> jax.Array:
     # reversal the even lane must land the lo half, so pre-reverse the even
     # lane carries the ODD half and vice versa
     return jnp.where(even, o_val, e_val)[::-1]
+
+
+def revcomp_b5_xla_lane_ops(length: int) -> int:
+    """Audited elementwise VPU ops PER U32 LANE of :func:`revcomp_packed_b5`.
+
+    Port-pressure-style hand count (the convention of
+    ``ops.pallas_kernels.b5_kernel_vpu_lane_ops``) of the XLA graph
+    above, DIAGNOSTIC ONLY: it shows the op is ALU/issue-bound, not
+    HBM-bound (~250 emitted exprs per lane dwarf the 8 B of traffic), but
+    pre-CSE emitted-expr counts are not the unit the measured VPU rate is
+    stated in (XLA shares the triplet extraction and digit splits between
+    adjacent output triplets), so bench.py tags the row ``bound: "vpu"``
+    without a numeric SoL instead of feeding this through the rate — see
+    utils.profiling.VPU_U32_GOPS's scope note.  Per lane: 12 fixed (4 tap
+    copies, parity test, 4 half-word selects) + 9 output triplets x (2
+    extraction + 6 digit split + 9 complement + 4 repack [+ 6
+    second-triplet taps when the length is not triplet-aligned]) + 21
+    final assembly/select/reverse.
+    """
+    u = (length - 1) % 3
+    per_j = 2 + 6 + 9 + 4 + (0 if u == 2 else 6)
+    return 12 + 9 * per_j + 21
 
 
 def first_invalid_word_b5(words: jax.Array) -> jax.Array:

@@ -139,7 +139,22 @@ MXU_BF16_TFLOPS = {"v4": 275.0, "v5e": 197.0, "v5p": 459.0, "v6e": 918.0}
 #: roofline resource: the base-5 interleaved decoder runs ~2.3x above
 #: max(HBM, MXU) time, so without this denominator its efficiency cannot
 #: be stated honestly (docs/DESIGN.md §4).
-VPU_U32_GOPS: dict = {"v4": None, "v5e": None, "v5p": None, "v6e": None}
+VPU_U32_GOPS: dict = {"v4": None, "v5e": 2165.0, "v5p": None, "v6e": None}
+# v5e: measured 2026-08 by tools/vpu_peak.py on the real chip — median of
+# pairwise k-sweep slopes (2.165/2.167/1.646 Tops/s), i.e. ~2.2
+# lane-equivalent u32 ALUs at 940 MHz sustained.
+#
+# SCOPE (calibration cross-check, 2026-08): this rate is a valid ceiling
+# only for op streams that look like the tool's own — long DEPENDENT
+# add/xor/shift/and chains (the Myers scan rows: 40nb+7 genuinely serial
+# recurrence ops per step).  It is NOT a ceiling for the base-5 codec
+# kernels' mixed streams: the interleaved decoder demonstrably executes
+# its audited 64k-op row in 13.75 ns (~4.7 T audited-ops/s — converts,
+# copies and fused shift+mask pairs issue beside the ALU slots the tool
+# saturates), so feeding those audits through this rate would report
+# SoL > 1.  bench.py therefore passes vpu_lane_ops only for the
+# alignment rows; the codec audits remain as diagnostics
+# (ops.pallas_kernels.b5_kernel_vpu_lane_ops).
 
 
 def vpu_peak_gops(chip: str = "v5e"):

@@ -229,3 +229,48 @@ def test_decode_b5_bytes_checked_scalar_flag(rng):
     wbad[11] |= np.uint32(1) << 31  # word 5 pad bit
     _, bad = pk.decode_b5_bytes_checked(jnp.asarray(wbad), interpret=True)
     assert bool(bad)
+
+
+# --- GC content kernel (triplet extraction on the MXU) ----------------------
+
+
+def _count_gc(s: np.ndarray) -> int:
+    return int(np.sum(np.isin(s, np.frombuffer(b"CGcg", np.uint8))))
+
+
+@pytest.mark.parametrize("n", [27, 500, 3456, 3457, 8208, 3456 * 3 + 5])
+def test_gc_b5_stream_matches_byte_count(rng, n):
+    s = rng.choice(ALPHABET, size=n)
+    w32 = jnp.asarray(
+        spec.u64_to_u32_pairs(oracle.n_to_bits2_lut(s)).reshape(-1)
+    )
+    got = int(pk.gc_content_b5_stream_pallas(w32, interpret=True))
+    assert got == _count_gc(s)
+
+
+def test_gc_b5_row_sums_panels(rng):
+    # whole panels: per-row sums match the byte-domain count row by row
+    R, row_nt = 4, 3456
+    s = rng.choice(ALPHABET, size=(R, row_nt))
+    rows = np.stack(
+        [
+            spec.u64_to_u32_pairs(oracle.n_to_bits2_lut(s[i])).reshape(-1)
+            for i in range(R)
+        ]
+    )
+    got = np.asarray(pk.gc_b5_row_sums(jnp.asarray(rows), interpret=True))
+    want = np.array([_count_gc(s[i]) for i in range(R)])
+    assert np.array_equal(got, want)
+
+
+def test_gc_b5_seqops_routes_to_kernel(rng):
+    # the public seqops entry agrees with the XLA lane-parity form on both
+    # sides of the routing threshold (1024 u32)
+    from cute_nucleotides_tpu.ops import seqops
+
+    for n in [513, 27 * 300]:  # below / above threshold
+        s = rng.choice(ALPHABET, size=n)
+        w32 = jnp.asarray(
+            spec.u64_to_u32_pairs(oracle.n_to_bits2_lut(s)).reshape(-1)
+        )
+        assert int(seqops.gc_content_packed_b5(w32)) == _count_gc(s)

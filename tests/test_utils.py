@@ -499,9 +499,11 @@ def test_roofline_vpu_term(monkeypatch):
     """The VPU term participates in the SoL max only when both a lane-op
     count and a measured chip rate exist."""
     r = profiling.Roofline(2**20, 2**20, vpu_lane_ops=10**9)
-    # unmeasured chip rate -> the term vanishes
-    assert r.vpu_s("v5e") == 0.0
-    assert r.bound_kind(763.0, "v5e") == "memory"
+    # unmeasured chip rate (v5p) -> the term vanishes
+    assert r.vpu_s("v5p") == 0.0
+    assert r.bound_kind(763.0, "v5p") == "memory"
+    # v5e carries the 2026-08 measured rate -> the term participates
+    assert r.vpu_s("v5e") == pytest.approx(10**9 / (2165.0 * 1e9))
     # measured rate (env override): 1e9 ops at 1 Gops/s = 1 s >> memory time
     monkeypatch.setenv("CUTENUC_VPU_GOPS", "1.0")
     assert r.vpu_s("v5e") == 1.0

@@ -218,6 +218,19 @@ def main() -> int:
         "revcomp_packed_b5",
         np.array_equal(spec.u32_pairs_to_u64(rcb5), want_rc5),
     )
+    # GC count on the packed base-5 stream (new Pallas kernel: MXU
+    # gather-fold triplet extraction + parity shortcut) — call the kernel
+    # directly so the Mosaic lowering is exercised regardless of the
+    # seqops routing threshold
+    gc5 = int(
+        pk.gc_content_b5_stream_pallas(
+            jnp.asarray(spec.u64_to_u32_pairs(want5).reshape(-1))
+        )
+    )
+    ok(
+        "gc_content_b5_pallas",
+        gc5 == sum(1 for c in bytes(want_seq5) if c in b"CG"),
+    )
     # pattern search: the Pallas packed-bitmask scan (new kernel) vs the
     # XLA mask tier, wildcard + multi-word query, on the 40 knt stream
     from cute_nucleotides_tpu.ops import search
