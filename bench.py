@@ -209,6 +209,9 @@ def main() -> int:
                     "encode_b5_checked": champion("encode_b5_pallas_checked"),
                     "stream_encode": champion("stream_encode_e2e"),
                     "stream_decode": champion("stream_decode_e2e"),
+                    # GiB/s column reads as Gcells/s for this DP row
+                    "edit_distance_gcups": champion("edit_distance_m128_n2048"),
+                    "gc_b5": champion("gc_content_packed_b5"),
                 },
                 "detail_file": detail_path,
             }

@@ -1,8 +1,12 @@
 #!/bin/bash
-# Round-3 hardware queue: run the real-TPU gates first (CLAUDE.md), then the
-# pending A/B experiments, strictly sequentially (never run TPU jobs
+# Canonical hardware queue: run the real-TPU gates first (CLAUDE.md), then
+# the calibration + full bench, strictly sequentially (never run TPU jobs
 # concurrently through the relay). Logs to /tmp/hw_session/<name>.log and
 # appends per-step exit codes to /tmp/hw_session/status.txt.
+#
+# One-off tuning A/Bs (tools/tune_*.py) are appended here when pending;
+# the r03 batch (dec_scatter/enc_checked/enc2/dec2/sketch/align) has run —
+# winners are committed, so they are out of the default queue.
 cd /root/repo || exit 1
 export PYTHONPATH=/root/repo:/root/.axon_site
 L=/tmp/hw_session
@@ -18,15 +22,12 @@ run() {
 
 run smoke python tools/tpu_smoke.py
 TMO=3600 run soak python tools/tpu_soak.py --rounds 3
-run tune_dec_scatter python tools/tune_dec_scatter.py
-run tune_enc_checked python tools/tune_enc_checked.py
-run tune_enc2 python tools/tune_enc2.py
-run tune_dec2 python tools/tune_dec2.py
-run tune_sketch python tools/tune_sketch.py
-run tune_align python tools/tune_align.py
+# VPU sustained-rate calibration: compare against the committed
+# utils/profiling.VPU_U32_GOPS value and its scope note before changing it
+# (the rate is a ceiling only for dependent add/xor/shift/and mixes).
 run vpu_peak python tools/vpu_peak.py
 # Fresh full-scale bench of the committed kernels (durable numbers even if
-# nobody ships tune winners before the relay drops again); detail JSON goes
-# to the log dir, not the repo tree.
-TMO=2400 BENCH_DETAIL_PATH="$L/bench_detail.json" run bench_full python bench.py
+# the relay drops again); the repo-tree BENCH_DETAIL.json is refreshed by a
+# default-path run, partial runs go to /tmp automatically.
+TMO=2400 run bench_full python bench.py
 echo "ALL-DONE $(date +%H:%M:%S)" >> "$L/status.txt"
