@@ -607,7 +607,10 @@ def main() -> int:
             chained(lambda w: kmer.minimizers(w, mz_len, 15, 10)[0]),
             jnp.asarray(mz_words),
             mz_len,
-            R(4 * mz_words.size, mz_len + 4 * mz_len),
+            # windowed-argmin + dedup is sort/scan-dominated like
+            # kmer_counts — a bytes roofline would print "0.0% SoL" for an
+            # op with no HBM-bound formulation, so none applies
+            None,
             k_lo=4, k_hi=20, trials=3,
         )
         # dataset MinHash sketch (Mash bottom-1000, production k): canonical
