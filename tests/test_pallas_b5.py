@@ -263,14 +263,27 @@ def test_gc_b5_row_sums_panels(rng):
     assert np.array_equal(got, want)
 
 
-def test_gc_b5_seqops_routes_to_kernel(rng):
+def test_gc_b5_seqops_routes_to_kernel(rng, monkeypatch):
     # the public seqops entry agrees with the XLA lane-parity form on both
-    # sides of the routing threshold (1024 u32)
+    # sides of the routing threshold (>= 1024 u32 words -> Pallas stream
+    # kernel); 27*1024 nt = 2048 u32 words is above, 513 nt below.  Wrap the
+    # kernel to assert the above-threshold case really takes the Pallas route
+    # (ADVICE r03: the old sizes never crossed the threshold).
+    from cute_nucleotides_tpu.ops import pallas_kernels as pk_mod
     from cute_nucleotides_tpu.ops import seqops
 
-    for n in [513, 27 * 300]:  # below / above threshold
+    calls = []
+    real = pk_mod.gc_content_b5_stream_pallas
+    monkeypatch.setattr(
+        pk_mod,
+        "gc_content_b5_stream_pallas",
+        lambda w, **kw: (calls.append(w.shape), real(w, **kw))[1],
+    )
+    for n, expect_kernel in [(513, False), (27 * 1024, True)]:
         s = rng.choice(ALPHABET, size=n)
         w32 = jnp.asarray(
             spec.u64_to_u32_pairs(oracle.n_to_bits2_lut(s)).reshape(-1)
         )
+        before = len(calls)
         assert int(seqops.gc_content_packed_b5(w32)) == _count_gc(s)
+        assert (len(calls) > before) == expect_kernel
