@@ -25,6 +25,7 @@ from __future__ import annotations
 import dataclasses
 import queue
 import threading
+import time
 from typing import Callable, Iterable, Iterator
 
 import jax
@@ -61,15 +62,20 @@ def initialize(
     }
 
 
-def _prefetch(iterable: Iterable, depth: int = 1) -> Iterator:
+def _prefetch(
+    iterable: Iterable, depth: int = 1, stages: dict | None = None
+) -> Iterator:
     """Run ``iterable`` in a background thread, ``depth`` items ahead.
 
     The host-side batch prep (record padding/packing) is pure NumPy and
-    releases the GIL in its hot copies, so a one-deep prefetch overlaps
-    prep of batch N+1 with the device encode of batch N (the pipeline
-    overlap the serial loop lacked — VERDICT r02 #6).  Exceptions from the
+    releases the GIL in its hot copies, so the prefetch overlaps prep of
+    batch N+depth with the device encode of batch N (the pipeline overlap
+    the serial loop lacked — VERDICT r02 #6).  Exceptions from the
     producer re-raise at the consumption point; the queue depth bounds
-    host memory to ``depth + 1`` in-flight batches.
+    host memory to ``depth + 1`` in-flight batches.  When ``stages`` is
+    given, time the consumer spends *blocked* on the producer accumulates
+    into ``stages["prep_wait_s"]`` — nonzero means host parse/assembly is
+    not hidden by the pipeline.
     """
     q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
     sentinel = object()
@@ -86,12 +92,97 @@ def _prefetch(iterable: Iterable, depth: int = 1) -> Iterator:
 
     threading.Thread(target=worker, daemon=True).start()
     while True:
+        t0 = time.perf_counter()
         item = q.get()
+        if stages is not None:
+            stages["prep_wait_s"] += time.perf_counter() - t0
         if item is sentinel:
             if failure:
                 raise failure[0]
             return
         yield item
+
+
+def _pipelined(
+    items: Iterator,
+    dispatch: Callable,
+    finish: Callable,
+    *,
+    readback_depth: int,
+    stages: dict,
+) -> None:
+    """Drive the dispatch/finish halves of a streaming pipeline with the
+    finish half on its own thread.
+
+    ``dispatch(item)`` issues the device work (H2D + kernel, async) and
+    returns a pending token; ``finish(pending)`` blocks on the readback
+    and runs sink/accounting.  Running finish on a worker thread lets the
+    D2H of batch N overlap the H2D of batch N+1 through a full-duplex
+    link (VERDICT r03 #1) — the main thread never blocks on readback, so
+    upload keeps streaming.  A single worker preserves batch order (the
+    manifest's at-least-once contract needs in-order advancement); the
+    bounded queue holds ``readback_depth`` batches of device output alive.
+    Worker exceptions re-raise here after an orderly drain; a failed
+    finish never lets later batches sink (the worker discards them).
+    """
+    fq: queue.Queue = queue.Queue(maxsize=max(readback_depth, 1))
+    sentinel = object()
+    failure: list[BaseException] = []
+
+    def worker():
+        while True:
+            item = fq.get()
+            if item is sentinel:
+                return
+            if failure:
+                continue  # drain without sinking past a failure
+            try:
+                t0 = time.perf_counter()
+                finish(item)
+                stages["finish_s"] += time.perf_counter() - t0
+            except BaseException as e:
+                failure.append(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        for item in items:
+            if failure:
+                break
+            t0 = time.perf_counter()
+            pending = dispatch(item)
+            stages["dispatch_s"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            fq.put(pending)
+            stages["backpressure_s"] += time.perf_counter() - t0
+    finally:
+        fq.put(sentinel)
+        t.join()
+    if failure:
+        raise failure[0]
+
+
+def _new_stages() -> dict:
+    """Per-stage wall-second accumulators for the pipeline attribution.
+
+    ``prep_wait_s`` — main thread blocked on host parse/assembly;
+    ``dispatch_s`` — main thread inside device_put + jit dispatch (the
+    synchronous slice of H2D through the link); ``backpressure_s`` — main
+    thread blocked because the readback worker is behind (D2H + sink are
+    the bottleneck); ``finish_s``/``readback_s``/``sink_s``/``manifest_s``
+    — worker-thread time (overlapped with dispatch, so these bound but do
+    not sum into the wall).  ``prep_wait + dispatch + backpressure ~ wall``
+    attributes the critical path.
+    """
+    return {
+        "prep_wait_s": 0.0,
+        "dispatch_s": 0.0,
+        "backpressure_s": 0.0,
+        "finish_s": 0.0,
+        "readback_s": 0.0,
+        "sink_s": 0.0,
+        "manifest_s": 0.0,
+    }
 
 
 @dataclasses.dataclass
@@ -113,6 +204,11 @@ class StreamConfig:
     #: the encode kernel's single HBM read; a batch containing a byte
     #: outside the codec's alphabet raises before anything is sunk
     validate: bool = False
+    #: host-prep batches assembled ahead of the device (pipeline stage 1)
+    prefetch_depth: int = 2
+    #: device-output batches the readback worker may hold in flight
+    #: (pipeline stage 3); 2 keeps D2H of batch N overlapping H2D of N+2
+    readback_depth: int = 2
 
 
 class StreamingEncoder:
@@ -192,13 +288,17 @@ class StreamingEncoder:
             skip = self.manifest.batches_done(self.host_id)
             batches = (b for i, b in enumerate(batches) if i >= skip)
         self.logger.start()
+        stages = _new_stages()
 
         def finish(pending):
             """Read back, validate, sink, account — then (and only then)
             advance the manifest, preserving the at-least-once contract."""
             words, batch, bad = pending
+            t0 = time.perf_counter()
             words_np = np.asarray(words)
-            if bad is not None and int(bad):
+            bad_flag = bool(bad is not None and int(bad))
+            stages["readback_s"] += time.perf_counter() - t0
+            if bad_flag:
                 # invalid input byte somewhere in the batch: diagnose
                 # host-side (the rare path) and raise BEFORE sinking
                 from ..ops import native
@@ -217,33 +317,43 @@ class StreamingEncoder:
                     "scan found no invalid byte (kernel/oracle drift)"
                 )
             if sink is not None:
+                t0 = time.perf_counter()
                 sink(words_np, batch)
+                stages["sink_s"] += time.perf_counter() - t0
             self.logger.batch_done(
                 nt=int(batch.lengths.sum()), reads=batch.count
             )
             if self.manifest:
+                t0 = time.perf_counter()
                 self.manifest.advance(self.host_id, 1, batch.count)
                 self.manifest.save()
+                stages["manifest_s"] += time.perf_counter() - t0
 
-        # three-stage software pipeline: the prefetch thread preps batch
-        # N+2, the device (async dispatch) encodes N+1, and the host reads
-        # back/sinks N — the readback of N is what lets N+1's H2D + kernel
-        # overlap sink I/O
-        pending = None
-        for batch in _prefetch(batches, depth=1):
+        def dispatch(batch):
             x = self.sharded.shard(batch.reads)
             if cfg.validate:
                 words, bad = self.sharded.encode_checked(x, gather=cfg.gather)
             else:
                 words, bad = self.sharded.encode(x, gather=cfg.gather), None
-            if pending is not None:
-                finish(pending)
-            pending = (words, batch, bad)
-        if pending is not None:
-            finish(pending)
+            return (words, batch, bad)
+
+        # four-stage software pipeline: the prefetch thread preps batches
+        # ahead, the main thread uploads + dispatches (async), and the
+        # readback worker blocks on D2H/sink — so host prep, H2D, kernel,
+        # D2H and sink I/O all overlap (per-stage seconds in ``stages``)
+        t_run = time.perf_counter()
+        _pipelined(
+            _prefetch(batches, depth=cfg.prefetch_depth, stages=stages),
+            dispatch,
+            finish,
+            readback_depth=cfg.readback_depth,
+            stages=stages,
+        )
+        stages["wall_s"] = time.perf_counter() - t_run
         agg = self.logger.aggregate()
         agg["host_id"] = self.host_id
         agg["num_hosts"] = self.num_hosts
+        agg["stages"] = {k: round(v, 4) for k, v in stages.items()}
         return agg
 
 
@@ -325,12 +435,17 @@ class StreamingDecoder:
                     continue
                 yield chunk, io_lib.pack_words_batch(chunk, cfg.batch_size)
 
+        stages = _new_stages()
+
         def finish(pending):
             """Read back, verify, sink, account — then (and only then)
             advance the manifest, preserving the at-least-once contract."""
             chunk, dec, bad = pending
+            t0 = time.perf_counter()
             dec_np = np.asarray(dec)
-            if bad is not None and int(bad):
+            bad_flag = bool(bad is not None and int(bad))
+            stages["readback_s"] += time.perf_counter() - t0
+            if bad_flag:
                 # corrupt stream: diagnose host-side (the rare path) and
                 # raise BEFORE anything is sunk or the manifest advances
                 from ..ops import seqops
@@ -349,31 +464,42 @@ class StreamingDecoder:
                     "fused integrity check flagged the batch but the host "
                     "scan found no corrupt word (check/scan divergence)"
                 )
+            t0 = time.perf_counter()
             for i, (name, length, _) in enumerate(chunk):
                 sink(name, bytes(dec_np[i, :length]))
+            stages["sink_s"] += time.perf_counter() - t0
             self.logger.batch_done(
                 nt=sum(e[1] for e in chunk), reads=len(chunk)
             )
             if self.manifest:
+                t0 = time.perf_counter()
                 self.manifest.advance(self.host_id, 1, len(chunk))
                 self.manifest.save()
+                stages["manifest_s"] += time.perf_counter() - t0
 
-        # three-stage software pipeline, mirroring the encoder: the
-        # prefetch thread packs batch N+2's words, the device (async
-        # dispatch) decodes N+1, and the host reads back/sinks N
-        pending = None
-        for chunk, w32 in _prefetch(prepped(), depth=1):
+        def dispatch(item):
+            chunk, w32 = item
             x = jax.device_put(w32, self.sharded.batch_sharding)
             if cfg.verify:
                 dec, bad = self.sharded.decode_checked(x)
             else:
                 dec, bad = self.sharded.decode(x), None
-            if pending is not None:
-                finish(pending)
-            pending = (chunk, dec, bad)
-        if pending is not None:
-            finish(pending)
+            return (chunk, dec, bad)
+
+        # four-stage software pipeline, mirroring the encoder: prefetch
+        # packs words ahead, the main thread uploads + dispatches, the
+        # readback worker blocks on D2H and sinks
+        t_run = time.perf_counter()
+        _pipelined(
+            _prefetch(prepped(), depth=cfg.prefetch_depth, stages=stages),
+            dispatch,
+            finish,
+            readback_depth=cfg.readback_depth,
+            stages=stages,
+        )
+        stages["wall_s"] = time.perf_counter() - t_run
         agg = self.logger.aggregate()
         agg["host_id"] = self.host_id
         agg["num_hosts"] = self.num_hosts
+        agg["stages"] = {k: round(v, 4) for k, v in stages.items()}
         return agg
