@@ -680,18 +680,23 @@ def main() -> int:
                 R(4 * words_flat.size, 4 * words_flat.size),
             )
         wb5_flat = w_b5.reshape(-1)
-        # base-5 packed search (XLA triplet base-8 phase folds); same
-        # in-bytes denominator convention as the 2-bit scan rows
+        # base-5 packed search (Pallas r04: MXU de-interleave + funnel
+        # triplet extraction + phase-fold compares, packed 27-bit output);
+        # same in-bytes denominator convention as the 2-bit scan rows.
+        # Reads are 1.25x the stream (128 overlap words per 512-word row),
+        # writes one u32 of match bits per u64 word
+        b5s_rows = -(-wb5_flat.size // (2 * pk.B5_SEARCH_WORDS))
         run(
             "search_b5_7nt",
             chained(
-                lambda w: search.match_mask_b5(
+                lambda w: search.match_bits_b5(
                     w, (wb5_flat.size // 2) * 27, b"GATTACA"
                 )
             ),
             jnp.asarray(wb5_flat),
             4 * wb5_flat.size,
-            R(4 * wb5_flat.size, 4 * wb5_flat.size),
+            R(5 * wb5_flat.size, 2 * wb5_flat.size,
+              bf16_macs=b5s_rows * pk.b5_kernel_macs("search_inter")[1]),
         )
         # routes to the Pallas kernel (MXU gather-fold triplet extraction);
         # roofline carries its dense bf16 MACs + audited VPU lane-ops
@@ -828,13 +833,30 @@ def main() -> int:
                         parts = []
                 f.write(b"".join(parts))
 
-            # NOTE: through a relayed/tunneled TPU these rows are dominated
-            # by per-batch H2D + dispatch round trips (~30 ms + ~100 ms/16 MB
-            # each way measured on this link), not by host parse or kernel
-            # time — treat them as a LOWER bound; on a locally attached chip
-            # the same loop is device-H2D-bound.  Large batches amortize the
-            # round trips.
+            # NOTE: through a relayed/tunneled TPU these rows are LINK-bound:
+            # tools/link_probe.py measures ~42 MB/s H2D (~45 D2H, near-full
+            # duplex, parallel uploads do NOT sum), so a perfectly pipelined
+            # encode tops out at link_rate bp/s.  ``link_saturation`` below
+            # is the honest score: achieved ASCII bytes/s over a same-run
+            # dependent-readback H2D measurement.  On a locally attached
+            # chip the identical loop is PCIe-bound instead (~100x).
             stream_batch = 4096
+
+            # same-run link floor: one 8 MiB H2D with a dependent readback
+            # (block_until_ready is not trustworthy through the relay)
+            link_buf = rng.integers(0, 255, 8 * 2**20, np.uint8)
+            dev0 = jax.devices()[0]
+            np.asarray(jax.device_put(link_buf, dev0).ravel()[:1])  # warm
+            t0 = time.perf_counter()
+            np.asarray(jax.device_put(link_buf, dev0).ravel()[:1])
+            link_h2d_s = time.perf_counter() - t0
+            link_h2d_mib_s = link_buf.nbytes / link_h2d_s / 2**20
+            stream_stats["link_h2d_mib_s"] = round(link_h2d_mib_s, 1)
+            print(
+                f"link H2D (8 MiB dependent readback): "
+                f"{link_h2d_mib_s:.1f} MiB/s",
+                file=sys.stderr,
+            )
 
             def stream_row(name, runner):
                 sunk = [0]
@@ -850,16 +872,20 @@ def main() -> int:
                 dt = time.perf_counter() - t0
                 nt = n_reads * read_len
                 results[name] = nt / dt / 2**30
+                sat = (nt / dt / 2**20) / link_h2d_mib_s
                 stream_stats[name] = {
                     "gbp_s": round(nt / dt / 1e9, 3),
                     "reads_per_s": round(n_reads / dt, 1),
                     "ms_per_batch": round(dt * 1e3 * stream_batch / n_reads, 1),
                     "sunk_bytes": sunk[0],
+                    "link_saturation": round(sat, 3),
+                    "stages": agg.get("stages", {}),
                     **{k: v for k, v in agg.items() if isinstance(v, (int, float))},
                 }
                 print(
                     f"{name:30s} {dt * 1e3:9.1f} ms   {results[name]:9.2f} "
-                    f"GiB/s-nt  ({n_reads / dt:,.0f} reads/s)",
+                    f"GiB/s-nt  ({n_reads / dt:,.0f} reads/s, "
+                    f"link sat {sat:.0%})",
                     file=sys.stderr,
                 )
 
@@ -925,6 +951,12 @@ def main() -> int:
                 "reads_per_s": round(n_reads / dt, 1),
                 "ms_per_batch": round(dt * 1e3 * stream_batch / n_reads, 1),
                 "sunk_bytes": sunk[0],
+                # decode's dominant transfer is the ASCII D2H (probe: D2H
+                # bandwidth ~= H2D), so the same-run H2D rate is the floor
+                "link_saturation": round(
+                    (nt / dt / 2**20) / link_h2d_mib_s, 3
+                ),
+                "stages": agg.get("stages", {}),
                 **{
                     k: v
                     for k, v in agg.items()

@@ -1435,6 +1435,159 @@ def gc_content_b5_stream_pallas(
     )
 
 
+# --- base-5 packed pattern search scan ---------------------------------
+
+B5_SEARCH_WORDS = 512   # u64 words per kernel row = 13824 nt
+B5_SEARCH_OVW = 128     # overlap words per row (bounds the max tap offset)
+
+
+@functools.lru_cache(maxsize=None)
+def _b5_deint_mats_bf16():
+    """Even/odd lane-select byte-pair fold matrices (512, 128), bf16.
+
+    ``concat([byte_plane_a, byte_plane_b], axis=1) @ We`` lands
+    ``a[2w] + 256 * b[2w]`` on column ``w`` (the lo u32 of u64 word ``w``
+    as one 16-bit half); ``Wo`` does the odd (hi) lanes.  Exact in
+    bf16/f32: inputs <= 255 (8 significant bits), weights are powers of
+    two, sums < 2^16 < the 2^24 f32-accumulation bound.  This is the
+    search scan's de-interleave: XLA's strided-slice de-interleave pass
+    is the DESIGN §4 rule-2 anti-pattern the r03 XLA tier paid 94% of its
+    time for; here the MXU absorbs it at the same MAC cost as the decode
+    gather.
+    """
+    we = np.zeros((512, 128), np.float32)
+    wo = np.zeros((512, 128), np.float32)
+    for w in range(128):
+        we[2 * w, w] = 1.0
+        we[256 + 2 * w, w] = 256.0
+        wo[2 * w + 1, w] = 1.0
+        wo[256 + 2 * w + 1, w] = 256.0
+    return (
+        np.asarray(we, dtype=jnp.bfloat16),
+        np.asarray(wo, dtype=jnp.bfloat16),
+    )
+
+
+def _match_b5_kernel(qc: tuple):
+    """Build the base-5 search kernel for a compiled query ``qc`` =
+    ((q8 ints, care8 ints) per phase 0..2), baked in as constants.
+
+    Interleaved u32[rb, 2*(512+128)] word panels -> packed match bits
+    u32[rb, 512]: bit ``3j + phase`` of lane ``w`` flags a query match at
+    nucleotide ``27 w + 3 j + phase`` of the row (triplet ``j`` of u64
+    word ``w``, start phase ``phase``).  Three stages, none leaving VMEM:
+
+    1. de-interleave by MXU (:func:`_b5_deint_mats_bf16`): per 256-lane
+       chunk, four (rb,512)@(512,128) dots rebuild planar lo/hi u32 words;
+    2. nine VPU funnel shifts extract triplet ``j`` of every word and two
+       exact multiply-shift divisions (the decoder's Lemire constants,
+       reference src/n_to_bits2.rs:210-211) isolate its digits into
+       base-8 slots -> ``t8[j]`` (rb, 640);
+    3. the phase fold: a match starting at triplet ``u = 9w + j`` with
+       phase ``p`` compares stream triplet ``u + i`` against ``q8[p][i]``
+       — group ``j`` tap ``i`` is the in-row static slice
+       ``t8[(j+i) % 9][:, (j+i)//9 :][..., :512]``, XOR + care-AND + OR,
+       exactly the 2-bit scan's funnel-compare idiom (no gathers, no
+       relayouts).
+    """
+    nchunks = (B5_SEARCH_WORDS + B5_SEARCH_OVW) // 128  # 5
+
+    def kernel(x_ref, we_ref, wo_ref, o_ref):
+        x = x_ref[:]
+        rb = x.shape[0]
+        m8 = jnp.uint32(0xFF)
+        # byte planes hoisted out of the chunk loop (full-width VPU ops)
+        p0 = (x & m8).astype(jnp.int32).astype(jnp.bfloat16)
+        p1 = ((x >> 8) & m8).astype(jnp.int32).astype(jnp.bfloat16)
+        p2 = ((x >> 16) & m8).astype(jnp.int32).astype(jnp.bfloat16)
+        p3 = (x >> 24).astype(jnp.int32).astype(jnp.bfloat16)
+        groups: list[list] = [[] for _ in range(9)]
+        for c in range(nchunks):
+            sl = lambda p: jax.lax.slice(p, (0, 256 * c), (rb, 256 * (c + 1)))
+            a01 = jnp.concatenate([sl(p0), sl(p1)], axis=1)
+            a23 = jnp.concatenate([sl(p2), sl(p3)], axis=1)
+            lo16 = jnp.dot(a01, we_ref[:], preferred_element_type=jnp.float32)
+            lo32 = jnp.dot(a23, we_ref[:], preferred_element_type=jnp.float32)
+            hi16 = jnp.dot(a01, wo_ref[:], preferred_element_type=jnp.float32)
+            hi32 = jnp.dot(a23, wo_ref[:], preferred_element_type=jnp.float32)
+            lo = lo16.astype(jnp.int32).astype(jnp.uint32) | (
+                lo32.astype(jnp.int32).astype(jnp.uint32) << 16
+            )
+            hi = hi16.astype(jnp.int32).astype(jnp.uint32) | (
+                hi32.astype(jnp.int32).astype(jnp.uint32) << 16
+            )
+            for j in range(9):
+                b = 7 * j
+                if b + 7 <= 32:
+                    t = lo >> b if b else lo
+                elif b >= 32:
+                    t = hi >> (b - 32)
+                else:
+                    t = (lo >> b) | (hi << (32 - b))
+                t = t & jnp.uint32(0x7F)
+                t5 = (t * jnp.uint32(205)) >> 10
+                t25 = (t * jnp.uint32(41)) >> 10
+                groups[j].append(
+                    (t - 5 * t5) | ((t5 - 5 * t25) << 3) | (t25 << 6)
+                )
+        t8 = [jnp.concatenate(cols, axis=1) for cols in groups]
+        W = B5_SEARCH_WORDS
+        bits = jnp.zeros((rb, W), jnp.uint32)
+        for j in range(9):
+            for phase in range(3):
+                q8, care8 = qc[phase]
+                diff = None
+                for i, (qv, cv) in enumerate(zip(q8, care8)):
+                    if not cv:
+                        continue
+                    jj, off = (j + i) % 9, (j + i) // 9
+                    d = (
+                        jax.lax.slice(t8[jj], (0, off), (rb, off + W))
+                        ^ jnp.uint32(qv)
+                    ) & jnp.uint32(cv)
+                    diff = d if diff is None else diff | d
+                hit = (
+                    jnp.ones((rb, W), jnp.uint32)
+                    if diff is None
+                    else (diff == 0).astype(jnp.uint32)
+                )
+                bits = bits | (hit << (3 * j + phase))
+        o_ref[:] = bits
+
+    return kernel
+
+
+def match_b5_bits_panels(
+    x: jax.Array, qc: tuple, *, interpret: bool = False, row_block: int = 128
+) -> jax.Array:
+    """Interleaved base-5 panels u32[R, 2*(512+128)] -> packed match bits
+    u32[R, 512] for the compiled query ``qc`` (see :func:`_match_b5_kernel`
+    for the bit contract).  Rows carry 128 overlap words (the next row's
+    first 256 u32 lanes), bounding queries at ``9 * 128 - 8`` triplets.
+    """
+    interpret = _auto_interpret(interpret)
+    lanes = 2 * (B5_SEARCH_WORDS + B5_SEARCH_OVW)
+    if x.dtype != jnp.uint32 or x.ndim != 2 or x.shape[1] != lanes:
+        raise TypeError(f"expected u32[R, {lanes}], got {x.dtype}{x.shape}")
+    R = x.shape[0]
+    rb = _row_block8(R, row_block)
+    we, wo = _b5_deint_mats_bf16()
+    return pl.pallas_call(
+        _match_b5_kernel(qc),
+        grid=(_cdiv(R, rb),),
+        in_specs=[
+            pl.BlockSpec((rb, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(we.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(wo.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (rb, B5_SEARCH_WORDS), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, B5_SEARCH_WORDS), jnp.uint32),
+        interpret=interpret,
+    )(x, we, wo)
+
+
 def _decode_b5_nt4_kernel(padded: bool):
     ow = 112 if padded else 108  # output lanes consumed per slice
 
@@ -1592,6 +1745,12 @@ def b5_kernel_macs(kernel: str) -> tuple[int, int]:
     if kernel == "gc_inter":
         g = _b5_dec_gather_fold_bf16()
         return 0, B5_SLICES * g.shape[0] * g.shape[1]
+    if kernel == "search_inter":
+        # per SEARCH row (13824 nt = 512 words + 128 overlap words): five
+        # 256-lane chunks x four (., 512) @ (512, 128) de-interleave dots
+        we, _ = _b5_deint_mats_bf16()
+        nchunks = (B5_SEARCH_WORDS + B5_SEARCH_OVW) // 128
+        return 0, nchunks * 4 * we.shape[0] * we.shape[1]
     raise KeyError(kernel)
 
 

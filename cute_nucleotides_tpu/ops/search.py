@@ -511,8 +511,101 @@ def match_mask_b5(words: jax.Array, length: int, query: bytes) -> jax.Array:
     return _match_mask_b5_impl(words, length, qc_h, m)
 
 
+# --- base-5 Pallas scan tier -------------------------------------------
+# Packed-bitmask kernel scan mirroring the 2-bit tier: triplet extraction
+# rides the MXU (in-kernel de-interleave matmuls + funnel shifts — no
+# strided slices, no stack/reshape relayouts), the phase folds are in-row
+# slice compares, and the output packs one u32 of 27 match bits per u64
+# word — the result stream is half the size of the input words.
+
+#: route flat streams at or above this many u32 words to the kernel scan
+_B5_SEARCH_THRESHOLD = 1024
+
+#: kernel tier query-length cap (nt): the fold unrolls 27 * T(query)
+#: compares, so very long queries would explode compile time; the XLA
+#: tier handles them
+_B5_SEARCH_MAX_QUERY = 1024
+
+
+def _qc_host(query: bytes) -> tuple:
+    qc = compile_query_b5(query)
+    return tuple(
+        (tuple(int(v) for v in q8), tuple(int(v) for v in c8))
+        for q8, c8 in qc
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("length", "qc", "m", "interpret")
+)
+def _match_bits_b5_impl(
+    words: jax.Array, length: int, qc: tuple, m: int, interpret: bool
+) -> jax.Array:
+    from . import pallas_kernels as pk
+
+    RW = pk.B5_SEARCH_WORDS      # u64 words per row
+    OV = 2 * pk.B5_SEARCH_OVW    # overlap u32 lanes per row
+    flat = words.reshape(-1)
+    rows = -(-flat.shape[0] // (2 * RW))
+    pad = rows * 2 * RW - flat.shape[0]
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.uint32)])
+    base = flat.reshape(rows, 2 * RW)
+    nxt = jnp.concatenate(
+        [base[1:, :OV], jnp.zeros((1, OV), jnp.uint32)], axis=0
+    )
+    panels = jnp.concatenate([base, nxt], axis=1)
+    bits = pk.match_b5_bits_panels(panels, qc, interpret=interpret)
+    # clear positions past the last valid start: lane (r, w) covers
+    # positions [27*(RW r + w), +27)
+    n = length - m + 1
+    lane_base = 27 * (
+        jax.lax.broadcasted_iota(jnp.int32, bits.shape, 0) * RW
+        + jax.lax.broadcasted_iota(jnp.int32, bits.shape, 1)
+    )
+    v = jnp.clip(n - lane_base, 0, 27)
+    return bits & ((jnp.uint32(1) << v.astype(jnp.uint32)) - 1)
+
+
+def match_bits_b5(
+    words: jax.Array, length: int, query: bytes, *, interpret: bool = False
+) -> jax.Array:
+    """Packed occurrence bitmask of ``query`` in a base-5 interleaved
+    stream: -> u32[rows, 512] where bit ``b`` of lane ``(r, w)`` flags a
+    match at nucleotide ``27*(512 r + w) + b`` (``b < 27``).  Pallas scan
+    tier — one memory pass, MXU triplet extraction; ``N`` is a literal,
+    ``?`` the wildcard, as in :func:`match_mask_b5`."""
+    if words.ndim != 1 or words.shape[0] % 2:
+        raise TypeError("match_bits_b5 takes a flat interleaved u32[2W] stream")
+    m = len(query)
+    if m > _B5_SEARCH_MAX_QUERY:
+        raise ValueError(
+            f"kernel scan caps queries at {_B5_SEARCH_MAX_QUERY} nt (got "
+            f"{m}); use match_mask_b5"
+        )
+    qc = _qc_host(query)
+    if length - m + 1 <= 0:
+        raise ValueError(f"stream length {length} shorter than query ({m})")
+    if length > (words.shape[0] // 2) * spec.NT_PER_WORD_B5:
+        raise ValueError("length exceeds stream capacity")
+    return _match_bits_b5_impl(words, length, qc, m, interpret)
+
+
+def _use_b5_kernel(words: jax.Array, query) -> bool:
+    return (
+        words.shape[0] >= _B5_SEARCH_THRESHOLD
+        and len(query) <= _B5_SEARCH_MAX_QUERY
+    )
+
+
 def match_count_b5(words: jax.Array, length: int, query: bytes) -> jax.Array:
-    """Number of occurrences of ``query`` in a base-5 stream (i32, device)."""
+    """Number of occurrences of ``query`` in a base-5 stream (i32, device).
+
+    Long flat streams ride the Pallas packed-bitmask scan; short ones the
+    XLA gather tier (bit-identical results either way)."""
+    if words.ndim == 1 and _use_b5_kernel(words, query):
+        bits = match_bits_b5(words, length, query)
+        return jax.lax.population_count(bits).sum().astype(jnp.int32)
     return jnp.sum(match_mask_b5(words, length, query)).astype(jnp.int32)
 
 
@@ -520,5 +613,15 @@ def match_positions_b5(
     words: jax.Array, length: int, query: bytes
 ) -> np.ndarray:
     """Sorted occurrence positions in a base-5 stream (host ndarray)."""
+    if words.ndim == 1 and _use_b5_kernel(words, query):
+        bits = np.asarray(match_bits_b5(words, length, query))
+        r, w = np.nonzero(bits)
+        W = bits.shape[1]
+        pos = []
+        for ri, wi in zip(r, w):
+            b = int(bits[ri, wi])
+            base = 27 * (ri * W + wi)
+            pos.extend(base + s for s in range(27) if (b >> s) & 1)
+        return np.asarray(sorted(pos), dtype=np.int64)
     mask = np.asarray(match_mask_b5(words, length, query))
     return np.nonzero(mask)[0].astype(np.int64)

@@ -276,6 +276,88 @@ def match_long(bits, length: int, query: bytes, *, mesh: Mesh | None = None) -> 
 
 
 @functools.lru_cache(maxsize=None)
+def _jit_shard_match_b5(mesh: Mesh, qc: tuple, m: int, weq_words: int):
+    axis = mesh_lib.SEQ_AXIS
+    from ..ops import search as search_ops
+
+    S = mesh.shape[axis]
+    H = -(-(m - 1) // 27) + 1  # halo u64 words a window can read past its block
+
+    def per_shard(w):  # u32[1, 2*weq_words] — this shard's interleaved block
+        flat = w.reshape(-1)
+        head = jax.lax.slice(flat, (0,), (2 * H,))
+        halo = jax.lax.ppermute(
+            head, axis, [((i + 1) % S, i) for i in range(S)]
+        )
+        ext = jnp.concatenate([flat, halo])
+        # claim every position starting in this block (27 per word); the
+        # +m-1 lets end-of-block windows read into the halo
+        bits = search_ops._match_bits_b5_impl(
+            ext, 27 * weq_words + m - 1, qc, m, False
+        )
+        return bits.reshape(-1)[:weq_words].reshape(1, weq_words)
+
+    return jax.jit(
+        shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(axis, None),),
+            out_specs=P(axis, None),
+            check_vma=False,
+        )
+    )
+
+
+def match_long_b5(
+    bits, length: int, query: bytes, *, mesh: Mesh | None = None
+) -> np.ndarray:
+    """Find every occurrence of ``query`` in ONE long base-5 stream, the
+    word stream block-sharded over the mesh's seq axis (``ops.search``
+    base-5 semantics: ``N`` literal, ``?`` wildcard).  Returns sorted
+    global positions.
+
+    The 27∤2^k mirror of :func:`match_long`: each shard owns whole u64
+    words (27 nt each) and runs the Pallas packed-bitmask scan
+    (:func:`..ops.search.match_bits_b5`) on its block extended by a
+    ``ppermute``-exchanged halo of the successor's head words, so hits
+    crossing shard boundaries are seen exactly once (a position belongs
+    to the shard owning its start word).
+    """
+    from ..ops import search as search_ops
+
+    if mesh is None:
+        mesh = mesh_lib.make_mesh(data=1, seq=len(jax.devices()))
+    S = mesh.shape[mesh_lib.SEQ_AXIS]
+    qc = search_ops._qc_host(query)
+    m = len(query)
+    n = length - m + 1
+    if n <= 0:
+        raise ValueError(f"stream length {length} shorter than query ({m})")
+    bits = np.ascontiguousarray(bits, dtype=np.uint64)
+    if length > bits.size * spec.NT_PER_WORD_B5:
+        raise ValueError("length exceeds stream capacity")
+    w32 = spec.u64_to_u32_pairs(bits.reshape(1, -1)).reshape(-1)
+    H = -(-(m - 1) // 27) + 1
+    weq_words = max(-(-bits.size // S), H)  # one halo must cover the overhang
+    x = _shard_stream_words(w32, mesh, 2 * weq_words)
+    out = np.asarray(
+        _jit_shard_match_b5(mesh, qc, m, weq_words)(x)
+    ).reshape(-1)
+    # global tail mask: clear claimed positions past the last valid start
+    lane_base = 27 * np.arange(out.size, dtype=np.int64)
+    v = np.clip(n - lane_base, 0, 27).astype(np.uint32)
+    out = out & ((np.uint32(1) << v) - np.uint32(1))
+    w_idx, = np.nonzero(out)
+    pos = [
+        int(27 * w + s)
+        for w in w_idx
+        for s in range(27)
+        if (int(out[w]) >> s) & 1
+    ]
+    return np.asarray(pos, dtype=np.int64)
+
+
+@functools.lru_cache(maxsize=None)
 def _jit_shard_best_match(
     mesh: Mesh, peq_key: tuple, m: int, w_eq: int, H: int
 ):

@@ -240,6 +240,37 @@ def test_match_long_sharded_boundaries(rng):
     assert np.array_equal(got2, [997])
 
 
+def test_match_long_b5_sharded(rng):
+    """Base-5 sharded exact search == single-stream scan, with hits planted
+    across every 8-way shard boundary (27-nt words never align to 2^k)."""
+    from cute_nucleotides_tpu.ops import search, spec
+
+    L = 54_000
+    s = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=L)
+    Wd = spec.num_words_b5(L)  # u64 words
+    weq = -(-Wd // 8)
+    q = b"GAT?ACN"
+    planted = []
+    for k in range(1, 8):
+        p = 27 * (k * weq) - 3  # spans the boundary between shards k-1, k
+        if p + len(q) <= L:
+            s[p : p + len(q)] = np.frombuffer(b"GATCACN", np.uint8)
+            planted.append(p)
+    bits = oracle.n_to_bits2_lut(s)
+    got = longseq.match_long_b5(bits, L, q)
+    w32 = jnp.asarray(spec.u64_to_u32_pairs(bits.reshape(1, -1)).reshape(-1))
+    want = search.match_positions_b5(w32, L, q)
+    assert np.array_equal(got, want)
+    assert set(planted) <= set(got.tolist())
+    # literal-N + explicit mesh + tail position (start = n-1)
+    s2 = np.full(1000, ord("C"), np.uint8)
+    s2[-3:] = [ord("A"), ord("N"), ord("A")]
+    bits2 = oracle.n_to_bits2_lut(s2)
+    m = parallel.make_mesh(data=1, seq=8)
+    got2 = longseq.match_long_b5(bits2, 1000, b"ANA", mesh=m)
+    assert np.array_equal(got2, [997])
+
+
 def test_best_match_long_sharded(rng):
     """Sharded approximate search == DP oracle, incl. a one-error hit that
     straddles the shard-boundary halo exchange."""

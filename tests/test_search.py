@@ -273,6 +273,68 @@ def test_match_counts_sharded(rng):
     assert got[3] >= 1
 
 
+def test_match_bits_b5_matches_mask(rng):
+    """The base-5 Pallas packed-bitmask tier agrees with the XLA mask tier
+    across row seams, phases, wildcards, and ragged tails."""
+    alpha = np.frombuffer(b"ACGTN", np.uint8)
+    for L, query in (
+        (13824 + 311, b"GATTACA"),       # row seam + ragged tail
+        (13824, b"TAN?GA"),              # exactly one kernel row
+        (27 * 80, b"A"),                 # sub-row stream, 1-nt query
+        (30000, b"??C??"),               # wildcards across phases
+        (14000, b"ACGTN" * 9),           # 45-nt query, multi-triplet fold
+    ):
+        seq = np.asarray(rng.choice(alpha, L))
+        planted = np.frombuffer(query.replace(b"?", b"A"), np.uint8)
+        for p in (0, 1, 2, 27, 13824 - len(query), L - len(query)):
+            if 0 <= p <= L - len(query):
+                seq[p : p + len(query)] = planted
+        w = _enc5(bytes(seq))
+        mask = np.asarray(search.match_mask_b5(w, L, query))
+        bits = np.asarray(search.match_bits_b5(w, L, query))
+        got = np.zeros(mask.size, bool)
+        W = bits.shape[1]
+        for ri, wi in zip(*np.nonzero(bits)):
+            b = int(bits[ri, wi])
+            base = 27 * (ri * W + wi)
+            for s in range(27):
+                if (b >> s) & 1:
+                    assert base + s < got.size, (L, query, base + s)
+                    got[base + s] = True
+        assert np.array_equal(got, mask), (L, query)
+
+
+def test_match_b5_routing_parity(rng):
+    """count/positions give identical answers on both sides of the kernel
+    routing threshold (and the kernel tier is reachable above it)."""
+    alpha = np.frombuffer(b"ACGTN", np.uint8)
+    query = b"GAT?ACA"
+    for L in (27 * 18, 27 * 600):  # 972 nt (36 words) / 16200 nt (1200 u32)
+        seq = np.asarray(rng.choice(alpha, L))
+        seq[5 : 5 + 7] = np.frombuffer(b"GATAACA", np.uint8)
+        w = _enc5(bytes(seq))
+        routed = search._use_b5_kernel(w, query)
+        assert routed == (w.shape[0] >= search._B5_SEARCH_THRESHOLD)
+        want = np.flatnonzero(np.asarray(search.match_mask_b5(w, L, query)))
+        assert np.array_equal(search.match_positions_b5(w, L, query), want)
+        assert int(search.match_count_b5(w, L, query)) == want.size
+    # both sides exercised
+    assert not search._use_b5_kernel(_enc5(b"ACGTN" * 100), query)
+    assert search._use_b5_kernel(
+        _enc5(b"ACGTN" * (27 * 120)), query
+    )
+
+
+def test_match_bits_b5_errors():
+    w = _enc5(b"ACGTN" * 600)
+    with pytest.raises(ValueError, match="caps queries"):
+        search.match_bits_b5(w, 3000, b"A" * 1025)
+    with pytest.raises(ValueError, match="shorter than query"):
+        search.match_bits_b5(w, 3, b"ACGTN")
+    with pytest.raises(TypeError, match="interleaved"):
+        search.match_bits_b5(w.reshape(2, -1), 20, b"ACG")
+
+
 def test_match_errors():
     w = _enc(b"ACGTACGT")
     with pytest.raises(ValueError):

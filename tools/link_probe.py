@@ -60,17 +60,52 @@ def h2d(nbytes: int, reps: int = 2) -> dict:
 
 
 def d2h(nbytes: int, reps: int = 2) -> dict:
+    # a FRESH device array per rep: jax.Array caches its host copy after
+    # the first device_get, so re-reading one array measures nothing
     x = jnp.arange(nbytes, dtype=jnp.uint8) | jnp.uint8(1)  # device-resident
-    _force(x)
-    np.asarray(x)  # warm
+    fresh = jax.jit(lambda a, i: a ^ i)
+    np.asarray(fresh(x, jnp.uint8(1)))  # warm (compile + one readback)
     times = []
-    for _ in range(reps):
+    for i in range(reps):
+        y = fresh(x, jnp.uint8(i + 2))
+        y.block_until_ready()
         t0 = time.perf_counter()
-        np.asarray(x)
+        np.asarray(y)
         times.append(time.perf_counter() - t0)
     return {
         "done_ms": round(1e3 * min(times), 2),
         "mb_s": round(nbytes / min(times) / MB, 1),
+    }
+
+
+def h2d_parallel(nbytes: int, streams: int, reps: int = 2) -> dict:
+    """Do concurrent uploads share the link or sum? (sum => the pipeline
+    should fan uploads over several threads)."""
+    hosts = [
+        np.random.default_rng(s).integers(0, 255, nbytes, np.uint8)
+        for s in range(streams)
+    ]
+    dev = jax.devices()[0]
+    for h in hosts:  # warm
+        _force(jax.device_put(h, dev))
+    best = None
+    for _ in range(reps):
+        done = []
+
+        def up(h):
+            _force(jax.device_put(h, dev))
+
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=up, args=(h,)) for h in hosts]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return {
+        "s": round(best, 3),
+        "agg_mb_s": round(streams * nbytes / best / MB, 1),
     }
 
 
@@ -137,6 +172,10 @@ def main() -> None:
         )
     report["duplex_16MiB"] = duplex(16 * MB)
     print(f"duplex: {report['duplex_16MiB']}", file=sys.stderr)
+    report["h2d_parallel_8MiB"] = {
+        f"x{s}": h2d_parallel(8 * MB, s) for s in (1, 2, 4)
+    }
+    print(f"h2d parallel: {report['h2d_parallel_8MiB']}", file=sys.stderr)
     print(json.dumps(report))
 
 
