@@ -607,7 +607,13 @@ def main() -> int:
             None,
             k_lo=2, k_hi=8, trials=3,
         )
-        # (w=10, k=15)-minimizer sketch: hash + two log-depth windowed passes
+        # (w=10, k=15)-minimizer sketch: the fused Pallas s-plane scan
+        # (hash + windowed min/max never leave VMEM; ops/pallas_kernels.py
+        # _minimizer_kernel).  VPU-issue-bound: the hand lane-op audit
+        # (~50-60 ops/position) would imply > the 4-ALU theoretical peak,
+        # i.e. the audit overcounts post-fusion ops — the same calibration
+        # collapse DESIGN §4 records for the codec rows, so the row gets
+        # the honest bound tag without a derived SoL (see DESIGN §4).
         mz_words = words_flat[: kmw // 2]
         mz_len = 16 * mz_words.size
         run(
@@ -615,11 +621,20 @@ def main() -> int:
             chained(lambda w: kmer.minimizers(w, mz_len, 15, 10)[0]),
             jnp.asarray(mz_words),
             mz_len,
-            # windowed-argmin + dedup is sort/scan-dominated like
-            # kmer_counts — a bytes roofline would print "0.0% SoL" for an
-            # op with no HBM-bound formulation, so none applies
-            None,
+            R(4 * mz_words.size, 16 * mz_words.size),  # u32 in, bool out
             k_lo=4, k_hi=20, trials=3,
+            bound_override="vpu",
+        )
+        # packed-native form: 1 bit/position out, nothing per-position in
+        # HBM (the form sharded/streaming consumers compose with)
+        run(
+            "minimizer_bits_w10_k15",
+            chained(lambda w: kmer.minimizer_bits(w, mz_len, 15, 10)),
+            jnp.asarray(mz_words),
+            mz_len,
+            R(4 * mz_words.size, 4 * mz_words.size),
+            k_lo=4, k_hi=20, trials=3,
+            bound_override="vpu",
         )
         # dataset MinHash sketch (Mash bottom-1000, production k): canonical
         # pair-code hashing + the sort-based distinct pass; sort-dominated

@@ -309,6 +309,153 @@ def kmer_codes_planar_pair(
     )(words, nxt, nxt2)
 
 
+def _hashes_planar_pair_kernel(k: int, canonical: bool):
+    """Fused planar k-mer hashing for 16 <= k <= 31: funnel pair
+    extraction + canonical fold + Murmur3 fmix32, all in VMEM.
+
+    The gather-free replacement for :func:`kmer_hashes` when position
+    order is irrelevant (sketching, counting): the position-ordered form
+    costs three full-stream ``jnp.take`` gathers (~25x the device time of
+    this kernel at 4 Mnt), while here nothing per-position touches HBM
+    except the one u32 hash write.  Mosaic has no unsigned vector
+    compare-min (arith.minui fails to legalize), so the canonical select
+    uses the sign-flip order isomorphism on int32.
+    """
+
+    def mix(h):
+        h = h ^ (h >> 16)
+        h = h * jnp.uint32(0x85EBCA6B)
+        h = h ^ (h >> 13)
+        h = h * jnp.uint32(0xC2B2AE35)
+        return h ^ (h >> 16)
+
+    def rev32(c):
+        c = ((c & jnp.uint32(0x33333333)) << 2) | (
+            (c >> 2) & jnp.uint32(0x33333333)
+        )
+        c = ((c & jnp.uint32(0x0F0F0F0F)) << 4) | (
+            (c >> 4) & jnp.uint32(0x0F0F0F0F)
+        )
+        c = ((c & jnp.uint32(0x00FF00FF)) << 8) | (
+            (c >> 8) & jnp.uint32(0x00FF00FF)
+        )
+        return (c << 16) | (c >> 16)
+
+    def ult(a, b):
+        f = jnp.uint32(0x80000000)
+        return (a ^ f).astype(jnp.int32) < (b ^ f).astype(jnp.int32)
+
+    sh = 64 - 2 * k  # in [2, 32]
+
+    def kernel(w_ref, n_ref, n2_ref, o_ref):
+        mask_hi = jnp.uint32((1 << (2 * k - 32)) - 1)  # 0 when k == 16
+        aa = jnp.uint32(0xAAAAAAAA)
+        w = w_ref[:]
+        nx = n_ref[:]
+        nx2 = n2_ref[:]
+        W = w.shape[1]
+        for s in range(spec.NT_PER_U32_2BIT):
+            if s:
+                lo = (w >> (2 * s)) | (nx << (32 - 2 * s))
+                hi = (nx >> (2 * s)) | (nx2 << (32 - 2 * s))
+            else:
+                lo, hi = w, nx
+            hi = hi & mask_hi
+            if canonical:
+                rlo = rev32(hi ^ aa)
+                rhi = rev32(lo ^ aa)
+                if sh == 32:
+                    rlo, rhi = rhi, jnp.zeros_like(rhi)
+                else:
+                    rlo = (rlo >> sh) | (rhi << (32 - sh))
+                    rhi = rhi >> sh
+                take = ult(rhi, hi) | ((rhi == hi) & ult(rlo, lo))
+                lo = jnp.where(take, rlo, lo)
+                hi = jnp.where(take, rhi, hi)
+            o_ref[:, W * s : W * (s + 1)] = mix(lo ^ mix(hi))
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("length", "k", "canonical", "interpret")
+)
+def kmer_hashes_planar(
+    words: jax.Array,
+    length: int,
+    k: int,
+    *,
+    canonical: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Planar-order canonical k-mer hashes of a packed stream:
+    -> u32[16 * ceil(W / 512) * 512], any k <= 31.
+
+    Same multiset of hashes as :func:`kmer_hashes` but in the planar
+    kernel layout (NOT position order), with invalid entries — positions
+    past ``length - k`` and reshape padding — set to ``0xFFFFFFFF`` (the
+    sketch SENTINEL, sorting past every real hash).  For order-free
+    consumers (bottom-k / FracMinHash sketches, counting) this replaces
+    three full-stream gathers with one funnel kernel pass; position-aware
+    consumers keep :func:`kmer_hashes`.
+    """
+    if not 1 <= k <= 31:
+        raise ValueError("k must be in [1, 31]")
+    n_valid = length - k + 1
+    if n_valid <= 0:
+        raise ValueError(f"length {length} too short for k={k}")
+    if length > words.size * spec.NT_PER_U32_2BIT:
+        raise ValueError("length exceeds stream capacity")
+    flat = words.reshape(-1)
+    Wtot = flat.shape[0]
+    rows = -(-Wtot // _PLANAR_W)
+    pad = rows * _PLANAR_W - Wtot
+    nxt = jnp.concatenate([flat[1:], jnp.zeros(1, jnp.uint32)])
+    if pad:
+        z = jnp.zeros(pad, jnp.uint32)
+        flat = jnp.concatenate([flat, z])
+        nxt = jnp.concatenate([nxt, z])
+    shaped = flat.reshape(rows, _PLANAR_W)
+    nxt = nxt.reshape(rows, _PLANAR_W)
+    if k <= 15:
+        codes = kmer_codes_planar(shaped, nxt, k, interpret=interpret)
+        if canonical:
+            codes = canonical_codes(codes, k)
+        h = _mix32(codes.astype(jnp.uint32))
+    else:
+        from . import pallas_kernels as pk
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        nxt2 = jnp.concatenate(
+            [flat.reshape(-1)[2:], jnp.zeros(2, jnp.uint32)]
+        ).reshape(rows, _PLANAR_W)
+        rb = min(32, max(8, -(-rows // 8) * 8))
+        in_spec = pl.BlockSpec(
+            (rb, _PLANAR_W), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        h = pl.pallas_call(
+            _hashes_planar_pair_kernel(k, bool(canonical)),
+            grid=(pk._cdiv(rows, rb),),
+            in_specs=[in_spec, in_spec, in_spec],
+            out_specs=pl.BlockSpec(
+                (rb, 16 * _PLANAR_W),
+                lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (rows, 16 * _PLANAR_W), jnp.uint32
+            ),
+            interpret=pk._auto_interpret(interpret),
+        )(shaped, nxt, nxt2)
+    # planar col W*s + w of row r holds position 16*(r*W + w) + s
+    W = _PLANAR_W
+    col = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0)
+    pos = 16 * (row * W + col % W) + col // W
+    return jnp.where(pos < n_valid, h, jnp.uint32(0xFFFFFFFF)).reshape(-1)
+
+
 def _hist_mxu_kernel(c_ref, o_ref):
     """codes i32[rt, C] -> accumulate counts into o_ref i32[256, 256].
 
@@ -594,6 +741,18 @@ def minimizers(
     if n <= w:
         # degenerate short read: one (possibly partial) window over all n
         return h == jnp.min(h), h
+    if _route_minimizer_kernel(words.size, n, k, w):
+        # kernel path: the hash stream never round-trips HBM (the XLA form
+        # below materializes ~2 log2(w) full-stream shifted passes); the
+        # hash output h stays on the XLA path and is DCE'd when the caller
+        # only consumes the mask (the common case)
+        bits = _minimizer_bits_impl(
+            words.reshape(-1), n, k, w, canonical, False
+        )
+        exp = (
+            bits.reshape(-1)[:, None] >> jnp.arange(16, dtype=jnp.uint32)
+        ) & 1
+        return exp.reshape(-1)[:n].astype(bool), h
     r = w - 1
     # forward: wm[j] = min(h[j .. j+r]); entries past the last full window
     # start are zeroed so they can never win the backward max
@@ -604,6 +763,101 @@ def minimizers(
     # among windows containing p
     best = _windowed(wm, r, jnp.maximum, jnp.uint32(0), left=True)
     return h == best, h
+
+
+#: words below which the panel/kernel overhead beats nothing (one kernel row)
+_MZ_THRESHOLD = 1024
+
+
+def _route_minimizer_kernel(n_words: int, n: int, k: int, w: int) -> bool:
+    from . import pallas_kernels as pk
+
+    return (
+        n_words >= _MZ_THRESHOLD
+        and 1 <= k <= 15
+        and 1 <= w - 1 <= 16 * pk.MZ_OV - k
+        and n > w
+    )
+
+
+def _minimizer_bits_impl(
+    flat: jax.Array, n: int, k: int, w: int, canonical: bool, interpret: bool
+) -> jax.Array:
+    """Pallas minimizer scan on a flat u32 stream -> packed bits
+    u32[rows, MZ_ROW_WORDS] (bit ``s`` of lane ``(r, l)`` = position
+    ``16*(MZ_ROW_WORDS*r + l) + s``; bits at positions >= ``n`` cleared)."""
+    from . import pallas_kernels as pk
+
+    W, OV = pk.MZ_ROW_WORDS, pk.MZ_OV
+    Wtot = flat.shape[0]
+    rows = -(-Wtot // W)
+    pad = rows * W - Wtot
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.uint32)])
+    base = flat.reshape(rows, W)
+    # overlapping panels without a gather (the search-scan idiom): each row
+    # carries its predecessor's last OV words and successor's first OV
+    lead = jnp.concatenate(
+        [jnp.zeros((1, OV), jnp.uint32), base[:-1, W - OV :]], axis=0
+    )
+    trail = jnp.concatenate(
+        [base[1:, :OV], jnp.zeros((1, OV), jnp.uint32)], axis=0
+    )
+    panels = jnp.concatenate([lead, base, trail], axis=1)
+    bits = pk.minimizer_bits_panels(
+        panels, k, w, n, canonical=canonical, interpret=interpret
+    )
+    # clear bits past the last position: lane (r, l) covers [16*(r*W+l), +16)
+    lane_base = 16 * (
+        jax.lax.broadcasted_iota(jnp.int32, bits.shape, 0) * W
+        + jax.lax.broadcasted_iota(jnp.int32, bits.shape, 1)
+    )
+    v = jnp.clip(n - lane_base, 0, 16)
+    return bits & ((jnp.uint32(1) << v.astype(jnp.uint32)) - 1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("length", "k", "w", "canonical", "interpret")
+)
+def minimizer_bits(
+    words: jax.Array,
+    length: int,
+    k: int,
+    w: int,
+    *,
+    canonical: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Packed (w, k)-minimizer mask: -> u32[ceil(n/16)], n = length - k + 1.
+
+    Bit ``p % 16`` of word ``p // 16`` flags position ``p`` as a minimizer
+    — the packed-domain native form of :func:`minimizers` (same selection
+    rule, bit-identical membership), produced by the fused Pallas scan
+    when the stream qualifies (k <= 15, w - 1 <= 2048 - k, >= 1024 words)
+    and by packing the XLA mask otherwise.  Feed to
+    :func:`..search.match_positions`-style popcount/nonzero consumers
+    without ever materializing a per-position byte stream.
+    """
+    if w < 1:
+        raise ValueError("window w must be >= 1")
+    n = length - k + 1
+    if n <= 0:
+        raise ValueError(f"length {length} too short for k={k}")
+    nw = -(-n // 16)
+    flat = words.reshape(-1)
+    if _route_minimizer_kernel(flat.size, n, k, w):
+        bits = _minimizer_bits_impl(flat, n, k, w, canonical, interpret)
+        return bits.reshape(-1)[:nw]
+    mask, _ = minimizers(flat, length, k, w, canonical=canonical)
+    pad16 = 16 * nw - n
+    if pad16:
+        mask = jnp.concatenate([mask, jnp.zeros(pad16, bool)])
+    return (
+        (mask.reshape(nw, 16).astype(jnp.uint32)
+         << jnp.arange(16, dtype=jnp.uint32)[None, :])
+        .sum(axis=1)
+        .astype(jnp.uint32)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("length", "k", "canonical"))

@@ -1435,6 +1435,198 @@ def gc_content_b5_stream_pallas(
     )
 
 
+# --- minimizer scan -----------------------------------------------------
+
+MZ_ROW_WORDS = 1024   # own u32 words per kernel row = 16384 nt
+MZ_OV = 128           # lead/trail overlap words: window + k-mer taps <= 2048 nt
+
+
+def _minimizer_kernel(k: int, w: int, canonical: bool, n: int):
+    """Fused (w, k)-minimizer mask kernel: packed 2-bit words in, packed
+    minimizer bits out — nothing per-position ever touches HBM.
+
+    The r03 XLA form ran at 59 Mnt/s because its two log-depth windowed
+    passes shift a FLAT 8-Mnt hash array: every 1-position shift of a 1-D
+    stream is a sublane-crossing relayout, ~16 of them, each a full HBM
+    round trip (DESIGN §4 rule 2).  Here the hash stream lives as sixteen
+    s-planes in VMEM — plane ``s`` holds the hash of position ``16 l + s``
+    at lane ``l`` — so a shift by ``m`` positions is a plane permutation
+    plus a 0/1-lane in-row slice, and the whole windowed-min doubling tree
+    is ~log2(w) VPU ops per plane.  Stages: funnel k-mer codes (the
+    :func:`..ops.kmer.kmer_codes` window), SWAR reverse-complement fold
+    (``canonical``), Murmur3 fmix32, forward windowed min (zeroing window
+    starts past ``n - w``), backward windowed max, equality mask packed 16
+    bits per word.  Semantics bit-identical to ``ops.kmer.minimizers``.
+    """
+    r = w - 1
+    kmask_v = (1 << (2 * k)) - 1
+    aa_v = 0xAAAAAAAA >> (32 - 2 * k)
+    rsh = 32 - 2 * k
+    L = MZ_ROW_WORDS + 2 * MZ_OV
+
+    def plane_shift(planes, m, left, pad):
+        """View of the s-planes shifted by ``m`` positions (right when
+        ``left`` is False): V_s[l] = P[(s±m) mod 16][l + (s±m)//16]."""
+        rb = planes[0].shape[0]
+        dt = planes[0].dtype
+        out = []
+        for s in range(16):
+            t = s - m if left else s + m
+            sp, q = t % 16, t // 16  # floor div: q <= 0 for left shifts
+            p = planes[sp]
+            if q == 0:
+                out.append(p)
+            elif q > 0:
+                out.append(
+                    jnp.concatenate(
+                        [
+                            jax.lax.slice(p, (0, q), (rb, L)),
+                            jnp.full((rb, q), pad, dt),
+                        ],
+                        axis=1,
+                    )
+                )
+            else:
+                out.append(
+                    jnp.concatenate(
+                        [
+                            jnp.full((rb, -q), pad, dt),
+                            jax.lax.slice(p, (0, 0), (rb, L + q)),
+                        ],
+                        axis=1,
+                    )
+                )
+        return out
+
+    def windowed(planes, op, pad, left):
+        t, m = planes, 1
+        while 2 * m - 1 <= r:
+            t = [op(a, b) for a, b in zip(t, plane_shift(t, m, left, pad))]
+            m *= 2
+        off = r - (m - 1)
+        if off:
+            t = [op(a, b) for a, b in zip(t, plane_shift(t, off, left, pad))]
+        return t
+
+    def kernel(x_ref, o_ref):
+        kmask = jnp.uint32(kmask_v)
+        aa = jnp.uint32(aa_v)
+        x = x_ref[:]
+        rb = x.shape[0]
+        nxt = jnp.concatenate(
+            [
+                jax.lax.slice(x, (0, 1), (rb, L)),
+                jnp.zeros((rb, 1), jnp.uint32),
+            ],
+            axis=1,
+        )
+        planes = []
+        for s in range(16):
+            win = (x >> (2 * s)) | (nxt << (32 - 2 * s)) if s else x
+            c = win & kmask
+            if canonical:
+                rc = c ^ aa
+                rc = ((rc & jnp.uint32(0x33333333)) << 2) | (
+                    (rc >> 2) & jnp.uint32(0x33333333)
+                )
+                rc = ((rc & jnp.uint32(0x0F0F0F0F)) << 4) | (
+                    (rc >> 4) & jnp.uint32(0x0F0F0F0F)
+                )
+                rc = ((rc & jnp.uint32(0x00FF00FF)) << 8) | (
+                    (rc >> 8) & jnp.uint32(0x00FF00FF)
+                )
+                rc = ((rc << 16) | (rc >> 16)) >> rsh
+                # codes are 2k <= 30 bits: signed min is exact (Mosaic has
+                # no unsigned vector min — arith.minui fails to legalize)
+                c = jnp.minimum(
+                    c.astype(jnp.int32), rc.astype(jnp.int32)
+                ).astype(jnp.uint32)
+            h = c ^ (c >> 16)
+            h = h * jnp.uint32(0x85EBCA6B)
+            h = h ^ (h >> 13)
+            h = h * jnp.uint32(0xC2B2AE35)
+            h = h ^ (h >> 16)
+            # sign-flip order isomorphism: unsigned compare on h == signed
+            # compare on h ^ 0x8000_0000 (same Mosaic minui gap as above)
+            planes.append((h ^ jnp.uint32(0x80000000)).astype(jnp.int32))
+        # forward: wm_s[l] = min hash of the window STARTING at 16l + s
+        wm = windowed(
+            planes, jnp.minimum, jnp.int32(0x7FFFFFFF), left=False
+        )
+        # zero window starts outside [0, n - w] so they never win the max
+        # (global word index: rows are MZ_ROW_WORDS-word stream chunks and
+        # panel lane 0 sits MZ_OV words before the row's own block)
+        row0 = pl.program_id(0) * rb
+        word_g = (
+            (row0 + jax.lax.broadcasted_iota(jnp.int32, (rb, L), 0))
+            * MZ_ROW_WORDS
+            + jax.lax.broadcasted_iota(jnp.int32, (rb, L), 1)
+            - MZ_OV
+        )
+        gp16 = 16 * word_g
+        wm = [
+            jnp.where(
+                (gp16 + s >= 0) & (gp16 + s <= n - w),
+                p,
+                jnp.int32(-0x80000000),  # flipped u32 zero: never wins max
+            )
+            for s, p in enumerate(wm)
+        ]
+        # backward: best_s[l] = max window-min among windows CONTAINING
+        # position 16l + s
+        best = windowed(
+            wm, jnp.maximum, jnp.int32(-0x80000000), left=True
+        )
+        bits = jnp.zeros((rb, L), jnp.uint32)
+        for s in range(16):
+            bits = bits | (
+                (planes[s] == best[s]).astype(jnp.uint32) << s
+            )
+        o_ref[:] = jax.lax.slice(bits, (0, MZ_OV), (rb, MZ_OV + MZ_ROW_WORDS))
+
+    return kernel
+
+
+def minimizer_bits_panels(
+    x: jax.Array,
+    k: int,
+    w: int,
+    n: int,
+    *,
+    canonical: bool = True,
+    interpret: bool = False,
+    row_block: int = 8,
+) -> jax.Array:
+    """Overlapping packed panels u32[R, 1280] -> minimizer bits
+    u32[R, 1024]: bit ``s`` of lane ``(r, l)`` flags position
+    ``16*(1024 r + l) + s`` as a (w, k)-minimizer (``n`` = total position
+    count; starts past ``n - w`` never define a window).  Rows carry 128
+    lead words (predecessor tail) and 128 trail words (successor head).
+    """
+    interpret = _auto_interpret(interpret)
+    lanes = MZ_ROW_WORDS + 2 * MZ_OV
+    if x.dtype != jnp.uint32 or x.ndim != 2 or x.shape[1] != lanes:
+        raise TypeError(f"expected u32[R, {lanes}], got {x.dtype}{x.shape}")
+    if not 1 <= k <= 15:
+        raise ValueError("kernel minimizers cover k in [1, 15]")
+    if not 1 <= w - 1 <= 16 * MZ_OV - k:
+        raise ValueError(f"window w out of kernel range (got {w})")
+    R = x.shape[0]
+    rb = _row_block8(R, row_block)
+    return pl.pallas_call(
+        _minimizer_kernel(k, w, bool(canonical), n),
+        grid=(_cdiv(R, rb),),
+        in_specs=[
+            pl.BlockSpec((rb, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (rb, MZ_ROW_WORDS), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, MZ_ROW_WORDS), jnp.uint32),
+        interpret=interpret,
+    )(x)
+
+
 # --- base-5 packed pattern search scan ---------------------------------
 
 B5_SEARCH_WORDS = 512   # u64 words per kernel row = 13824 nt

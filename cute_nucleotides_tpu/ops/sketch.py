@@ -139,7 +139,10 @@ def bottom_k_sketch(
     """
     if length < k:
         return jnp.full(s, SENTINEL, jnp.uint32)
-    h = kmer.kmer_hashes(words, length, k, canonical=canonical)
+    # planar-order hashes: a sketch is order-free, so the funnel-kernel
+    # form (invalid slots pre-set to SENTINEL) replaces the gather-based
+    # position-ordered hash pass (~25x device time at 4 Mnt)
+    h = kmer.kmer_hashes_planar(words, length, k, canonical=canonical)
     return _bottom_s_distinct(h, s)
 
 
@@ -250,7 +253,8 @@ def frac_sketch(
     if length < k:
         h = jnp.full(1, SENTINEL, jnp.uint32)
     else:
-        h = kmer.kmer_hashes(words, length, k, canonical=canonical)
+        # planar order (see bottom_k_sketch): FracMinHash is order-free
+        h = kmer.kmer_hashes_planar(words, length, k, canonical=canonical)
     return _frac_from_hashes(h, scale, cap)
 
 

@@ -321,3 +321,82 @@ def test_minimizers_short_read_and_errors(rng):
     assert mask.sum() >= 1 and np.all(h[mask] == h.min())
     with pytest.raises(ValueError, match="w must be"):
         kmer.minimizers(_packed(s), 40, 15, 0)
+
+
+# --- Pallas minimizer scan (kernel-routed above _MZ_THRESHOLD words) --------
+
+
+def _minimizers_xla_mask(words, length, k, w, canonical=True):
+    """The pure-XLA windowed-pass form, bypassing the kernel route."""
+    h = kmer.kmer_hashes(words, length, k, canonical=canonical)
+    n = h.shape[0]
+    wm = kmer._windowed(
+        h, w - 1, jnp.minimum, jnp.uint32(0xFFFFFFFF), left=False
+    )
+    wm = jnp.where(jnp.arange(n) <= n - w, wm, 0)
+    best = kmer._windowed(wm, w - 1, jnp.maximum, jnp.uint32(0), left=True)
+    return np.asarray(h == best)
+
+
+@pytest.mark.parametrize(
+    "L,k,w,canonical",
+    [
+        (16 * 1024 + 5, 15, 10, True),    # one kernel row + ragged tail
+        (16 * 2048, 15, 10, True),        # exactly two rows (seam crossing)
+        (16 * 1500, 7, 64, False),
+        (16 * 1100 + 3, 15, 2033, True),  # w - 1 == 16*MZ_OV - k boundary
+        (16 * 1024, 1, 5, True),          # k=1 floor
+    ],
+)
+def test_minimizer_kernel_matches_xla(rng, L, k, w, canonical):
+    s = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=L)
+    words = _packed(s)
+    assert kmer._route_minimizer_kernel(words.size, L - k + 1, k, w)
+    got, _ = kmer.minimizers(words, L, k, w, canonical=canonical)
+    want = _minimizers_xla_mask(words, L, k, w, canonical=canonical)
+    assert np.array_equal(np.asarray(got), want)
+
+
+@pytest.mark.parametrize("L,k,w", [(16 * 1024 + 5, 15, 10), (5000, 15, 10)])
+def test_minimizer_bits_packed_contract(rng, L, k, w):
+    """Packed bits unpack to the boolean mask on both routes, with every
+    bit at position >= n cleared."""
+    s = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=L)
+    words = _packed(s)
+    n = L - k + 1
+    bits = np.asarray(kmer.minimizer_bits(words, L, k, w))
+    assert bits.shape == (-(-n // 16),) and bits.dtype == np.uint32
+    unp = ((bits[:, None] >> np.arange(16)) & 1).astype(bool).reshape(-1)
+    mask, _ = kmer.minimizers(words, L, k, w)
+    assert np.array_equal(unp[:n], np.asarray(mask))
+    assert not unp[n:].any()
+
+
+def test_minimizer_kernel_route_predicate():
+    from cute_nucleotides_tpu.ops import pallas_kernels as pk
+
+    ov = 16 * pk.MZ_OV
+    assert kmer._route_minimizer_kernel(2048, 30000, 15, ov - 15 + 1)
+    assert not kmer._route_minimizer_kernel(2048, 30000, 15, ov - 15 + 2)
+    assert not kmer._route_minimizer_kernel(1023, 16000, 15, 10)  # small
+    assert not kmer._route_minimizer_kernel(2048, 30000, 16, 10)  # k > 15
+    assert not kmer._route_minimizer_kernel(2048, 5, 15, 10)      # n <= w
+
+
+@pytest.mark.parametrize(
+    "L,k,canonical",
+    [(16 * 600 + 7, 21, True), (16 * 600, 31, False), (16 * 520 + 1, 16, True),
+     (5000, 15, True), (300, 8, True), (40, 31, True)],
+)
+def test_kmer_hashes_planar_multiset(rng, L, k, canonical):
+    """Planar kernel hashes = the position-ordered gather hashes as a
+    multiset, with every invalid/padded slot at SENTINEL."""
+    s = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=L)
+    w = _packed(s)
+    hp = np.asarray(kmer.kmer_hashes_planar(w, L, k, canonical=canonical))
+    hr = np.sort(np.asarray(kmer.kmer_hashes(w, L, k, canonical=canonical)))
+    n = L - k + 1
+    assert (hp == 0xFFFFFFFF).sum() >= hp.size - n  # pads are SENTINEL
+    assert np.array_equal(
+        np.sort(hp[hp != 0xFFFFFFFF]), hr[hr != 0xFFFFFFFF]
+    )

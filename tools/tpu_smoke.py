@@ -207,6 +207,41 @@ def main() -> int:
         for i in np.nonzero(gcnt)[0]
     }
     ok("kmer_counts k=21 == gather-tier Counter", got_c == dict(want_c))
+    # minimizer Pallas scan (s-plane windowed min/max in VMEM) vs the pure
+    # XLA windowed-pass form — kl=40000 nt is above the kernel route
+    # threshold, so kmer.minimizers takes the kernel path
+    def _mz_xla(words_, length_, k_, w_):
+        h = kmer.kmer_hashes(words_, length_, k_)
+        n = h.shape[0]
+        wm = kmer._windowed(
+            h, w_ - 1, jnp.minimum, jnp.uint32(0xFFFFFFFF), left=False
+        )
+        wm = jnp.where(jnp.arange(n) <= n - w_, wm, 0)
+        return np.asarray(
+            h == kmer._windowed(wm, w_ - 1, jnp.maximum, jnp.uint32(0), left=True)
+        )
+
+    assert kmer._route_minimizer_kernel(kw.size, kl - 15 + 1, 15, 10)
+    mz_mask, _ = kmer.minimizers(kw, kl, 15, 10)
+    ok(
+        "minimizers kernel == XLA windowed",
+        np.array_equal(np.asarray(mz_mask), _mz_xla(kw, kl, 15, 10)),
+    )
+    mz_bits = np.asarray(kmer.minimizer_bits(kw, kl, 15, 10))
+    unp = ((mz_bits[:, None] >> np.arange(16)) & 1).astype(bool).reshape(-1)
+    ok(
+        "minimizer_bits == mask (packed contract)",
+        np.array_equal(unp[: kl - 14], np.asarray(mz_mask))
+        and not unp[kl - 14 :].any(),
+    )
+    # fused planar pair-hash kernel (canonical fold + fmix32 in VMEM) vs
+    # the position-ordered gather form: same multiset
+    hp = np.asarray(kmer.kmer_hashes_planar(kw, kl, 21))
+    hr = np.sort(np.asarray(kmer.kmer_hashes(kw, kl, 21)))
+    ok(
+        "kmer_hashes_planar multiset == ordered (k=21)",
+        np.array_equal(np.sort(hp[hp != 0xFFFFFFFF]), hr[hr != 0xFFFFFFFF]),
+    )
     rcb5 = np.asarray(
         seqops.revcomp_packed_b5(
             jnp.asarray(spec.u64_to_u32_pairs(want5).reshape(-1)), s5.size
@@ -246,6 +281,24 @@ def main() -> int:
         "search planted multiword hit",
         1000 in search.match_positions(kw, kl, bytes(ks[1000:1000 + 45])),
     )
+    # base-5 search: the r04 Pallas scan (MXU de-interleave + phase folds)
+    # vs the XLA mask tier, on a 2-row + ragged-tail interleaved stream;
+    # query mixes literal N with the ? wildcard and lands on all 3 phases
+    s5l = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=29000)
+    for p in (1, 13824 - 3, 29000 - 7):
+        s5l[p : p + 7] = np.frombuffer(b"GATNACA", np.uint8)
+    w5l = jnp.asarray(
+        spec.u64_to_u32_pairs(oracle.n_to_bits2_lut(s5l)).reshape(-1)
+    )
+    for q in (b"GAT?ACA", b"GATNACA", bytes(s5l[2000:2045])):
+        want_b5 = np.flatnonzero(
+            np.asarray(search.match_mask_b5(w5l, s5l.size, q))
+        )
+        got_b5 = search.match_positions_b5(w5l, s5l.size, q)
+        ok(
+            f"search_b5 kernel vs mask ({len(q)} nt)",
+            np.array_equal(got_b5, want_b5) and len(want_b5) >= 1,
+        )
     # Myers edit distance (XLA scan tier): multi-block ragged batch vs the
     # DP oracle — validates the u32 carry/shift chain's TPU lowering
     from cute_nucleotides_tpu.ops import align

@@ -176,6 +176,39 @@ def main(argv=None) -> int:
         if not (np.array_equal(got_pos, want_pos) and 100 in got_pos):
             print(f"FAIL search L={kl} qlen={qlen} round {rnd}", file=sys.stderr)
             failures += 1
+        # --- base-5 Pallas search scan vs the XLA mask, fresh stream ---------
+        s5 = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=kl)
+        w5 = jnp.asarray(
+            spec.u64_to_u32_pairs(oracle.n_to_bits2_lut(s5)).reshape(-1)
+        )
+        q5 = bytearray(s5[100 : 100 + qlen])
+        if qlen >= 5:
+            q5[2] = ord("?")  # wildcard exercises the care mask
+        q5 = bytes(q5)
+        want5 = np.flatnonzero(np.asarray(search.match_mask_b5(w5, kl, q5)))
+        got5 = search.match_positions_b5(w5, kl, q5)
+        if not (np.array_equal(got5, want5) and 100 in got5):
+            print(
+                f"FAIL search_b5 L={kl} qlen={qlen} round {rnd}",
+                file=sys.stderr,
+            )
+            failures += 1
+        # --- minimizer Pallas scan vs the XLA windowed form, fresh stream ---
+        mzw = (5, 10, 31)[rnd % 3]
+        h_mz = kmer.kmer_hashes(kw, kl, 15)
+        wm = kmer._windowed(
+            h_mz, mzw - 1, jnp.minimum, jnp.uint32(0xFFFFFFFF), left=False
+        )
+        n_mz = h_mz.shape[0]
+        wm = jnp.where(jnp.arange(n_mz) <= n_mz - mzw, wm, 0)
+        want_mz = np.asarray(
+            h_mz
+            == kmer._windowed(wm, mzw - 1, jnp.maximum, jnp.uint32(0), left=True)
+        )
+        got_mz, _ = kmer.minimizers(kw, kl, 15, mzw)
+        if not np.array_equal(np.asarray(got_mz), want_mz):
+            print(f"FAIL minimizers L={kl} w={mzw} round {rnd}", file=sys.stderr)
+            failures += 1
         print(
             f"round {rnd + 1}/{args.rounds} done ({time.time() - t0:.0f}s, "
             f"{failures} failures)",
