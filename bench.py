@@ -595,8 +595,11 @@ def main() -> int:
             R(12 * kw2d.size, 128 * kw2d.size),
             k_lo=4, k_hi=20, trials=3,
         )
-        # production-k counting: planar extract + 2-key sort + segment
-        # counts (sort-dominated; no bytes roofline applies)
+        # production-k counting: planar extract (0.03 ms) + 2-key sort +
+        # segment counts.  >= 95% of the time IS jax.lax.sort — within ~2x
+        # of the derived full-bitonic VPU floor, and every expressible
+        # restructuring measured slower (DESIGN §5 sort derivation) — so
+        # the row carries the honest bound tag, no SoL
         kc_words = words_flat[: 1 << 18]
         kc_len = 16 * kc_words.size
         run(
@@ -604,8 +607,9 @@ def main() -> int:
             chained(lambda w: kmer.kmer_counts(w, kc_len, 21)[2]),
             jnp.asarray(kc_words),
             kc_len,
-            None,
+            R(12 * kc_words.size, 8 * (kc_len - 20)),
             k_lo=2, k_hi=8, trials=3,
+            bound_override="sort",
         )
         # (w=10, k=15)-minimizer sketch: the fused Pallas s-plane scan
         # (hash + windowed min/max never leave VMEM; ops/pallas_kernels.py
@@ -636,9 +640,10 @@ def main() -> int:
             k_lo=4, k_hi=20, trials=3,
             bound_override="vpu",
         )
-        # dataset MinHash sketch (Mash bottom-1000, production k): canonical
-        # pair-code hashing + the sort-based distinct pass; sort-dominated
-        # like kmer_counts, so no bytes roofline applies
+        # dataset MinHash sketch (Mash bottom-1000, production k): the r04
+        # fused planar hash kernel (0.1 ms) + the chunked single-key
+        # distinct sort, which now dominates — sort-bound like kmer_counts
+        # (DESIGN §5 sort derivation)
         from cute_nucleotides_tpu.ops import sketch as sketch_lib
 
         run(
@@ -648,8 +653,9 @@ def main() -> int:
             ),
             jnp.asarray(kc_words),
             kc_len,
-            None,
+            R(12 * kc_words.size, 4 * 16 * kc_words.size),
             k_lo=2, k_hi=8, trials=3,
+            bound_override="sort",
         )
         run(
             "revcomp_packed",

@@ -27,14 +27,40 @@ import sys
 import numpy as np
 
 
-def synth_records(n: int, read_len: int, seed: int = 0):
+def synth_records(
+    n: int,
+    read_len: int,
+    seed: int = 0,
+    chunk: int = 4096,
+    local_id: int = 0,
+    nprocs: int = 1,
+):
+    """Synthetic read stream; generated in vectorized chunks so the
+    generator never becomes the measured bottleneck (a per-read
+    ``rng.choice`` caps the whole pipeline at ~30k reads/s of numpy).
+
+    ``local_id``/``nprocs``: non-local records (the encoder drops them by
+    index without reading their bytes) get one shared placeholder, so
+    each host pays generation cost only for its own shard — matching a
+    real pod, where every host reads its own file shard rather than
+    synthesizing its neighbors'.
+    """
     from cute_nucleotides_tpu.utils import io as io_lib
 
     rng = np.random.default_rng(seed)
     alphabet = np.frombuffer(b"ACGTN", np.uint8)
-    for i in range(n):
-        seq = rng.choice(alphabet, size=read_len).tobytes()
-        yield io_lib.Record(str(i).encode(), seq)
+    placeholder = b"A" * read_len
+    i = 0
+    while i < n:
+        m = min(chunk, n - i)
+        mine = [r for r in range(m) if (i + r) % nprocs == local_id]
+        block = rng.choice(alphabet, size=(len(mine), read_len))
+        local = {r: j for j, r in enumerate(mine)}
+        for r in range(m):
+            j = local.get(r)
+            seq = placeholder if j is None else block[j].tobytes()
+            yield io_lib.Record(str(i + r).encode(), seq)
+        i += m
 
 
 def main(argv=None) -> int:
@@ -78,7 +104,14 @@ def main(argv=None) -> int:
         tier=args.tier,
         log_every=0,
     )
-    agg = enc.run(synth_records(args.reads, args.read_len))
+    agg = enc.run(
+        synth_records(
+            args.reads,
+            args.read_len,
+            local_id=info["process_index"],
+            nprocs=info["process_count"],
+        )
+    )
     agg["event"] = "host_aggregate"
     print(json.dumps(agg))
 
