@@ -683,12 +683,40 @@ def stream_rows_plan(W: int, m: int) -> tuple[int, int, int]:
     occurrence worth reporting — the strictly-sequential scan then runs
     lane-parallel over ``R`` rows of ``wrb`` base words (+ ``H`` halo
     words) each.  ``R`` is sized so the re-scanned halo is ~25% of the
-    stream and capped at 4096 rows.
+    stream, capped at 32768 rows (the r03 cap of 4096 left the scan
+    step-count-bound: at 64 Mnt, R=32768 x 128 steps measured 961
+    Gcells/s vs 589 at R=4096 x 1024 — see DESIGN §5).
     """
     H = halo_words(m)
-    R = max(1, min(4096, (2 * W) // max(m - 1, 1), W))
+    R = max(1, min(32768, (2 * W) // max(m - 1, 1), W))
     wrb = -(-W // R)
     return -(-W // wrb), wrb, H
+
+
+def _overlap_rows(flat: jax.Array, R: int, wrb: int, H: int) -> jax.Array:
+    """Overlapping row panels u32[R, wrb + H] of a flat stream WITHOUT a
+    gather: row ``r`` = ``flat[r*wrb : r*wrb + wrb + H]``, zeros beyond
+    the stream (the scan freezes past ``tlens``, so pad content is never
+    scored).  The r03 ``jnp.take`` form was 93% of the whole
+    approx-stream scan's device time — 32.4 -> 2.4 ms measured at the
+    same (4096, 1024, 3) plan; DESIGN §4 rule 2's gather tax, again."""
+    Wt = flat.shape[0]
+    pad = R * wrb - Wt
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros(pad, flat.dtype)])
+    b = flat.reshape(R, wrb)
+    parts = [b]
+    h, k = H, 1
+    while h > 0:  # halo wider than a row spans successive successors
+        take = min(wrb, h)
+        parts.append(
+            jnp.concatenate(
+                [b[k:, :take], jnp.zeros((k, take), flat.dtype)], axis=0
+            )
+        )
+        h -= take
+        k += 1
+    return jnp.concatenate(parts, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "plan", "unroll"))
@@ -701,8 +729,7 @@ def _best_match_stream_impl(
     unroll: int = 1,
 ):
     R, wrb, H = plan
-    idx = jnp.arange(R)[:, None] * wrb + jnp.arange(wrb + H)[None, :]
-    rows = jnp.take(ext, idx, mode="clip")  # overlapping panels
+    rows = _overlap_rows(ext, R, wrb, H)
     base = spec.NT_PER_U32_2BIT * wrb * jnp.arange(R, dtype=jnp.int32)
     tl = jnp.clip(
         length - base, 0, spec.NT_PER_U32_2BIT * (wrb + H)
@@ -761,7 +788,7 @@ def stream_rows_plan_b5(Wp: int, m: int) -> tuple[int, int, int]:
     boundaries land on pair (triplet-block) boundaries.
     """
     Hp = max(1, -(-(2 * m - 2) // spec.NT_PER_WORD_B5))
-    R = max(1, min(4096, (3 * Wp) // max(m - 1, 1), Wp))
+    R = max(1, min(32768, (3 * Wp) // max(m - 1, 1), Wp))
     prb = -(-Wp // R)
     return -(-Wp // prb), prb, Hp
 
@@ -776,9 +803,10 @@ def _best_match_stream_impl_b5(
     unroll: int = 1,
 ):
     R, prb, Hp = plan
-    pidx = jnp.arange(R)[:, None] * prb + jnp.arange(prb + Hp)[None, :]
-    cols = jnp.stack([2 * pidx, 2 * pidx + 1], axis=-1).reshape(R, -1)
-    rows = jnp.take(ext, cols, mode="clip")  # (R, 2*(prb+Hp)) u32
+    # pair boundaries are u32-even, so the flat stream splits contiguously:
+    # row r = ext[2*prb*r : 2*prb*r + 2*(prb + Hp)] — same gather-free
+    # panel build as the 2-bit scan
+    rows = _overlap_rows(ext, R, 2 * prb, 2 * Hp)
     base = spec.NT_PER_WORD_B5 * prb * jnp.arange(R, dtype=jnp.int32)
     tl = jnp.clip(
         length - base, 0, spec.NT_PER_WORD_B5 * (prb + Hp)
