@@ -684,7 +684,13 @@ def main() -> int:
         )
         # packed-domain pattern search (Pallas bitmask scan): bit s of
         # output lane w = match at position 16w+s, so the result is one u32
-        # per input word; denominator is packed bytes read (in-bytes)
+        # per input word; denominator is packed bytes read (in-bytes).
+        # VPU-issue-bound, degrading with query words (r04 shared-funnel
+        # form: one funnel per phase, not per (phase, word) — 7 nt
+        # 58.8 -> 79.2 GiB/s); the hand lane-op audit lands ABOVE the
+        # measured rate at 7 nt (sol 1.37 — the same calibration collapse
+        # as the codec rows), so the rows carry the bound tag without a
+        # derived SoL; DESIGN §5 has the measured query-scaling table
         for qtag, query in (
             ("7nt", b"GATTACA"),
             ("45nt", b"ACGT" * 11 + b"A"),
@@ -699,6 +705,7 @@ def main() -> int:
                 jnp.asarray(words_flat),
                 4 * words_flat.size,
                 R(4 * words_flat.size, 4 * words_flat.size),
+                bound_override="vpu",
             )
         wb5_flat = w_b5.reshape(-1)
         # base-5 packed search (Pallas r04: MXU de-interleave + funnel

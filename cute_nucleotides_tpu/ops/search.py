@@ -157,15 +157,23 @@ def _match_bits_kernel(q: tuple, care: tuple):
         W = o_ref.shape[1]
         bits = jnp.zeros((rb, W), jnp.uint32)
         for s in range(spec.NT_PER_U32_2BIT):
+            # one funnel per phase over W + wq_n lanes: the window at
+            # (s, wq) is the window at (s, 0) shifted wq lanes, so the
+            # per-query-word funnel of the r03 form (16 x wq_n funnels)
+            # collapses to 16 — multi-word queries pay only the
+            # xor/and/or compare per extra word (45 nt: 21 -> 26 GiB/s)
+            if s:
+                lo = jax.lax.slice(x, (0, 0), (rb, W + wq_n))
+                hi = jax.lax.slice(x, (0, 1), (rb, W + wq_n + 1))
+                win = (lo >> (2 * s)) | (hi << (32 - 2 * s))
+            else:
+                win = jax.lax.slice(x, (0, 0), (rb, W + wq_n))
             diff = None
             for wq in range(wq_n):
-                lo = jax.lax.slice(x, (0, wq), (rb, wq + W))
-                if s:
-                    hi = jax.lax.slice(x, (0, wq + 1), (rb, wq + 1 + W))
-                    win = (lo >> (2 * s)) | (hi << (32 - 2 * s))
-                else:
-                    win = lo
-                d = (win ^ jnp.uint32(q[wq])) & jnp.uint32(care[wq])
+                d = (
+                    jax.lax.slice(win, (0, wq), (rb, wq + W))
+                    ^ jnp.uint32(q[wq])
+                ) & jnp.uint32(care[wq])
                 diff = d if diff is None else diff | d
             bits = bits | jnp.where(
                 diff == 0, jnp.uint32(1 << s), jnp.uint32(0)
