@@ -685,12 +685,13 @@ def main() -> int:
         # packed-domain pattern search (Pallas bitmask scan): bit s of
         # output lane w = match at position 16w+s, so the result is one u32
         # per input word; denominator is packed bytes read (in-bytes).
-        # VPU-issue-bound, degrading with query words (r04 shared-funnel
-        # form: one funnel per phase, not per (phase, word) — 7 nt
-        # 58.8 -> 79.2 GiB/s); the hand lane-op audit lands ABOVE the
-        # measured rate at 7 nt (sol 1.37 — the same calibration collapse
-        # as the codec rows), so the rows carry the bound tag without a
-        # derived SoL; DESIGN §5 has the measured query-scaling table
+        # VPU-issue-bound, degrading with query words.  r04: the halo
+        # rides its own (rows, 128) array (no 1.25x panel copy) and the
+        # tail clear is fused in-kernel — the two wrapper passes were 39%
+        # of the op (7 nt 58.8 -> 91.4 GiB/s).  The hand lane-op audit
+        # lands ABOVE the measured VPU rate (the codec rows' calibration
+        # collapse), so the rows carry the bound tag without a derived
+        # SoL; DESIGN §5 has the measured query-scaling table
         for qtag, query in (
             ("7nt", b"GATTACA"),
             ("45nt", b"ACGT" * 11 + b"A"),

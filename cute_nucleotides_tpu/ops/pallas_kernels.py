@@ -1675,9 +1675,11 @@ def _b5_deint_mats_bf16():
     )
 
 
-def _match_b5_kernel(qc: tuple):
+def _match_b5_kernel(qc: tuple, n: int | None = None):
     """Build the base-5 search kernel for a compiled query ``qc`` =
-    ((q8 ints, care8 ints) per phase 0..2), baked in as constants.
+    ((q8 ints, care8 ints) per phase 0..2), baked in as constants;
+    ``n`` (when given) clears match bits at start positions >= n
+    in-kernel (see :func:`match_b5_bits_rows`).
 
     Interleaved u32[rb, 2*(512+128)] word panels -> packed match bits
     u32[rb, 512]: bit ``3j + phase`` of lane ``w`` flags a query match at
@@ -1699,20 +1701,37 @@ def _match_b5_kernel(qc: tuple):
     """
     nchunks = (B5_SEARCH_WORDS + B5_SEARCH_OVW) // 128  # 5
 
-    def kernel(x_ref, we_ref, wo_ref, o_ref):
-        x = x_ref[:]
-        rb = x.shape[0]
+    def kernel(b_ref, h_ref, we_ref, wo_ref, o_ref):
+        # the halo (2 * B5_SEARCH_OVW = 256 lanes) is exactly the last
+        # de-interleave chunk, so base and halo keep separate byte planes
+        # — concatenating them into one (rb, 1280) value measured a
+        # scoped-VMEM stack OOM at rb = 64 (the materialized copy defeats
+        # Mosaic's lazy ref slicing)
+        b = b_ref[:]
+        h = h_ref[:]
+        rb = b.shape[0]
         m8 = jnp.uint32(0xFF)
-        # byte planes hoisted out of the chunk loop (full-width VPU ops)
-        p0 = (x & m8).astype(jnp.int32).astype(jnp.bfloat16)
-        p1 = ((x >> 8) & m8).astype(jnp.int32).astype(jnp.bfloat16)
-        p2 = ((x >> 16) & m8).astype(jnp.int32).astype(jnp.bfloat16)
-        p3 = (x >> 24).astype(jnp.int32).astype(jnp.bfloat16)
+
+        def planes(x):
+            return (
+                (x & m8).astype(jnp.int32).astype(jnp.bfloat16),
+                ((x >> 8) & m8).astype(jnp.int32).astype(jnp.bfloat16),
+                ((x >> 16) & m8).astype(jnp.int32).astype(jnp.bfloat16),
+                (x >> 24).astype(jnp.int32).astype(jnp.bfloat16),
+            )
+
+        pb = planes(b)
+        ph = planes(h)
         groups: list[list] = [[] for _ in range(9)]
         for c in range(nchunks):
-            sl = lambda p: jax.lax.slice(p, (0, 256 * c), (rb, 256 * (c + 1)))
-            a01 = jnp.concatenate([sl(p0), sl(p1)], axis=1)
-            a23 = jnp.concatenate([sl(p2), sl(p3)], axis=1)
+            if 256 * (c + 1) <= 2 * B5_SEARCH_WORDS:
+                sl = lambda k: jax.lax.slice(
+                    pb[k], (0, 256 * c), (rb, 256 * (c + 1))
+                )
+            else:  # the halo chunk
+                sl = lambda k: ph[k]
+            a01 = jnp.concatenate([sl(0), sl(1)], axis=1)
+            a23 = jnp.concatenate([sl(2), sl(3)], axis=1)
             lo16 = jnp.dot(a01, we_ref[:], preferred_element_type=jnp.float32)
             lo32 = jnp.dot(a23, we_ref[:], preferred_element_type=jnp.float32)
             hi16 = jnp.dot(a01, wo_ref[:], preferred_element_type=jnp.float32)
@@ -1759,6 +1778,16 @@ def _match_b5_kernel(qc: tuple):
                     else (diff == 0).astype(jnp.uint32)
                 )
                 bits = bits | (hit << (3 * j + phase))
+        if n is not None:
+            # clear starts past n - 1: bit b of lane (r, w) is position
+            # 27 * (W * (row0 + r) + w) + b
+            row0 = pl.program_id(0) * rb
+            lane_base = 27 * (
+                (row0 + jax.lax.broadcasted_iota(jnp.int32, (rb, W), 0)) * W
+                + jax.lax.broadcasted_iota(jnp.int32, (rb, W), 1)
+            )
+            v = jnp.clip(n - lane_base, 0, 27).astype(jnp.uint32)
+            bits = bits & ((jnp.uint32(1) << v) - 1)
         o_ref[:] = bits
 
     return kernel
@@ -1771,19 +1800,62 @@ def match_b5_bits_panels(
     u32[R, 512] for the compiled query ``qc`` (see :func:`_match_b5_kernel`
     for the bit contract).  Rows carry 128 overlap words (the next row's
     first 256 u32 lanes), bounding queries at ``9 * 128 - 8`` triplets.
+    Compat shim over :func:`match_b5_bits_rows` (no valid-start clear).
     """
-    interpret = _auto_interpret(interpret)
     lanes = 2 * (B5_SEARCH_WORDS + B5_SEARCH_OVW)
     if x.dtype != jnp.uint32 or x.ndim != 2 or x.shape[1] != lanes:
         raise TypeError(f"expected u32[R, {lanes}], got {x.dtype}{x.shape}")
-    R = x.shape[0]
+    W2 = 2 * B5_SEARCH_WORDS
+    return match_b5_bits_rows(
+        x[:, :W2], x[:, W2:], qc, None,
+        interpret=interpret, row_block=row_block,
+    )
+
+
+def match_b5_bits_rows(
+    base: jax.Array,
+    halo: jax.Array,
+    qc: tuple,
+    n: int | None = None,
+    *,
+    interpret: bool = False,
+    row_block: int = 32,
+) -> jax.Array:
+    """(base u32[R, 1024], halo u32[R, 256]) -> packed match bits
+    u32[R, 512].  ``halo[r]`` = the next row's first 256 u32 lanes (zeros
+    beyond the stream); keeping it as its own quarter-size array instead
+    of materializing overlap panels saves the 1.25x HBM copy, and ``n``
+    (when given) fuses the valid-start tail clear into the kernel — the
+    same two wrapper passes the 2-bit scan shed in r04.
+
+    ``row_block`` defaults to 32: larger blocks measured only ~6% faster
+    (75.5 -> 80.3 GiB/s at rb=128) and rb=64 NONDETERMINISTICALLY tripped
+    Mosaic's 16 MB scoped-vmem stack limit under jit composition (a
+    31 MB demand that did not reproduce across identical compiles) — the
+    smaller block keeps 2x headroom under the worst observed lowering.
+    """
+    interpret = _auto_interpret(interpret)
+    W2 = 2 * B5_SEARCH_WORDS
+    OV2 = 2 * B5_SEARCH_OVW
+    if (
+        base.dtype != jnp.uint32
+        or base.ndim != 2
+        or base.shape[1] != W2
+        or halo.shape != (base.shape[0], OV2)
+    ):
+        raise TypeError(
+            f"expected u32[R, {W2}] + u32[R, {OV2}], got "
+            f"{base.shape}/{halo.shape}"
+        )
+    R = base.shape[0]
     rb = _row_block8(R, row_block)
     we, wo = _b5_deint_mats_bf16()
     return pl.pallas_call(
-        _match_b5_kernel(qc),
+        _match_b5_kernel(qc, n),
         grid=(_cdiv(R, rb),),
         in_specs=[
-            pl.BlockSpec((rb, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, W2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, OV2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(we.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(wo.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -1792,7 +1864,7 @@ def match_b5_bits_panels(
         ),
         out_shape=jax.ShapeDtypeStruct((R, B5_SEARCH_WORDS), jnp.uint32),
         interpret=interpret,
-    )(x, we, wo)
+    )(base, halo, we, wo)
 
 
 def _decode_b5_nt4_kernel(padded: bool):

@@ -148,20 +148,28 @@ def match_mask(
 _SEARCH_W = 512
 
 
-def _match_bits_kernel(q: tuple, care: tuple):
+def _match_bits_kernel(q: tuple, care: tuple, n: int | None):
+    """Scan kernel over (base, halo) row blocks.
+
+    ``n`` (when given) is the valid-start count: the kernel clears bits at
+    positions >= n in place of the r03 wrapper's separate full-array
+    iota/clip/mask pass — the wrapper passes (the panel-copy concat and
+    the tail clear) cost 39% of the op at 7 nt (kernel-only 97 GiB/s vs
+    59 end-to-end, measured r04), so both now ride the kernel.  The
+    per-phase funnel is shared across query words; NOTE the r03
+    per-(phase, word) form compiled to identical code (Mosaic CSEs the
+    funnels — measured equal at 97.0/24.5 GiB/s), so the sharing is for
+    source clarity, not speed.
+    """
+    from jax.experimental import pallas as pl
+
     wq_n = len(q)
 
-    def kernel(x_ref, o_ref):
-        x = x_ref[:]
-        rb = x.shape[0]
-        W = o_ref.shape[1]
+    def kernel(b_ref, h_ref, o_ref):
+        rb, W = o_ref.shape
+        x = jnp.concatenate([b_ref[:], h_ref[:]], axis=1)
         bits = jnp.zeros((rb, W), jnp.uint32)
         for s in range(spec.NT_PER_U32_2BIT):
-            # one funnel per phase over W + wq_n lanes: the window at
-            # (s, wq) is the window at (s, 0) shifted wq lanes, so the
-            # per-query-word funnel of the r03 form (16 x wq_n funnels)
-            # collapses to 16 — multi-word queries pay only the
-            # xor/and/or compare per extra word (45 nt: 21 -> 26 GiB/s)
             if s:
                 lo = jax.lax.slice(x, (0, 0), (rb, W + wq_n))
                 hi = jax.lax.slice(x, (0, 1), (rb, W + wq_n + 1))
@@ -178,9 +186,67 @@ def _match_bits_kernel(q: tuple, care: tuple):
             bits = bits | jnp.where(
                 diff == 0, jnp.uint32(1 << s), jnp.uint32(0)
             )
+        if n is not None:
+            # clear starts past n - 1: lane (r, w) covers [16*(r*W+w), +16)
+            row0 = pl.program_id(0) * rb
+            lane_base = 16 * (
+                (row0 + jax.lax.broadcasted_iota(jnp.int32, (rb, W), 0)) * W
+                + jax.lax.broadcasted_iota(jnp.int32, (rb, W), 1)
+            )
+            v = jnp.clip(n - lane_base, 0, 16).astype(jnp.uint32)
+            bits = bits & ((jnp.uint32(1) << v) - 1)
         o_ref[:] = bits
 
     return kernel
+
+
+def match_bits_rows(
+    base: jax.Array,
+    halo: jax.Array,
+    q: tuple,
+    care: tuple,
+    n: int | None = None,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """(base u32[R, W], halo u32[R, over]) -> packed match bits u32[R, W].
+
+    ``halo[r]`` holds the ``over`` stream words following row ``r``'s
+    last word (zeros beyond the stream); ``over`` must be 128-aligned and
+    > len(q).  Keeping the halo as its own small array (0.25x the base at
+    W=512) instead of materializing (rows, W + over) panels saves the
+    1.25x HBM copy the r03 wrapper paid.
+    """
+    from . import pallas_kernels as pk
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = pk._auto_interpret(interpret)
+    R, W = base.shape
+    over = halo.shape[1]
+    if base.dtype != jnp.uint32 or W % 128 or over % 128 or over <= len(q):
+        raise TypeError(
+            f"expected u32 base/halo with 128-aligned widths, got "
+            f"{base.shape}/{halo.shape} for {len(q)} query words"
+        )
+    rb = min(32, max(8, -(-R // 8) * 8))
+    return pl.pallas_call(
+        _match_bits_kernel(
+            tuple(int(v) for v in q), tuple(int(v) for v in care), n
+        ),
+        grid=(pk._cdiv(R, rb),),
+        in_specs=[
+            pl.BlockSpec((rb, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (rb, over), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (rb, W), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, W), jnp.uint32),
+        interpret=interpret,
+    )(base, halo)
 
 
 def match_bits_panels(
@@ -194,30 +260,15 @@ def match_bits_panels(
     every funnel tap is an in-row static slice.  The query/care words are
     Python ints baked into the kernel (compiled per query).
     """
-    from . import pallas_kernels as pk
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    interpret = pk._auto_interpret(interpret)
     R, Wp = x.shape
     W = Wp - 128 * (-(-(len(q) + 1) // 128))
     if x.dtype != jnp.uint32 or W <= 0 or W % 128:
         raise TypeError(
             f"expected u32 panels with 128-aligned overlap, got {x.dtype}{x.shape}"
         )
-    rb = min(32, max(8, -(-R // 8) * 8))
-    return pl.pallas_call(
-        _match_bits_kernel(tuple(int(v) for v in q), tuple(int(v) for v in care)),
-        grid=(pk._cdiv(R, rb),),
-        in_specs=[
-            pl.BlockSpec((rb, Wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec(
-            (rb, W), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((R, W), jnp.uint32),
-        interpret=interpret,
-    )(x)
+    return match_bits_rows(
+        x[:, :W], x[:, W:], q, care, None, interpret=interpret
+    )
 
 
 @functools.partial(
@@ -236,32 +287,26 @@ def _match_bits_impl(
     W = _SEARCH_W
     rows = -(-Wtot // W)
     over = 128 * (-(-(len(q) + 1) // 128))
-    # overlapping panels without a gather: row r = words[r*W : r*W + W + over]
-    # = the plain (rows, W) reshape with the next row's first `over` words
-    # appended (zeros beyond the stream)
+    # row r = words[r*W : r*W + W + over]: base is the plain reshape and
+    # the overlap rides a SEPARATE (rows, over) halo array (next row's
+    # head words, zeros beyond the stream) — no (rows, W + over) panel
+    # copy, and the valid-start tail clear is fused into the kernel
+    # (together those wrapper passes were 39% of the op at 7 nt; r04)
     pad = rows * W - Wtot
     if pad:
         flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.uint32)])
     base = flat.reshape(rows, W)
-    nxt_rows = jnp.concatenate(
+    halo = jnp.concatenate(
         [base[1:, :over], jnp.zeros((1, over), jnp.uint32)], axis=0
     ) if over <= W else None
-    if nxt_rows is None:  # huge query: overlap wider than a panel row
+    if halo is None:  # huge query: overlap wider than a panel row
         padded = jnp.concatenate([flat, jnp.zeros(over, jnp.uint32)])
-        nxt_rows = jnp.stack(
+        halo = jnp.stack(
             [jax.lax.dynamic_slice(padded, (r * W + W,), (over,)) for r in range(rows)]
         )
-    panels = jnp.concatenate([base, nxt_rows], axis=1)
-    bits = match_bits_panels(panels, q, care, interpret=interpret)
-    # clear positions past the last valid start (n-1): lane (r, w) covers
-    # positions [16*(r*W + w), +16)
-    n = length - m + 1
-    lane_base = 16 * (
-        jax.lax.broadcasted_iota(jnp.int32, bits.shape, 0) * W
-        + jax.lax.broadcasted_iota(jnp.int32, bits.shape, 1)
+    return match_bits_rows(
+        base, halo, q, care, length - m + 1, interpret=interpret
     )
-    v = jnp.clip(n - lane_base, 0, 16)  # valid position starts in this lane
-    return bits & ((jnp.uint32(1) << v.astype(jnp.uint32)) - 1)
 
 
 def match_bits(
@@ -559,20 +604,18 @@ def _match_bits_b5_impl(
     if pad:
         flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.uint32)])
     base = flat.reshape(rows, 2 * RW)
-    nxt = jnp.concatenate(
+    # the overlap rides its own quarter-size halo array and the
+    # valid-start clear is fused in-kernel (the 2-bit scan's r04 rework)
+    halo = jnp.concatenate(
         [base[1:, :OV], jnp.zeros((1, OV), jnp.uint32)], axis=0
     )
-    panels = jnp.concatenate([base, nxt], axis=1)
-    bits = pk.match_b5_bits_panels(panels, qc, interpret=interpret)
-    # clear positions past the last valid start: lane (r, w) covers
-    # positions [27*(RW r + w), +27)
-    n = length - m + 1
-    lane_base = 27 * (
-        jax.lax.broadcasted_iota(jnp.int32, bits.shape, 0) * RW
-        + jax.lax.broadcasted_iota(jnp.int32, bits.shape, 1)
+    # force materialized native-tiled operands: fused pad/reshape chains
+    # hand the kernel {1,0}-linear layouts that Mosaic retiles on its
+    # scoped-vmem stack (measured: 31 MB > the 16 MB limit at R=59)
+    base, halo = jax.lax.optimization_barrier((base, halo))
+    return pk.match_b5_bits_rows(
+        base, halo, qc, length - m + 1, interpret=interpret
     )
-    v = jnp.clip(n - lane_base, 0, 27)
-    return bits & ((jnp.uint32(1) << v.astype(jnp.uint32)) - 1)
 
 
 def match_bits_b5(
