@@ -55,7 +55,15 @@ import numpy as np
 #: extra rows (full-size XLA tier, base-5 u8 decode) beyond the default set
 BENCH_FULL = os.environ.get("BENCH_FULL", "") == "1"
 #: soft wall-clock budget; optional row groups are skipped past this
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1800"))
+
+# persistent compile cache: a cold cache through the relayed compile
+# helper measured ~2x the whole budget in compiles alone (an r04 run hit
+# BUDGET_S before the stream section — the north-star rows — purely on
+# compile time); the cache survives across processes so a prior run pays
+# the compiles once
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_bench")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 REF_BEST_ENCODE_GIBS = 28.962  # reference README.md:349 (n_to_bits_movemask)
 REF_MEMCPY_GIBS = 23.599       # reference README.md:351
@@ -485,6 +493,174 @@ def main() -> int:
             profiling.decode_b5_roofline(nt_b5),
         )
 
+
+    # --- end-to-end streaming pipeline (BASELINE's north star: reads/s
+    # through host IO -> batch assembly -> H2D -> kernel -> D2H) -------------
+    if _section_on("stream", t_start):
+        cur_sec[0] = "stream"
+        from cute_nucleotides_tpu.parallel import runtime as rt
+        from cute_nucleotides_tpu.utils import io as io_lib
+
+        n_reads, read_len = 32768 // _SCALE, 2048  # 64 Mnt synthetic FASTQ on tmpfs
+        fq = "/dev/shm/cn_bench_reads.fastq"
+        try:
+            sq = rng.choice(alphabet, size=(n_reads, read_len))
+            with open(fq, "wb") as f:
+                q = b"I" * read_len
+                parts = []
+                for i in range(n_reads):
+                    parts.append(
+                        b"@r%d\n" % i + sq[i].tobytes() + b"\n+\n" + q + b"\n"
+                    )
+                    if len(parts) == 4096:
+                        f.write(b"".join(parts))
+                        parts = []
+                f.write(b"".join(parts))
+
+            # NOTE: through a relayed/tunneled TPU these rows are LINK-bound:
+            # tools/link_probe.py measures ~42 MB/s H2D (~45 D2H, near-full
+            # duplex, parallel uploads do NOT sum), so a perfectly pipelined
+            # encode tops out at link_rate bp/s.  ``link_saturation`` below
+            # is the honest score: achieved ASCII bytes/s over a same-run
+            # dependent-readback H2D measurement.  On a locally attached
+            # chip the identical loop is PCIe-bound instead (~100x).
+            stream_batch = 4096
+
+            # same-run link floor: one 8 MiB H2D with a dependent readback
+            # (block_until_ready is not trustworthy through the relay)
+            link_buf = rng.integers(0, 255, 8 * 2**20, np.uint8)
+            dev0 = jax.devices()[0]
+            np.asarray(jax.device_put(link_buf, dev0).ravel()[:1])  # warm
+            t0 = time.perf_counter()
+            np.asarray(jax.device_put(link_buf, dev0).ravel()[:1])
+            link_h2d_s = time.perf_counter() - t0
+            link_h2d_mib_s = link_buf.nbytes / link_h2d_s / 2**20
+            stream_stats["link_h2d_mib_s"] = round(link_h2d_mib_s, 1)
+            print(
+                f"link H2D (8 MiB dependent readback): "
+                f"{link_h2d_mib_s:.1f} MiB/s",
+                file=sys.stderr,
+            )
+
+            def stream_row(name, runner):
+                sunk = [0]
+                enc = rt.StreamingEncoder(batch_size=stream_batch, max_len=read_len)
+                # warm the compiled executable outside the timer (the first
+                # row otherwise pays the jit compile in its wall time)
+                warm = np.full((stream_batch, read_len), ord("A"), np.uint8)
+                np.asarray(enc.sharded.encode(enc.sharded.shard(warm)))
+                t0 = time.perf_counter()
+                agg = runner(
+                    enc, lambda w, b: sunk.__setitem__(0, sunk[0] + w.nbytes)
+                )
+                dt = time.perf_counter() - t0
+                nt = n_reads * read_len
+                results[name] = nt / dt / 2**30
+                sat = (nt / dt / 2**20) / link_h2d_mib_s
+                stream_stats[name] = {
+                    "gbp_s": round(nt / dt / 1e9, 3),
+                    "reads_per_s": round(n_reads / dt, 1),
+                    "ms_per_batch": round(dt * 1e3 * stream_batch / n_reads, 1),
+                    "sunk_bytes": sunk[0],
+                    "link_saturation": round(sat, 3),
+                    "stages": agg.get("stages", {}),
+                    **{k: v for k, v in agg.items() if isinstance(v, (int, float))},
+                }
+                print(
+                    f"{name:30s} {dt * 1e3:9.1f} ms   {results[name]:9.2f} "
+                    f"GiB/s-nt  ({n_reads / dt:,.0f} reads/s, "
+                    f"link sat {sat:.0%})",
+                    file=sys.stderr,
+                )
+
+            # batch-assembler fast path (fastq_batches, no Record objects)
+            stream_row(
+                "stream_encode_e2e",
+                lambda enc, sink: enc.run_batches(
+                    io_lib.fastq_batches(fq, stream_batch, read_len), sink
+                ),
+            )
+            # the Record-path production loop (parse -> BatchStream)
+            stream_row(
+                "stream_encode_records",
+                lambda enc, sink: enc.run(io_lib.open_reads(fq), sink),
+            )
+
+            # decode direction: pre-encode the reads into .nup-style entries
+            # (outside the timer), then time the pipelined StreamingDecoder
+            # back to exact-length ASCII
+            entries = []
+            enc0 = rt.StreamingEncoder(
+                batch_size=stream_batch, max_len=read_len
+            )
+
+            def collect(w, b):
+                from cute_nucleotides_tpu.ops import spec
+
+                for i in range(b.count):
+                    nw = -(-int(b.lengths[i]) // 32)
+                    entries.append(
+                        (
+                            b"r%d" % int(b.indices[i]),
+                            int(b.lengths[i]),
+                            spec.u32_pairs_to_u64(w[i])[:nw],
+                        )
+                    )
+
+            enc0.run_batches(
+                io_lib.fastq_batches(fq, stream_batch, read_len), collect
+            )
+            dec = rt.StreamingDecoder(
+                batch_size=stream_batch, max_len=read_len
+            )
+            w32_0 = io_lib.pack_words_batch(
+                entries[:stream_batch], stream_batch
+            )
+            np.asarray(  # warm the decode executable outside the timer
+                dec.sharded.decode(
+                    jax.device_put(w32_0, dec.sharded.batch_sharding)
+                )
+            )
+            sunk = [0]
+            t0 = time.perf_counter()
+            agg = dec.run(
+                iter(entries),
+                sink=lambda n, s: sunk.__setitem__(0, sunk[0] + len(s)),
+            )
+            dt = time.perf_counter() - t0
+            nt = n_reads * read_len
+            results["stream_decode_e2e"] = nt / dt / 2**30
+            stream_stats["stream_decode_e2e"] = {
+                "gbp_s": round(nt / dt / 1e9, 3),
+                "reads_per_s": round(n_reads / dt, 1),
+                "ms_per_batch": round(dt * 1e3 * stream_batch / n_reads, 1),
+                "sunk_bytes": sunk[0],
+                # decode's dominant transfer is the ASCII D2H (probe: D2H
+                # bandwidth ~= H2D), so the same-run H2D rate is the floor
+                "link_saturation": round(
+                    (nt / dt / 2**20) / link_h2d_mib_s, 3
+                ),
+                "stages": agg.get("stages", {}),
+                **{
+                    k: v
+                    for k, v in agg.items()
+                    if isinstance(v, (int, float))
+                },
+            }
+            print(
+                f"{'stream_decode_e2e':30s} {dt * 1e3:9.1f} ms   "
+                f"{results['stream_decode_e2e']:9.2f} GiB/s-nt  "
+                f"({n_reads / dt:,.0f} reads/s)",
+                file=sys.stderr,
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"stream rows FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+        finally:
+            if os.path.exists(fq):
+                os.unlink(fq)
+
+
+
     # --- XLA portability tier (reduced workload by default) ------------------
     if _section_on("xla", t_start):
         cur_sec[0] = "xla"
@@ -838,173 +1014,6 @@ def main() -> int:
               int8_macs=ph_B * ph_B * 4 * NT_PER_ROW),
             k_lo=2, k_hi=10, trials=3,
         )
-
-    # --- end-to-end streaming pipeline (BASELINE's north star: reads/s
-    # through host IO -> batch assembly -> H2D -> kernel -> D2H) -------------
-    if _section_on("stream", t_start):
-        cur_sec[0] = "stream"
-        from cute_nucleotides_tpu.parallel import runtime as rt
-        from cute_nucleotides_tpu.utils import io as io_lib
-
-        n_reads, read_len = 32768 // _SCALE, 2048  # 64 Mnt synthetic FASTQ on tmpfs
-        fq = "/dev/shm/cn_bench_reads.fastq"
-        try:
-            sq = rng.choice(alphabet, size=(n_reads, read_len))
-            with open(fq, "wb") as f:
-                q = b"I" * read_len
-                parts = []
-                for i in range(n_reads):
-                    parts.append(
-                        b"@r%d\n" % i + sq[i].tobytes() + b"\n+\n" + q + b"\n"
-                    )
-                    if len(parts) == 4096:
-                        f.write(b"".join(parts))
-                        parts = []
-                f.write(b"".join(parts))
-
-            # NOTE: through a relayed/tunneled TPU these rows are LINK-bound:
-            # tools/link_probe.py measures ~42 MB/s H2D (~45 D2H, near-full
-            # duplex, parallel uploads do NOT sum), so a perfectly pipelined
-            # encode tops out at link_rate bp/s.  ``link_saturation`` below
-            # is the honest score: achieved ASCII bytes/s over a same-run
-            # dependent-readback H2D measurement.  On a locally attached
-            # chip the identical loop is PCIe-bound instead (~100x).
-            stream_batch = 4096
-
-            # same-run link floor: one 8 MiB H2D with a dependent readback
-            # (block_until_ready is not trustworthy through the relay)
-            link_buf = rng.integers(0, 255, 8 * 2**20, np.uint8)
-            dev0 = jax.devices()[0]
-            np.asarray(jax.device_put(link_buf, dev0).ravel()[:1])  # warm
-            t0 = time.perf_counter()
-            np.asarray(jax.device_put(link_buf, dev0).ravel()[:1])
-            link_h2d_s = time.perf_counter() - t0
-            link_h2d_mib_s = link_buf.nbytes / link_h2d_s / 2**20
-            stream_stats["link_h2d_mib_s"] = round(link_h2d_mib_s, 1)
-            print(
-                f"link H2D (8 MiB dependent readback): "
-                f"{link_h2d_mib_s:.1f} MiB/s",
-                file=sys.stderr,
-            )
-
-            def stream_row(name, runner):
-                sunk = [0]
-                enc = rt.StreamingEncoder(batch_size=stream_batch, max_len=read_len)
-                # warm the compiled executable outside the timer (the first
-                # row otherwise pays the jit compile in its wall time)
-                warm = np.full((stream_batch, read_len), ord("A"), np.uint8)
-                np.asarray(enc.sharded.encode(enc.sharded.shard(warm)))
-                t0 = time.perf_counter()
-                agg = runner(
-                    enc, lambda w, b: sunk.__setitem__(0, sunk[0] + w.nbytes)
-                )
-                dt = time.perf_counter() - t0
-                nt = n_reads * read_len
-                results[name] = nt / dt / 2**30
-                sat = (nt / dt / 2**20) / link_h2d_mib_s
-                stream_stats[name] = {
-                    "gbp_s": round(nt / dt / 1e9, 3),
-                    "reads_per_s": round(n_reads / dt, 1),
-                    "ms_per_batch": round(dt * 1e3 * stream_batch / n_reads, 1),
-                    "sunk_bytes": sunk[0],
-                    "link_saturation": round(sat, 3),
-                    "stages": agg.get("stages", {}),
-                    **{k: v for k, v in agg.items() if isinstance(v, (int, float))},
-                }
-                print(
-                    f"{name:30s} {dt * 1e3:9.1f} ms   {results[name]:9.2f} "
-                    f"GiB/s-nt  ({n_reads / dt:,.0f} reads/s, "
-                    f"link sat {sat:.0%})",
-                    file=sys.stderr,
-                )
-
-            # batch-assembler fast path (fastq_batches, no Record objects)
-            stream_row(
-                "stream_encode_e2e",
-                lambda enc, sink: enc.run_batches(
-                    io_lib.fastq_batches(fq, stream_batch, read_len), sink
-                ),
-            )
-            # the Record-path production loop (parse -> BatchStream)
-            stream_row(
-                "stream_encode_records",
-                lambda enc, sink: enc.run(io_lib.open_reads(fq), sink),
-            )
-
-            # decode direction: pre-encode the reads into .nup-style entries
-            # (outside the timer), then time the pipelined StreamingDecoder
-            # back to exact-length ASCII
-            entries = []
-            enc0 = rt.StreamingEncoder(
-                batch_size=stream_batch, max_len=read_len
-            )
-
-            def collect(w, b):
-                from cute_nucleotides_tpu.ops import spec
-
-                for i in range(b.count):
-                    nw = -(-int(b.lengths[i]) // 32)
-                    entries.append(
-                        (
-                            b"r%d" % int(b.indices[i]),
-                            int(b.lengths[i]),
-                            spec.u32_pairs_to_u64(w[i])[:nw],
-                        )
-                    )
-
-            enc0.run_batches(
-                io_lib.fastq_batches(fq, stream_batch, read_len), collect
-            )
-            dec = rt.StreamingDecoder(
-                batch_size=stream_batch, max_len=read_len
-            )
-            w32_0 = io_lib.pack_words_batch(
-                entries[:stream_batch], stream_batch
-            )
-            np.asarray(  # warm the decode executable outside the timer
-                dec.sharded.decode(
-                    jax.device_put(w32_0, dec.sharded.batch_sharding)
-                )
-            )
-            sunk = [0]
-            t0 = time.perf_counter()
-            agg = dec.run(
-                iter(entries),
-                sink=lambda n, s: sunk.__setitem__(0, sunk[0] + len(s)),
-            )
-            dt = time.perf_counter() - t0
-            nt = n_reads * read_len
-            results["stream_decode_e2e"] = nt / dt / 2**30
-            stream_stats["stream_decode_e2e"] = {
-                "gbp_s": round(nt / dt / 1e9, 3),
-                "reads_per_s": round(n_reads / dt, 1),
-                "ms_per_batch": round(dt * 1e3 * stream_batch / n_reads, 1),
-                "sunk_bytes": sunk[0],
-                # decode's dominant transfer is the ASCII D2H (probe: D2H
-                # bandwidth ~= H2D), so the same-run H2D rate is the floor
-                "link_saturation": round(
-                    (nt / dt / 2**20) / link_h2d_mib_s, 3
-                ),
-                "stages": agg.get("stages", {}),
-                **{
-                    k: v
-                    for k, v in agg.items()
-                    if isinstance(v, (int, float))
-                },
-            }
-            print(
-                f"{'stream_decode_e2e':30s} {dt * 1e3:9.1f} ms   "
-                f"{results['stream_decode_e2e']:9.2f} GiB/s-nt  "
-                f"({n_reads / dt:,.0f} reads/s)",
-                file=sys.stderr,
-            )
-        except Exception as e:  # pragma: no cover
-            print(f"stream rows FAILED: {type(e).__name__}: {e}", file=sys.stderr)
-        finally:
-            if os.path.exists(fq):
-                os.unlink(fq)
-
-    # --- host-native C++ oracle (the scalar-tier rows) -----------------------
     if _section_on("host", t_start):
         cur_sec[0] = "host"
         from cute_nucleotides_tpu.ops import native
@@ -1109,7 +1118,7 @@ def _outage_line() -> dict:
         "vs_baseline": 0.0,
         "error": "tpu backend unreachable (init hang > probe timeout)",
     }
-    last = os.environ.get("BENCH_LAST_HW_PATH", "BENCH_LOCAL_r03.json")
+    last = os.environ.get("BENCH_LAST_HW_PATH", "BENCH_LOCAL_r04.json")
     try:
         with open(os.path.join(os.path.dirname(__file__) or ".", last)) as f:
             prev = json.load(f)
