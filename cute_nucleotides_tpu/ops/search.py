@@ -18,15 +18,16 @@ Two tiers:
 
 * **XLA gather tier** (:func:`match_mask`): position-ordered boolean mask
   via two ``jnp.take`` gathers per query word.  Simple, any length.
-* **Pallas tier** (:func:`match_bits_panels`, driven by
-  :func:`match_bits`): overlapping u32 panels (each row carries its
-  successor words, so every tap is an in-row slice — no cross-row
-  neighbor exchange), producing a PACKED bitmask ``u32[R, W]`` where bit
-  ``s`` of lane ``w`` is the match flag for position ``16*(r*W + w) + s``
-  — 16 positions per output word, so the result stream is as small as the
-  input stream.  The query is baked into the kernel as constants (cached
-  per query): a short-query scan does 16 shift-compare planes over the
-  block and stays memory-bound.
+* **Pallas tier** (:func:`match_bits_rows`, driven by
+  :func:`match_bits`): base rows plus a small separate halo array (each
+  row's successor words, so every tap is an in-row slice — no cross-row
+  neighbor exchange and no materialized overlap-panel copy), producing a
+  PACKED bitmask ``u32[R, W]`` where bit ``s`` of lane ``w`` is the match
+  flag for position ``16*(r*W + w) + s`` — 16 positions per output word,
+  so the result stream is as small as the input stream.  The query is
+  baked into the kernel as constants (cached per query), and the
+  valid-start tail clear rides the kernel too (r04; the two wrapper
+  passes they replace were 39% of the op).
 
 Matching is over the *normalized* sequence (what decode emits: uppercase,
 ``U``→``T``) — queries may be any case and use ``U`` freely.

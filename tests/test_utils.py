@@ -483,7 +483,7 @@ def test_bench_outage_line_falls_back_to_committed_hw_run(tmp_path, monkeypatch)
     # with the committed artifact present: headline values + stale tag
     line = bench._outage_line()
     assert line["unit"] == "GiB/s"
-    assert line["stale_hardware_run"] == "BENCH_LOCAL_r03.json"
+    assert line["stale_hardware_run"] == "BENCH_LOCAL_r04.json"
     assert line["value"] > 0 and line["vs_baseline"] > 0
     assert "relay down" in line["error"]
     json.loads(json.dumps(line))  # driver-parseable
