@@ -85,10 +85,60 @@ def _bottom_s_distinct_count(
 #: row width for the chunked bottom-s reduction (see _bottom_s_distinct)
 _CHUNK = 8192
 
+#: prefilter tuning (see _prefilter_plan): keep ~ALPHA*s expected entries
+#: below the static cutoff; skip the prefilter when the per-128-lane
+#: capacity it would need exceeds _CAP_MAX (shrink < 4x isn't worth the
+#: extra pass) or the input is small enough to sort directly.
+_ALPHA = 8
+_CAP_MAX = 32
+_PREFILTER_MIN = 1 << 17
 
-def _bottom_s_distinct(h: jax.Array, s: int) -> jax.Array:
-    """Smallest ``s`` distinct values of ``h`` (count not needed), with a
-    chunked pre-reduction for large inputs.
+
+def _prefilter_plan(n: int, expected: float) -> int | None:
+    """Static per-128-lane survivor capacity for a threshold prefilter
+    expecting ``expected`` surviving entries out of ``n``, or None when
+    the prefilter isn't worthwhile.  Capacity is a Poisson tail bound
+    (lam + 6*sqrt(lam) + 8) so a uniform-hash input essentially never
+    overflows; overflow is still *detected* and falls back (exactness
+    never rests on the bound)."""
+    if n < _PREFILTER_MIN:
+        return None
+    lam = 128.0 * expected / n
+    cap = int(math.ceil(lam + 6.0 * math.sqrt(lam) + 8.0))
+    return cap if cap <= _CAP_MAX else None
+
+
+def _compact_lt(
+    h: jax.Array, c: int, cap: int
+) -> tuple[jax.Array, jax.Array]:
+    """Compact every entry of ``h`` strictly below ``c`` into a
+    ``128/cap``-fold smaller array: -> (u32[ceil(n/128)*cap], ok bool).
+
+    Survivors are extracted per 128-lane row by a narrow batched sort
+    (survivors sort to the front, everything else is SENTINEL) — the
+    static-shape TPU compaction that replaces a scatter.  ``ok`` is True
+    iff NO row held more than ``cap`` survivors, i.e. the output provably
+    contains *all* entries below ``c`` (duplicates included); on False the
+    caller must take the unfiltered path.
+    """
+    h = h.reshape(-1)
+    n = h.size
+    rows = -(-n // 128)
+    if rows * 128 > n:
+        h = jnp.concatenate(
+            [h, jnp.full(rows * 128 - n, SENTINEL, jnp.uint32)]
+        )
+    x = h.reshape(rows, 128)
+    keep = x < jnp.uint32(c)
+    ok = jnp.max(jnp.sum(keep, axis=1, dtype=jnp.int32)) <= cap
+    srt = jnp.sort(jnp.where(keep, x, SENTINEL), axis=-1)
+    return srt[:, :cap].reshape(-1), ok
+
+
+def _shrink_chunked(h: jax.Array, s: int) -> jax.Array:
+    """Chunked bottom-``s``-distinct pre-reduction: shrink ``h`` to at
+    most ``4 * max(_CHUNK, s)`` entries while preserving the global
+    bottom-``s`` distinct set (and never inventing values).
 
     Exactness: any member of the global bottom-``s`` distinct set has
     fewer than ``s`` distinct values below it globally — so also within
@@ -114,7 +164,41 @@ def _bottom_s_distinct(h: jax.Array, s: int) -> jax.Array:
         )
         hc = jnp.sort(jnp.where(dup, SENTINEL, hc), axis=-1)
         h = hc[:, : min(s, m)].reshape(-1)
-    return _bottom_s_distinct_count(h, s)[0]
+    return h
+
+
+def _bottom_s_distinct(h: jax.Array, s: int) -> jax.Array:
+    """Smallest ``s`` distinct values of ``h`` (count not needed).
+
+    Large inputs first take a **threshold prefilter** (r05): with a
+    static cutoff ``c ~= ALPHA*s/n * 2**32``, an expected ``ALPHA*s``
+    entries survive ``h < c`` — the bottom-``s`` distinct set is a subset
+    of the survivors whenever at least ``s`` distinct values lie below
+    ``c``.  Survivors compact 128/cap-fold with one *narrow* batched row
+    sort (:func:`_compact_lt`), shrinking the expensive distinct-sort by
+    an order of magnitude.  Exactness is never assumed: the fast path is
+    taken only when (a) no 128-lane row overflowed its capacity (all
+    survivors captured) and (b) the survivors hold >= ``s`` distinct
+    values (cutoff not too low — heavy k-mer duplication or a tiny
+    dataset lowers the distinct yield); otherwise ``lax.cond`` falls back
+    to the unfiltered chunked path, which is exact unconditionally.
+    """
+    h = h.reshape(-1)
+    n = h.size
+    cap = _prefilter_plan(n, float(_ALPHA * s))
+    c = min(2**32 - 1, max(1, math.ceil(_ALPHA * s * 2**32 / n)))
+    if cap is None or c >= 2**31:
+        return _bottom_s_distinct_count(_shrink_chunked(h, s), s)[0]
+    compact, ok = _compact_lt(h, c, cap)
+    sk, d = _bottom_s_distinct_count(_shrink_chunked(compact, s), s)
+    # d (distinct count of the shrunk survivors) >= s iff the survivors
+    # held >= s distinct values: shrinking preserves the bottom-s
+    # distinct set, so the comparison is exact on either side of s
+    return jax.lax.cond(
+        ok & (d >= s),
+        lambda: sk,
+        lambda: _bottom_s_distinct_count(_shrink_chunked(h, s), s)[0],
+    )
 
 
 def _isin_sorted(x: jax.Array, ref: jax.Array) -> jax.Array:
@@ -287,11 +371,31 @@ def _frac_from_hashes(
 ) -> tuple[jax.Array, jax.Array]:
     if scale < 1:
         raise ValueError("scale must be >= 1")
-    thresh = jnp.uint32(min(2**32 // scale, 2**32 - 1))
-    h = jnp.where(h < thresh, h, SENTINEL)
-    # the distinct count (exact even past cap) rides the sketch's own
-    # sort+dup pass — no extra sort of the full hash array
-    sk, n_kept = _bottom_s_distinct_count(h, max(cap, 1))
+    thresh = min(2**32 // scale, 2**32 - 1)
+    h = h.reshape(-1)
+    s = max(cap, 1)
+    # FracMinHash already IS a threshold filter — compact below the
+    # (static) retention threshold before the distinct sort (r05).  The
+    # capacity plan uses the uniform-hash expectation n*thresh/2**32;
+    # ``ok`` guarantees ALL retained entries were captured, so both the
+    # sketch and the exact n_kept distinct count come from the compacted
+    # array; a capacity overflow (duplication-heavy or low-scale input)
+    # falls back to the unfiltered sort.
+    plan = _prefilter_plan(h.size, h.size * (thresh / 2**32))
+    if plan is None:
+        hm = jnp.where(h < jnp.uint32(thresh), h, SENTINEL)
+        sk, n_kept = _bottom_s_distinct_count(hm, s)
+        return sk[:cap], n_kept
+    compact, ok = _compact_lt(h, thresh, plan)
+
+    def _fast():
+        return _bottom_s_distinct_count(compact, s)
+
+    def _slow():
+        hm = jnp.where(h < jnp.uint32(thresh), h, SENTINEL)
+        return _bottom_s_distinct_count(hm, s)
+
+    sk, n_kept = jax.lax.cond(ok, _fast, _slow)
     return sk[:cap], n_kept
 
 

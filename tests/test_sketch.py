@@ -311,6 +311,83 @@ def test_chunked_bottom_s_exact_on_large_inputs(rng):
     )
 
 
+def test_prefiltered_bottom_s_exact_on_large_inputs(rng):
+    """The r05 threshold-prefilter fast path (inputs >= _PREFILTER_MIN)
+    must equal the naive global bottom-s on a uniform-hash-like input."""
+    n = sketch._PREFILTER_MIN + 4093
+    s_sz = 256
+    h = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    assert sketch._prefilter_plan(n, sketch._ALPHA * s_sz) is not None
+    got = np.asarray(sketch._bottom_s_distinct(jnp.asarray(h), s_sz))
+    assert got.tolist() == _naive_bottom_s(h.tolist(), s_sz)
+
+
+def test_prefilter_underflow_falls_back_exactly(rng):
+    """Heavy duplication: fewer than s distinct values below the static
+    cutoff -> the d >= s guard must route to the unfiltered path and the
+    result must still be the exact global bottom-s."""
+    n = sketch._PREFILTER_MIN
+    s_sz = 128
+    # only 40 distinct values in the whole input, all huge (above any
+    # reasonable prefilter cutoff) -> zero survivors, d = 0 < s
+    vals = rng.integers(2**31, 2**32 - 2, 40, dtype=np.uint64).astype(
+        np.uint32
+    )
+    h = vals[rng.integers(0, 40, n)]
+    got = np.asarray(sketch._bottom_s_distinct(jnp.asarray(h), s_sz))
+    assert got.tolist() == _naive_bottom_s(h.tolist(), s_sz)
+
+
+def test_prefilter_overflow_falls_back_exactly(rng):
+    """A 128-lane row holding more survivors than the static capacity
+    (possible only under adversarial duplication) must be detected by
+    _compact_lt's ok flag and fall back to the exact path."""
+    n = sketch._PREFILTER_MIN
+    s_sz = 64
+    cap = sketch._prefilter_plan(n, sketch._ALPHA * s_sz)
+    assert cap is not None
+    h = np.full(n, 0xF0000000, np.uint32)
+    # flood one aligned 128-lane row with tiny (surviving) duplicates
+    h[256 : 256 + cap + 8] = 3
+    h[: s_sz * 2] = rng.integers(0, 2**32, s_sz * 2, dtype=np.uint64).astype(
+        np.uint32
+    )
+    c = min(2**32 - 1, -(-sketch._ALPHA * s_sz * 2**32 // n))
+    _, ok = sketch._compact_lt(jnp.asarray(h), c, cap)
+    assert not bool(ok)
+    got = np.asarray(sketch._bottom_s_distinct(jnp.asarray(h), s_sz))
+    assert got.tolist() == _naive_bottom_s(h.tolist(), s_sz)
+
+
+def test_frac_prefilter_exact_sketch_and_count(rng):
+    """frac path through _compact_lt: sketch AND the exact distinct
+    n_kept must match the naive filter on a large input, including
+    duplicates below the threshold."""
+    n = sketch._PREFILTER_MIN + 511
+    scale, cap = 2000, 256
+    thresh = 2**32 // scale
+    h = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    h[::97] = h[1::97]  # inject duplicates, some below the threshold
+    sk, n_kept = sketch._frac_from_hashes(jnp.asarray(h), scale, cap)
+    kept = sorted({int(v) for v in h if v < thresh})
+    want = (kept + [SENT] * cap)[:cap]
+    assert np.asarray(sk).tolist() == want
+    assert int(n_kept) == len(kept)
+
+
+def test_frac_prefilter_overflow_falls_back(rng):
+    """Low scale (wide retention) on a large input must either skip the
+    prefilter statically or detect capacity overflow — always exact."""
+    n = sketch._PREFILTER_MIN
+    scale, cap = 4, 512  # keeps ~25% of entries: plan must be None
+    assert sketch._prefilter_plan(n, n * (2**32 // scale) / 2**32) is None
+    h = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    sk, n_kept = sketch._frac_from_hashes(jnp.asarray(h), scale, cap)
+    kept = sorted({int(v) for v in h if v < 2**32 // scale})
+    assert np.asarray(sk).tolist() == kept[:cap]
+    assert int(n_kept) == len(kept)
+
+
 def test_jaccard_matrix_matches_pairwise(rng):
     k, s_sz, D = 9, 128, 4
     seqs = [
