@@ -176,45 +176,48 @@ class BatchStream:
         self._records = records
 
     def __iter__(self) -> Iterator[Batch]:
-        reads = np.full(
-            (self.batch_size, self.max_len), ord("A"), dtype=np.uint8
-        )
-        lengths = np.zeros(self.batch_size, np.int32)
-        indices = np.full(self.batch_size, -1, np.int64)
-        row = 0
+        B, L = self.batch_size, self.max_len
+        seqs: list[bytes] = []
+        idxs: list[int] = []
         emitted = 0
 
-        def flush(count):
+        def assemble() -> Batch:
+            # vectorized row fill (r05): one C-level join + one
+            # memcpy/memset pass (ops.native.fill_rows) per batch instead
+            # of two NumPy slice assignments per record — the same
+            # assembly the fastq_batches fast path uses, so the Record
+            # path no longer caps the streaming pipeline on host prep
             nonlocal emitted
-            b = Batch(reads.copy(), lengths.copy(), indices.copy(), count)
+            n = len(seqs)
+            lens = np.fromiter((len(s) for s in seqs), np.int64, n)
+            if n and int(lens.max()) > L and not self.truncate:
+                raise ValueError(
+                    f"read of length {int(lens.max())} exceeds max_len {L}"
+                )
+            buf = np.frombuffer(b"".join(seqs), np.uint8)
+            starts = np.zeros(n, np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            reads = np.empty((B, L), np.uint8)
+            _native.fill_rows(buf, starts, lens, reads)
+            lengths = np.zeros(B, np.int32)
+            lengths[:n] = np.minimum(lens, L)
+            indices = np.full(B, -1, np.int64)
+            indices[:n] = idxs
             emitted += 1
-            return b
+            return Batch(reads, lengths, indices, n)
 
         for item in self._records:
             idx, rec = item if isinstance(item, tuple) else (-1, item)
-            seq = rec.seq
-            if len(seq) > self.max_len:
-                if not self.truncate:
-                    raise ValueError(
-                        f"read of length {len(seq)} exceeds max_len {self.max_len}"
-                    )
-                seq = seq[: self.max_len]
-            reads[row, : len(seq)] = np.frombuffer(seq, np.uint8)
-            reads[row, len(seq) :] = ord("A")
-            lengths[row] = len(seq)
-            indices[row] = idx
-            row += 1
-            if row == self.batch_size:
+            seqs.append(rec.seq)
+            idxs.append(idx)
+            if len(seqs) == B:
                 if emitted >= self.skip:
-                    yield flush(row)
+                    yield assemble()
                 else:
                     emitted += 1
-                row = 0
-                indices[:] = -1
-                lengths[:] = 0
-        if row and emitted >= self.skip:
-            reads[row:] = ord("A")
-            yield flush(row)
+                seqs, idxs = [], []
+        if seqs and emitted >= self.skip:
+            yield assemble()
 
 
 def fastq_batches(
