@@ -481,6 +481,18 @@ def main() -> int:
             "dec_inter",
         ),
     )
+    # digit-domain device format (r05): same panels, base-5 digit bytes out,
+    # SWAR char conversion skipped — the decode for digit consumers
+    run(
+        "decode_b5_pallas_digits",
+        chained(pk.decode_b5_digits_panels),
+        jnp.asarray(w_b5.reshape(rows_b5, 2 * pk.B5_ROW_WORDS)),
+        nt_b5,
+        b5_roof(
+            R(8 * (nt_b5 // 27), nt_b5 * pk.B5_NT4_PAD_LANES * 4 // pk.B5_ROW_NT),
+            "dec_inter",
+        ),
+    )
     # fused stream-integrity check riding the decode's read (vs a separate
     # first_invalid_word_b5 pass).  Roofline: the MACs are dec_inter's, the
     # writes include the u32[R, 128] badplane; the ~4% extra VPU lane-ops of
@@ -545,9 +557,12 @@ def main() -> int:
             link_buf = rng.integers(0, 255, 8 * 2**20, np.uint8)
             dev0 = jax.devices()[0]
             np.asarray(jax.device_put(link_buf, dev0).ravel()[:1])  # warm
-            t0 = time.perf_counter()
-            np.asarray(jax.device_put(link_buf, dev0).ravel()[:1])
-            link_h2d_s = time.perf_counter() - t0
+            probes = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(jax.device_put(link_buf, dev0).ravel()[:1])
+                probes.append(time.perf_counter() - t0)
+            link_h2d_s = sorted(probes)[1]  # median of 3 (relay jitter)
             link_h2d_mib_s = link_buf.nbytes / link_h2d_s / 2**20
             stream_stats["link_h2d_mib_s"] = round(link_h2d_mib_s, 1)
             print(
@@ -556,34 +571,57 @@ def main() -> int:
                 file=sys.stderr,
             )
 
+            # relay jitter is real (r04: the same loop scored 0.58-0.90
+            # saturation across sessions), so every stream row runs
+            # STREAM_REPS times and reports the MEDIAN with the min-max
+            # range — a single lucky run can no longer carry the headline
+            STREAM_REPS = 3
+
+            def _median_rep(reps_out):
+                reps_out = sorted(reps_out, key=lambda r: r[0])
+                return reps_out[len(reps_out) // 2]
+
             def stream_row(name, runner):
-                sunk = [0]
+                nt = n_reads * read_len
                 enc = rt.StreamingEncoder(batch_size=stream_batch, max_len=read_len)
                 # warm the compiled executable outside the timer (the first
                 # row otherwise pays the jit compile in its wall time)
                 warm = np.full((stream_batch, read_len), ord("A"), np.uint8)
                 np.asarray(enc.sharded.encode(enc.sharded.shard(warm)))
-                t0 = time.perf_counter()
-                agg = runner(
-                    enc, lambda w, b: sunk.__setitem__(0, sunk[0] + w.nbytes)
-                )
-                dt = time.perf_counter() - t0
-                nt = n_reads * read_len
+                reps_out = []
+                for _ in range(STREAM_REPS):
+                    sunk = [0]
+                    enc = rt.StreamingEncoder(
+                        batch_size=stream_batch, max_len=read_len
+                    )
+                    t0 = time.perf_counter()
+                    agg = runner(
+                        enc, lambda w, b: sunk.__setitem__(0, sunk[0] + w.nbytes)
+                    )
+                    dt = time.perf_counter() - t0
+                    reps_out.append((dt, agg, sunk[0]))
+                dt, agg, sunk0 = _median_rep(reps_out)
+                dts = [r[0] for r in reps_out]
                 results[name] = nt / dt / 2**30
                 sat = (nt / dt / 2**20) / link_h2d_mib_s
                 stream_stats[name] = {
                     "gbp_s": round(nt / dt / 1e9, 3),
                     "reads_per_s": round(n_reads / dt, 1),
                     "ms_per_batch": round(dt * 1e3 * stream_batch / n_reads, 1),
-                    "sunk_bytes": sunk[0],
+                    "sunk_bytes": sunk0,
                     "link_saturation": round(sat, 3),
+                    "runs": len(dts),
+                    "link_saturation_range": [
+                        round((nt / max(dts) / 2**20) / link_h2d_mib_s, 3),
+                        round((nt / min(dts) / 2**20) / link_h2d_mib_s, 3),
+                    ],
                     "stages": agg.get("stages", {}),
                     **{k: v for k, v in agg.items() if isinstance(v, (int, float))},
                 }
                 print(
                     f"{name:30s} {dt * 1e3:9.1f} ms   {results[name]:9.2f} "
                     f"GiB/s-nt  ({n_reads / dt:,.0f} reads/s, "
-                    f"link sat {sat:.0%})",
+                    f"link sat {sat:.0%}, median of {len(dts)})",
                     file=sys.stderr,
                 )
 
@@ -635,13 +673,21 @@ def main() -> int:
                     jax.device_put(w32_0, dec.sharded.batch_sharding)
                 )
             )
-            sunk = [0]
-            t0 = time.perf_counter()
-            agg = dec.run(
-                iter(entries),
-                sink=lambda n, s: sunk.__setitem__(0, sunk[0] + len(s)),
-            )
-            dt = time.perf_counter() - t0
+            reps_out = []
+            for _ in range(STREAM_REPS):
+                sunk = [0]
+                dec = rt.StreamingDecoder(
+                    batch_size=stream_batch, max_len=read_len
+                )
+                t0 = time.perf_counter()
+                agg = dec.run(
+                    iter(entries),
+                    sink=lambda n, s: sunk.__setitem__(0, sunk[0] + len(s)),
+                )
+                reps_out.append((time.perf_counter() - t0, agg, sunk[0]))
+            dt, agg, sunk0 = _median_rep(reps_out)
+            dts = [r[0] for r in reps_out]
+            sunk = [sunk0]
             nt = n_reads * read_len
             results["stream_decode_e2e"] = nt / dt / 2**30
             stream_stats["stream_decode_e2e"] = {
@@ -654,6 +700,11 @@ def main() -> int:
                 "link_saturation": round(
                     (nt / dt / 2**20) / link_h2d_mib_s, 3
                 ),
+                "runs": len(dts),
+                "link_saturation_range": [
+                    round((nt / max(dts) / 2**20) / link_h2d_mib_s, 3),
+                    round((nt / min(dts) / 2**20) / link_h2d_mib_s, 3),
+                ],
                 "stages": agg.get("stages", {}),
                 **{
                     k: v

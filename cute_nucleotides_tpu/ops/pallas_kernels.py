@@ -1199,7 +1199,9 @@ def _b5_dec_gather_fold_bf16():
     return np.asarray(g, dtype=jnp.bfloat16)
 
 
-def _decode_b5_inter_kernel_impl(x_ref, g_ref, s_ref, o_ref, b_ref=None):
+def _decode_b5_inter_kernel_impl(
+    x_ref, g_ref, s_ref, o_ref, b_ref=None, digits=False
+):
     """Interleaved u32[rb, 256] words -> padded nt4 u32[rb, 896].
 
     Two r03 VPU trims (same-process A/B +6.9%, tools/tune_dec_vpu.py):
@@ -1209,6 +1211,20 @@ def _decode_b5_inter_kernel_impl(x_ref, g_ref, s_ref, o_ref, b_ref=None):
     digit word is assembled LINEARLY — ``pd = v + 251·v5 + 64256·v25 +
     16449536·v125`` (what the sub/shift/or chain algebraically expands to;
     3 mul + 3 add for 9 sub/shift/or, exact in i32: max < 2^27).
+
+    The slice loop runs in TWO PHASES (r05): all 8 gather matmuls +
+    triplet->digit splits first, then all 8 scatter matmuls + output
+    assembly.  The r04 stage ablation showed the per-slice serial form
+    executed gather/scatter/chars back-to-back with no overlap; making
+    consecutive MXU gathers independent in the instruction stream lets
+    Mosaic run slice g+1's gather under slice g's VPU tail — measured
+    +11% chars / +17% digits at bench scale (tools/tune_dec_pipe.py,
+    234 -> 260 / 319 GiB/s with ``digits``).
+
+    ``digits=True`` emits the packed base-5 DIGIT word (4 digits per u32
+    lane, each byte 0..4) instead of ASCII — the device format for
+    digit-domain consumers (GC, k-mer extraction, translation), skipping
+    the SWAR char conversion entirely.
 
     With ``b_ref`` the kernel additionally flags stream corruption on the
     decode's own HBM read (the decode mirror of the fused checked encode):
@@ -1230,6 +1246,7 @@ def _decode_b5_inter_kernel_impl(x_ref, g_ref, s_ref, o_ref, b_ref=None):
     p2 = ((x >> 16) & m8).astype(jnp.int32).astype(jnp.bfloat16)
     p3 = (x >> 24).astype(jnp.int32).astype(jnp.bfloat16)
     bad = None
+    digs_all = []
     for g in range(B5_SLICES):
         planes = jnp.concatenate(
             [
@@ -1245,19 +1262,23 @@ def _decode_b5_inter_kernel_impl(x_ref, g_ref, s_ref, o_ref, b_ref=None):
             bad = badt if bad is None else (bad | badt)
         q5 = (t * 205) >> 10
         q25 = (t * 41) >> 10
-        digs = jnp.concatenate(
-            [t - 5 * q5, q5 - 5 * q25, q25], axis=1
-        ).astype(jnp.int8)
+        digs_all.append(
+            jnp.concatenate([t - 5 * q5, q5 - 5 * q25, q25], axis=1).astype(
+                jnp.int8
+            )
+        )
+    for g in range(B5_SLICES):
         # quad scatter: one base-5 value per nt4 lane (half the MACs of the
         # half-pair form); the VPU splits v = d0 + 5d1 + 25d2 + 125d3 back
         # with the exact multiply-shift chain (v <= 624 < the 1024 bound)
-        v = jnp.dot(digs, s_ref[:], preferred_element_type=jnp.int32)
+        v = jnp.dot(digs_all[g], s_ref[:], preferred_element_type=jnp.int32)
         v5 = (v * 205) >> 10
         v25 = (v * 41) >> 10
         v125 = (v25 * 205) >> 10
         pd = (v + 251 * v5 + 64256 * v25 + 16449536 * v125).astype(jnp.uint32)
-        o_ref[:, 112 * g : 112 * (g + 1)] = _swar_digits_to_chars(
-            jax.lax.slice(pd, (0, 0), (rb, 112))
+        pd = jax.lax.slice(pd, (0, 0), (rb, 112))
+        o_ref[:, 112 * g : 112 * (g + 1)] = (
+            pd if digits else _swar_digits_to_chars(pd)
         )
     if b_ref is not None:
         odd = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) & 1
@@ -1274,6 +1295,10 @@ def _decode_b5_inter_kernel(x_ref, g_ref, s_ref, o_ref):
 
 def _decode_b5_inter_checked_kernel(x_ref, g_ref, s_ref, o_ref, b_ref):
     _decode_b5_inter_kernel_impl(x_ref, g_ref, s_ref, o_ref, b_ref)
+
+
+def _decode_b5_inter_digits_kernel(x_ref, g_ref, s_ref, o_ref):
+    _decode_b5_inter_kernel_impl(x_ref, g_ref, s_ref, o_ref, digits=True)
 
 
 def decode_b5_interleaved_panels(
@@ -1310,8 +1335,42 @@ def decode_b5_interleaved_panels_checked(
     )
 
 
+def decode_b5_digits_panels(
+    words: jax.Array, *, interpret: bool = False, row_block: int = 512
+) -> jax.Array:
+    """Decode interleaved u32[R, 256] word panels -> padded base-5 DIGIT
+    nt4 panels u32[R, 896] (4 digit bytes per lane, each byte 0..4).
+
+    The digit-domain device format (r05): identical layout to
+    :func:`decode_b5_interleaved_panels` but each byte holds the base-5
+    digit (A=0 C=1 T=2 G=3 N=4, the ``spec.DIG_TO_CHAR_B5`` order) instead of
+    its ASCII char.  Skipping the SWAR char conversion and its register
+    pressure runs at 319 GiB/s vs the char form's 260 (bench-scale A/B,
+    tools/tune_dec_pipe.py) — digit consumers (GC, composition, k-mer /
+    translation pipelines) should take this and convert only at the
+    boundary (:func:`digit_panels_to_chars`, one XLA elementwise pass).
+    Matches the reference's decode slot `bits_to_n2_pdep`
+    (reference src/n_to_bits2.rs:196-268) one representation earlier.
+    """
+    return _decode_b5_inter_call(
+        words, checked=False, interpret=interpret, row_block=row_block,
+        digits=True,
+    )
+
+
+def digit_panels_to_chars(panels: jax.Array) -> jax.Array:
+    """Packed base-5 digit panels (u32, any shape) -> packed ASCII panels.
+
+    The boundary conversion for :func:`decode_b5_digits_panels` output —
+    one elementwise XLA pass (the same byte-parallel mapping the char
+    decode kernel fuses); layouts and padding are preserved.
+    """
+    return _swar_digits_to_chars(panels)
+
+
 def _decode_b5_inter_call(
-    words: jax.Array, *, checked: bool, interpret: bool, row_block: int
+    words: jax.Array, *, checked: bool, interpret: bool, row_block: int,
+    digits: bool = False,
 ):
     if words.dtype != jnp.uint32 or words.ndim != 2 or words.shape[1] != 2 * B5_ROW_WORDS:
         raise TypeError(f"expected u32[R, {2 * B5_ROW_WORDS}], got {words.dtype}{words.shape}")
@@ -1334,6 +1393,9 @@ def _decode_b5_inter_call(
             pl.BlockSpec((rb, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ]
         out_shape = [panels_shape, jax.ShapeDtypeStruct((R, 128), jnp.uint32)]
+    elif digits:
+        kernel = _decode_b5_inter_digits_kernel
+        out_specs, out_shape = panels_spec, panels_shape
     else:
         kernel = _decode_b5_inter_kernel
         out_specs, out_shape = panels_spec, panels_shape

@@ -137,6 +137,28 @@ def test_decode_b5_interleaved_matches_oracle(rng):
     assert np.array_equal(got, want)
 
 
+def test_decode_b5_digits_matches_char_decode(rng):
+    """The digit-domain device format (r05): same panel layout as the char
+    decode, bytes are base-5 digits; digit_panels_to_chars is the exact
+    boundary conversion back to the char panels."""
+    from cute_nucleotides_tpu.ops import spec
+
+    s = rng.choice(ALPHABET, size=2 * pk.B5_ROW_NT)
+    words = oracle.n_to_bits2_lut(s)
+    inter = np.ascontiguousarray(words).view("<u4").reshape(2, 256)
+    digs = pk.decode_b5_digits_panels(jnp.asarray(inter), interpret=True)
+    chars = np.asarray(
+        pk.decode_b5_interleaved_panels(jnp.asarray(inter), interpret=True)
+    )
+    # digit bytes map through DIG_TO_CHAR_B5 to the char decode's bytes
+    db = np.ascontiguousarray(np.asarray(digs)).view(np.uint8)
+    cb = np.ascontiguousarray(chars).view(np.uint8)
+    assert db.max() <= 4
+    assert np.array_equal(spec.DIG_TO_CHAR_B5[db], cb)
+    # and the fused conversion is bit-exact to the char kernel
+    assert np.array_equal(np.asarray(pk.digit_panels_to_chars(digs)), chars)
+
+
 def test_encode_b5_checked_parity_and_flags(rng):
     import jax.numpy as jnp
     R = 16

@@ -29,5 +29,5 @@ run vpu_peak python tools/vpu_peak.py
 # Fresh full-scale bench of the committed kernels (durable numbers even if
 # the relay drops again); the repo-tree BENCH_DETAIL.json is refreshed by a
 # default-path run, partial runs go to /tmp automatically.
-TMO=2400 run bench_full python bench.py
+TMO=3600 run bench_full python bench.py
 echo "ALL-DONE $(date +%H:%M:%S)" >> "$L/status.txt"
