@@ -928,8 +928,15 @@ def kmer_counts(
             [jnp.ones(1, bool), lo_s[1:] != lo_s[:-1]]
         )
     else:
+        from . import sort as sort_lib
+
         hi = jnp.where(invalid, _SENTINEL, hi2d).reshape(-1)
-        hi_s, lo_s = jax.lax.sort((hi, lo), num_keys=2)
+        # the platform sort IS the device sort rate: a full
+        # layout-switching bitonic (ops/sort.py) measured 5% SLOWER than
+        # lax.sort at counting scale (r05 hardware A/B), so sort_pairs
+        # defaults to lax.sort — the measured proof behind this row's
+        # `bound: sort` tag
+        hi_s, lo_s = sort_lib.sort_pairs(hi, lo)
         sent = hi_s == _SENTINEL
         is_new = jnp.concatenate(
             [
