@@ -161,42 +161,71 @@ def _match_bits_kernel(q: tuple, care: tuple, n: int | None):
     per-(phase, word) form compiled to identical code (Mosaic CSEs the
     funnels — measured equal at 97.0/24.5 GiB/s), so the sharing is for
     source clarity, not speed.
+
+    Multi-word queries take an **anchor-word prefilter** (r05): the full
+    16-phase bitmask is computed for the highest-information query word
+    alone (a single-word scan), and the remaining words' folds run ONLY
+    when the block holds at least one anchor candidate (``pl.when``) —
+    anchor hits are ~|stream| * 4^-16-sparse on non-repetitive data, so
+    long-query scans run at single-word speed regardless of length
+    (hardware A/B tools/tune_search_rot.py: 45 nt 24.0 -> 81.7 GiB/s,
+    141 nt 10.2 -> 81.1; the dense worst case — poly-A query on a
+    poly-A stream, every block verifying — measured 42.5 vs the old
+    24.2, i.e. the prefilter never loses).  Single-word queries keep
+    the direct fold (the prefilter's skeleton alone costs ~14% there).
     """
     from jax.experimental import pallas as pl
 
     wq_n = len(q)
+    anchor = max(range(wq_n), key=lambda w: bin(care[w]).count("1"))
 
     def kernel(b_ref, h_ref, o_ref):
         rb, W = o_ref.shape
         x = jnp.concatenate([b_ref[:], h_ref[:]], axis=1)
-        bits = jnp.zeros((rb, W), jnp.uint32)
-        for s in range(spec.NT_PER_U32_2BIT):
-            if s:
-                lo = jax.lax.slice(x, (0, 0), (rb, W + wq_n))
-                hi = jax.lax.slice(x, (0, 1), (rb, W + wq_n + 1))
-                win = (lo >> (2 * s)) | (hi << (32 - 2 * s))
-            else:
-                win = jax.lax.slice(x, (0, 0), (rb, W + wq_n))
-            diff = None
-            for wq in range(wq_n):
-                d = (
-                    jax.lax.slice(win, (0, wq), (rb, wq + W))
-                    ^ jnp.uint32(q[wq])
-                ) & jnp.uint32(care[wq])
-                diff = d if diff is None else diff | d
-            bits = bits | jnp.where(
-                diff == 0, jnp.uint32(1 << s), jnp.uint32(0)
-            )
-        if n is not None:
+
+        def fold(words):
+            bits = jnp.zeros((rb, W), jnp.uint32)
+            for s in range(spec.NT_PER_U32_2BIT):
+                if s:
+                    lo = jax.lax.slice(x, (0, 0), (rb, W + wq_n))
+                    hi = jax.lax.slice(x, (0, 1), (rb, W + wq_n + 1))
+                    win = (lo >> (2 * s)) | (hi << (32 - 2 * s))
+                else:
+                    win = jax.lax.slice(x, (0, 0), (rb, W + wq_n))
+                diff = None
+                for wq in words:
+                    d = (
+                        jax.lax.slice(win, (0, wq), (rb, wq + W))
+                        ^ jnp.uint32(q[wq])
+                    ) & jnp.uint32(care[wq])
+                    diff = d if diff is None else diff | d
+                bits = bits | jnp.where(
+                    diff == 0, jnp.uint32(1 << s), jnp.uint32(0)
+                )
+            return bits
+
+        def clear_tail(bits, row0):
+            if n is None:
+                return bits
             # clear starts past n - 1: lane (r, w) covers [16*(r*W+w), +16)
-            row0 = pl.program_id(0) * rb
             lane_base = 16 * (
                 (row0 + jax.lax.broadcasted_iota(jnp.int32, (rb, W), 0)) * W
                 + jax.lax.broadcasted_iota(jnp.int32, (rb, W), 1)
             )
             v = jnp.clip(n - lane_base, 0, 16).astype(jnp.uint32)
-            bits = bits & ((jnp.uint32(1) << v) - 1)
-        o_ref[:] = bits
+            return bits & ((jnp.uint32(1) << v) - 1)
+
+        row0 = pl.program_id(0) * rb
+        if wq_n == 1:
+            o_ref[:] = clear_tail(fold([0]), row0)
+            return
+        bits0 = fold([anchor])
+        o_ref[:] = jnp.zeros((rb, W), jnp.uint32)
+
+        @pl.when(jnp.any(bits0 != 0))
+        def _():
+            rest = [w for w in range(wq_n) if w != anchor]
+            o_ref[:] = clear_tail(bits0 & fold(rest), row0)
 
     return kernel
 
