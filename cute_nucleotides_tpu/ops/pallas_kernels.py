@@ -59,8 +59,14 @@ VMEM_BUDGET = 3 * 1024 * 1024
 
 #: the 2-bit encoder reads wide (4 B/lane) and writes narrow (1 B/lane), so
 #: a larger block amortizes grid/DMA overhead without hitting the scoped
-#: limit — measured +18% (531 -> 627 GiB/s at C=2048) at a 512-row block;
-#: the write-heavy decoder REGRESSES past 256 rows, so only encode uses this
+#: limit — measured +18% (531 -> 627 GiB/s at C=2048) at a 512-row block.
+#: The write-heavy decoder stays at 256 rows: its 4 B/lane OUTPUT block
+#: plus SWAR temporaries overflow the 16 MiB scoped VMEM at 512 rows
+#: (hard compile OOM, 18 > 16 MiB — r05 ablation tools/tune_dec2_rows.py),
+#: and the r05 STORE ablation shows nothing to gain anyway: a pure
+#: 1B->4B widen-store kernel measures 478-482 GiB/s across every feasible
+#: tiling, so the shipped decoder (478) already sits at the write-path
+#: bound (see docs/DESIGN.md "decode_2bit is write-path-bound").
 ENC_VMEM_BUDGET = 6 * 1024 * 1024
 
 
