@@ -63,6 +63,34 @@ def synth_records(
         i += m
 
 
+def _collective_probe(reps: int = 20) -> dict:
+    """Measured cross-process collective cost on the live pod/mesh: one
+    barrier-synced timing of a tiny all_gather (latency) and a 4 MiB
+    all_gather (bandwidth), in seconds per op.
+
+    The streaming pipeline itself is collective-free across hosts (records
+    are host-sharded), so this probe is the *attribution* term the scaling
+    artifact needs: it bounds what a pod-wide merge (sketch union, stats
+    psum) would add per batch, and separates 'collective overhead' from
+    'host contention' in POD_SCALING.json — on the CPU-mesh harness the
+    two are otherwise conflated in the efficiency number.
+    """
+    import time
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    out = {}
+    for name, n in (("latency_small", 64), ("gather_4MiB", 1 << 20)):
+        local = np.ones(n, np.float32)
+        multihost_utils.process_allgather(local)  # warmup + barrier
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            multihost_utils.process_allgather(local)
+        out[f"{name}_s_per_op"] = round((time.perf_counter() - t0) / reps, 6)
+    return out
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--reads", type=int, default=100_000)
@@ -112,6 +140,8 @@ def main(argv=None) -> int:
             nprocs=info["process_count"],
         )
     )
+    if info["process_count"] > 1:
+        agg["collective"] = _collective_probe()
     agg["event"] = "host_aggregate"
     print(json.dumps(agg))
 

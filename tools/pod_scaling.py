@@ -80,6 +80,18 @@ def _host_aggregate(stdout: str) -> dict:
     raise RuntimeError(f"no host_aggregate line in: {stdout[-500:]}")
 
 
+def _stage_per_kread(agg: dict) -> dict:
+    """Per-1000-reads seconds for each pipeline stage of one host run —
+    the unit that makes H=1 and H=N runs directly comparable (they
+    process different read counts)."""
+    reads = max(agg.get("total_reads", 1), 1)
+    return {
+        k: 1000.0 * v / reads
+        for k, v in agg.get("stages", {}).items()
+        if k != "wall_s"
+    }
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--reads", type=int, default=20_000)
@@ -87,8 +99,13 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--codec", choices=["2bit", "base5"], default="2bit")
     p.add_argument("--trials", type=int, default=3)
+    p.add_argument(
+        "--hosts", type=int, default=2,
+        help="number of coordinated jax.distributed processes (N >= 2)",
+    )
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
+    H = max(args.hosts, 2)
 
     # H=1: best of `trials` (single-host rate is the efficiency denominator;
     # taking its max biases the efficiency DOWN — the conservative side)
@@ -101,54 +118,87 @@ def main(argv=None) -> int:
             return 1
         single.append(_host_aggregate(out))
     single_rps = max(s["reads_per_s"] for s in single)
+    single_best = max(single, key=lambda s: s["reads_per_s"])
 
-    # H=2: one coordinated run per trial; pod rate = total reads over the
+    # H=N: one coordinated run per trial; pod rate = total reads over the
     # slower host's wall clock (NOT the sum of per-host rates, which would
     # overcount when hosts finish at different times)
     pod_trials = []
     for _ in range(args.trials):
         coord = f"localhost:{_free_port()}"
-        procs = [_run_host(args, i, coord, 2) for i in range(2)]
-        outs = [pr.communicate(timeout=1200) for pr in procs]
+        procs = [_run_host(args, i, coord, H) for i in range(H)]
+        outs = [pr.communicate(timeout=1800) for pr in procs]
         for pr, (o, e) in zip(procs, outs):
             if pr.returncode != 0:
                 print(e[-2000:], file=sys.stderr)
                 return 1
         aggs = [_host_aggregate(o) for o, _ in outs]
         total = sum(a["total_reads"] for a in aggs)
-        # pod rate = total reads over the SLOWER host's own pipeline
+        # pod rate = total reads over the SLOWEST host's own pipeline
         # seconds (the hosts stream concurrently; interpreter/init startup
         # is excluded on both sides, matching the H=1 denominator)
         slow = max(a["seconds"] for a in aggs)
         pod_trials.append(
             {"pod_reads_per_s": total / slow, "slow_host_s": slow, "hosts": aggs}
         )
-    pod_rps = max(t["pod_reads_per_s"] for t in pod_trials)
+    best_pod = max(pod_trials, key=lambda t: t["pod_reads_per_s"])
+    pod_rps = best_pod["pod_reads_per_s"]
 
     # metrics.scaling_efficiency inline (the orchestrator runs without
     # PYTHONPATH; the workers import the package normally)
-    eff = pod_rps / (2 * single_rps) if single_rps > 0 else 0.0
+    eff = pod_rps / (H * single_rps) if single_rps > 0 else 0.0
     cores = os.cpu_count() or 1
     # on a shared box the raw vs-linear number is bounded by core
-    # timesharing (0.5 on 1 core even for a perfect runtime); the
+    # timesharing (1/H on 1 core even for a perfect runtime); the
     # core-normalized ratio — pod aggregate rate over the single-host rate
     # on the SAME cores — isolates the runtime/collective overhead the
     # CPU-mesh harness can actually observe (ideal = 1.0)
-    eff_norm = pod_rps / (single_rps * min(2, cores)) \
+    eff_norm = pod_rps / (single_rps * min(H, cores)) \
         if single_rps > 0 else 0.0
+
+    # attribution: per-1000-read stage seconds, H=1 vs the H=N mean, plus
+    # the measured cross-process collective probe.  The pipeline itself is
+    # collective-free across hosts, so any efficiency shortfall must show
+    # up as *inflated host stages* (core/GIL contention on a shared box);
+    # the probe bounds what an actual pod-wide merge would add on top.
+    s1 = _stage_per_kread(single_best)
+    sN_hosts = [_stage_per_kread(a) for a in best_pod["hosts"]]
+    sN = {
+        k: sum(h.get(k, 0.0) for h in sN_hosts) / len(sN_hosts) for k in s1
+    }
+    collectives = [
+        a.get("collective") for a in best_pod["hosts"] if a.get("collective")
+    ]
+    attribution = {
+        "stage_s_per_kread_h1": {k: round(v, 4) for k, v in s1.items()},
+        f"stage_s_per_kread_h{H}_mean": {
+            k: round(v, 4) for k, v in sN.items()
+        },
+        "stage_inflation": {
+            k: round(sN[k] / s1[k], 2) if s1[k] > 1e-9 else None
+            for k in s1
+        },
+        "collective_probe": collectives[0] if collectives else None,
+        "note": "the stream is collective-free across hosts; shortfall "
+        "from 1.0 appears as inflated host stages (shared-core "
+        "contention), while collective_probe bounds the per-op cost a "
+        "pod-wide merge would add",
+    }
     art = {
         "backend": "cpu-mesh",
-        "caveat": "2 jax.distributed CPU processes on one machine "
+        "caveat": f"{H} jax.distributed CPU processes on one machine "
         "(cores shared): exercises the runtime/collective mechanics of "
         "BASELINE.md's scaling claim, not pod silicon",
         "cores": cores,
+        "hosts": H,
         "codec": args.codec,
         "reads": args.reads,
         "read_len": args.read_len,
         "single_host_reads_per_s": round(single_rps, 1),
-        "pod_reads_per_s_h2": round(pod_rps, 1),
-        "scaling_efficiency_h2_vs_linear": round(eff, 4),
-        "scaling_efficiency_h2_core_normalized": round(eff_norm, 4),
+        f"pod_reads_per_s_h{H}": round(pod_rps, 1),
+        f"scaling_efficiency_h{H}_vs_linear": round(eff, 4),
+        f"scaling_efficiency_h{H}_core_normalized": round(eff_norm, 4),
+        "attribution": attribution,
         "trials": args.trials,
     }
     out_path = args.out or os.path.join(
