@@ -1039,7 +1039,11 @@ def _encode_b5_panels_call(x: jax.Array, checked: bool, interpret: bool):
         raise TypeError(f"expected u8[R, {B5_ROW_NT}], got {x.dtype}{x.shape}")
     interpret = _auto_interpret(interpret)
     R = x.shape[0]
-    rb = _row_block8(R)
+    # 512-row blocks amortize grid overhead: +2% measured at bench scale
+    # (r05 A/B tools/tune_enc_pipe.py; a two-phase dot hoist added
+    # nothing on top — only 2 g-chunks to overlap).  The checked variant
+    # keeps 256: its validity mask adds block-sized temporaries.
+    rb = _row_block8(R, 256 if checked else 512)
     m = _b5_enc_mat_inter()
     words_spec = pl.BlockSpec(
         (rb, B5_ROW_U32), lambda i: (i, 0), memory_space=pltpu.VMEM
