@@ -5,8 +5,9 @@
 # appends per-step exit codes to /tmp/hw_session/status.txt.
 #
 # One-off tuning A/Bs (tools/tune_*.py) are appended here when pending;
-# the r03 batch (dec_scatter/enc_checked/enc2/dec2/sketch/align) has run —
-# winners are committed, so they are out of the default queue.
+# the r03 batch (dec_scatter/enc_checked/enc2/dec2/sketch/align) and the
+# r05 batch (dec_pipe/dec2_rows/search_rot/sort/enc_pipe + probe_mosaic)
+# have run — winners are committed, so they are out of the default queue.
 cd /root/repo || exit 1
 export PYTHONPATH=/root/repo:/root/.axon_site
 L=/tmp/hw_session
