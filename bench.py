@@ -968,6 +968,23 @@ def main() -> int:
             R(5 * wb5_flat.size, 2 * wb5_flat.size,
               bf16_macs=b5s_rows * pk.b5_kernel_macs("search_inter")[1]),
         )
+        # long-query scaling: 45 nt rides the r05 anchor-tap prefilter
+        q45_b5 = bytes(
+            rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=45)
+        )
+        run(
+            "search_b5_45nt",
+            chained(
+                lambda w: search.match_bits_b5(
+                    w, (wb5_flat.size // 2) * 27, q45_b5
+                )
+            ),
+            jnp.asarray(wb5_flat),
+            4 * wb5_flat.size,
+            R(5 * wb5_flat.size, 2 * wb5_flat.size,
+              bf16_macs=b5s_rows * pk.b5_kernel_macs("search_inter")[1]),
+            bound_override="vpu",
+        )
         # routes to the Pallas kernel (MXU gather-fold triplet extraction);
         # roofline carries its dense bf16 MACs + audited VPU lane-ops
         gc_rows = -(-wb5_flat.size // (2 * pk.B5_ROW_WORDS))

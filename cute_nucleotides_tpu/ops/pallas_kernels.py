@@ -1830,39 +1830,89 @@ def _match_b5_kernel(qc: tuple, n: int | None = None):
                 )
         t8 = [jnp.concatenate(cols, axis=1) for cols in groups]
         W = B5_SEARCH_WORDS
-        bits = jnp.zeros((rb, W), jnp.uint32)
-        for j in range(9):
-            for phase in range(3):
-                q8, care8 = qc[phase]
-                diff = None
-                for i, (qv, cv) in enumerate(zip(q8, care8)):
-                    if not cv:
-                        continue
-                    jj, off = (j + i) % 9, (j + i) // 9
-                    d = (
-                        jax.lax.slice(t8[jj], (0, off), (rb, off + W))
-                        ^ jnp.uint32(qv)
-                    ) & jnp.uint32(cv)
-                    diff = d if diff is None else diff | d
-                hit = (
-                    jnp.ones((rb, W), jnp.uint32)
-                    if diff is None
-                    else (diff == 0).astype(jnp.uint32)
-                )
-                bits = bits | (hit << (3 * j + phase))
-        if n is not None:
+
+        def fold(tap_sel):
+            """OR-fold the selected taps of every (j, phase) combo:
+            ``tap_sel(phase) -> iterable of tap indices``."""
+            bits = jnp.zeros((rb, W), jnp.uint32)
+            for j in range(9):
+                for phase in range(3):
+                    q8, care8 = qc[phase]
+                    diff = None
+                    for i in tap_sel(phase):
+                        qv, cv = q8[i], care8[i]
+                        if not cv:
+                            continue
+                        jj, off = (j + i) % 9, (j + i) // 9
+                        d = (
+                            jax.lax.slice(t8[jj], (0, off), (rb, off + W))
+                            ^ jnp.uint32(qv)
+                        ) & jnp.uint32(cv)
+                        diff = d if diff is None else diff | d
+                    hit = (
+                        jnp.ones((rb, W), jnp.uint32)
+                        if diff is None
+                        else (diff == 0).astype(jnp.uint32)
+                    )
+                    bits = bits | (hit << (3 * j + phase))
+            return bits
+
+        def clear_tail(bits, row0):
+            if n is None:
+                return bits
             # clear starts past n - 1: bit b of lane (r, w) is position
             # 27 * (W * (row0 + r) + w) + b
-            row0 = pl.program_id(0) * rb
             lane_base = 27 * (
                 (row0 + jax.lax.broadcasted_iota(jnp.int32, (rb, W), 0)) * W
                 + jax.lax.broadcasted_iota(jnp.int32, (rb, W), 1)
             )
             v = jnp.clip(n - lane_base, 0, 27).astype(jnp.uint32)
-            bits = bits & ((jnp.uint32(1) << v) - 1)
-        o_ref[:] = bits
+            return bits & ((jnp.uint32(1) << v) - 1)
+
+        row0 = pl.program_id(0) * rb
+        # long queries take the 2-bit scan's r05 anchor prefilter, base-5
+        # style: per phase, the _B5_ANCHOR_TAPS highest-popcount(care8)
+        # taps fold first (~12 nt of constraint -> candidates are
+        # ~4^-12-sparse per position on non-repetitive data); the
+        # remaining taps fold only in blocks holding a candidate
+        anchors = _b5_anchor_taps(qc)
+        if anchors is None:
+            o_ref[:] = clear_tail(fold(lambda p: range(len(qc[p][0]))), row0)
+            return
+        bits0 = fold(lambda p: anchors[p])
+        o_ref[:] = jnp.zeros((rb, W), jnp.uint32)
+
+        @pl.when(jnp.any(bits0 != 0))
+        def _():
+            rest = [
+                [i for i in range(len(qc[p][0])) if i not in anchors[p]]
+                for p in range(3)
+            ]
+            o_ref[:] = clear_tail(bits0 & fold(lambda p: rest[p]), row0)
 
     return kernel
+
+
+#: anchor taps per phase for the base-5 prefilter (~4 triplets = 12 nt)
+_B5_ANCHOR_TAPS = 4
+
+
+def _b5_anchor_taps(qc: tuple) -> tuple | None:
+    """Per-phase anchor tap indices for the prefilter, or None when the
+    query is short enough that a split would cost more than it saves
+    (every phase's non-anchor remainder must be substantial)."""
+    taps = []
+    for q8, care8 in qc:
+        order = sorted(
+            range(len(care8)),
+            key=lambda i: bin(care8[i]).count("1"),
+            reverse=True,
+        )
+        taps.append(frozenset(order[:_B5_ANCHOR_TAPS]))
+    min_rest = min(len(qc[p][0]) - len(taps[p]) for p in range(3))
+    if min_rest < _B5_ANCHOR_TAPS:
+        return None
+    return tuple(taps)
 
 
 def match_b5_bits_panels(
