@@ -1382,6 +1382,12 @@ def _decode_b5_inter_call(
     words: jax.Array, *, checked: bool, interpret: bool, row_block: int,
     digits: bool = False,
 ):
+    if checked and digits:
+        raise ValueError(
+            "checked digit-domain decode is not implemented: the checked "
+            "kernel emits char panels (use decode_b5_interleaved_panels_"
+            "checked, or decode_b5_digits_panels without the fused check)"
+        )
     if words.dtype != jnp.uint32 or words.ndim != 2 or words.shape[1] != 2 * B5_ROW_WORDS:
         raise TypeError(f"expected u32[R, {2 * B5_ROW_WORDS}], got {words.dtype}{words.shape}")
     interpret = _auto_interpret(interpret)

@@ -176,17 +176,10 @@ def _strip_call(kernel, hi, lo, Lb: int, interpret: bool):
     )(hi, lo)
 
 
-def _auto_interpret(interpret: bool) -> bool:
-    if interpret:
-        return True
-    try:
-        return jax.default_backend() == "cpu"
-    except Exception:  # pragma: no cover
-        return False
-
-
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _sort_pairs_bitonic(hi, lo, *, interpret: bool = False):
+    from .pallas_kernels import _auto_interpret
+
     interpret = _auto_interpret(interpret)
     n0 = hi.size
     log_n = max((n0 - 1).bit_length(), BITONIC_COLS.bit_length())
@@ -216,8 +209,9 @@ def _sort_pairs_bitonic(hi, lo, *, interpret: bool = False):
     lx = jnp.where(odd[:, None], lx[:, ::-1], lx)
     # strip widths: full-height (rows, Lb) in+out blocks, aliased.  TPU
     # lowering requires the lane block be a multiple of 128 OR the full
-    # lane count; rows are capped at 4096 above so (4096, 128) strips
-    # (2 keys in + 2 out, ~8 MiB buffered) fit the ~16 MiB VMEM
+    # lane count; rows are capped at 2048 above so (2048, 128) strips
+    # plus the stage-loop temporaries stay inside the raised scoped-VMEM
+    # budget (4096-row strips measured OVER even with the raise)
     Lb = C if C <= 128 else 128
     Lb2 = R if R <= 128 else 128
     for q in range(log_c + 1, log_n + 1):
@@ -254,6 +248,8 @@ def sort_pairs(
     kept as the measured-proof artifact and for schedules where the
     grid-parallel form composes better.
     """
+    if prefer not in ("lax", "bitonic"):
+        raise ValueError(f"prefer must be 'lax' or 'bitonic', got {prefer!r}")
     if hi.shape != lo.shape:
         raise TypeError(f"key shapes differ: {hi.shape} vs {lo.shape}")
     if hi.dtype != jnp.uint32 or lo.dtype != jnp.uint32:

@@ -190,10 +190,6 @@ class BatchStream:
             nonlocal emitted
             n = len(seqs)
             lens = np.fromiter((len(s) for s in seqs), np.int64, n)
-            if n and int(lens.max()) > L and not self.truncate:
-                raise ValueError(
-                    f"read of length {int(lens.max())} exceeds max_len {L}"
-                )
             buf = np.frombuffer(b"".join(seqs), np.uint8)
             starts = np.zeros(n, np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
@@ -208,6 +204,13 @@ class BatchStream:
 
         for item in self._records:
             idx, rec = item if isinstance(item, tuple) else (-1, item)
+            # validate per record (not at batch assembly) so the error
+            # fires before further records are consumed from the caller's
+            # iterator, and skipped batches (manifest resume) still check
+            if len(rec.seq) > L and not self.truncate:
+                raise ValueError(
+                    f"read of length {len(rec.seq)} exceeds max_len {L}"
+                )
             seqs.append(rec.seq)
             idxs.append(idx)
             if len(seqs) == B:
