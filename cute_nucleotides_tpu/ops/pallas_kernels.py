@@ -1992,6 +1992,13 @@ def match_b5_bits_rows(
         ),
         out_shape=jax.ShapeDtypeStruct((R, B5_SEARCH_WORDS), jnp.uint32),
         interpret=interpret,
+        # the r05 prefilter keeps bits0 live across the pl.when branch,
+        # which tipped the default 16 MiB scoped-vmem stack by ~312 KiB
+        # at bench scale (same class of nondeterministic demand as the
+        # rb=64 note above); raise the budget as ops/sort.py does
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
     )(base, halo, we, wo)
 
 
