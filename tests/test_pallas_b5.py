@@ -157,6 +157,15 @@ def test_decode_b5_digits_matches_char_decode(rng):
     assert np.array_equal(spec.DIG_TO_CHAR_B5[db], cb)
     # and the fused conversion is bit-exact to the char kernel
     assert np.array_equal(np.asarray(pk.digit_panels_to_chars(digs)), chars)
+    # the unimplemented checked+digits combination is rejected, not
+    # silently served char panels (r05 review guard)
+    import pytest
+
+    with pytest.raises(ValueError, match="digit-domain"):
+        pk._decode_b5_inter_call(
+            jnp.asarray(inter), checked=True, interpret=True,
+            row_block=8, digits=True,
+        )
 
 
 def test_encode_b5_checked_parity_and_flags(rng):

@@ -76,3 +76,8 @@ def test_sort_pairs_rejects_bad_dtypes():
         )
     with pytest.raises(TypeError):
         sort.sort_pairs(jnp.zeros(8, jnp.uint32), jnp.zeros(9, jnp.uint32))
+    with pytest.raises(ValueError, match="prefer"):
+        sort.sort_pairs(
+            jnp.zeros(8, jnp.uint32), jnp.zeros(8, jnp.uint32),
+            prefer="bionic",
+        )

@@ -74,6 +74,22 @@ def test_batch_stream_too_long():
         list(io.BatchStream(recs, batch_size=1, max_len=32))
     b = next(iter(io.BatchStream(recs, batch_size=1, max_len=32, truncate=True)))
     assert b.lengths[0] == 32
+    # the raise fires BEFORE further records are consumed from the
+    # caller's iterator (r05 review: batch-assembly-time validation lost
+    # up to batch_size-1 records) and inside skipped batches too
+    it = iter([io.Record(b"", b"A" * 100), io.Record(b"", b"ACGT")])
+    with pytest.raises(ValueError, match="exceeds max_len"):
+        next(iter(io.BatchStream(it, batch_size=8, max_len=32)))
+    assert next(it).seq == b"ACGT"  # second record untouched
+    with pytest.raises(ValueError, match="exceeds max_len"):
+        list(
+            io.BatchStream(
+                [io.Record(b"", b"A" * 100)] * 4,
+                batch_size=2,
+                max_len=32,
+                skip=5,
+            )
+        )
 
 
 # --- checkpoint manifest ----------------------------------------------------
