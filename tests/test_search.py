@@ -304,6 +304,35 @@ def test_match_bits_b5_matches_mask(rng):
         assert np.array_equal(got, mask), (L, query)
 
 
+def test_match_bits_prefilter_fuzz(rng):
+    """Randomized long-query fuzz of the r05 anchor prefilter (2-bit
+    kernel tier vs the XLA mask tier): random lengths across the
+    single/multi-word and prefilter boundaries, random N-wildcards,
+    planted hits (so the pl.when verify branch runs), and a
+    high-duplication stream (dense anchor candidates)."""
+    alpha2 = np.frombuffer(b"ACGT", np.uint8)
+    for trial in range(6):
+        L = int(rng.integers(4000, 30000))
+        dense = trial == 5
+        seq = np.asarray(
+            rng.choice(alpha2[:2] if dense else alpha2, L)
+        )
+        m = int(rng.integers(2, 200))
+        q = bytearray(rng.choice(alpha2, m).tobytes())
+        for i in sorted(rng.choice(m, size=min(m // 5, 8), replace=False)):
+            q[i] = ord("N")
+        q = bytes(q)
+        planted = np.frombuffer(q.replace(b"N", b"C"), np.uint8)
+        for p in (0, int(rng.integers(0, max(L - m, 1))), L - m):
+            if 0 <= p <= L - m:
+                seq[p : p + m] = planted
+        w = _enc(bytes(seq))
+        want = np.flatnonzero(np.asarray(search.match_mask(w, L, q)))
+        got = search.match_positions(w, L, q)
+        assert np.array_equal(got, want), (trial, L, m)
+        assert want.size >= 1  # the planted hit exercised the branch
+
+
 def test_match_b5_routing_parity(rng):
     """count/positions give identical answers on both sides of the kernel
     routing threshold (and the kernel tier is reachable above it)."""

@@ -388,6 +388,31 @@ def test_frac_prefilter_overflow_falls_back(rng):
     assert int(n_kept) == len(kept)
 
 
+def test_prefilter_density_sweep_fuzz(rng):
+    """Randomized density sweep of the r05 prefilter: hash distributions
+    from uniform (fast path) through clustered-low (overflow-ish) to
+    few-distinct (underflow fallback) must all equal the naive oracle."""
+    n = sketch._PREFILTER_MIN + 777
+    for trial, s_sz in enumerate((32, 100, 500)):
+        kind = trial % 3
+        if kind == 0:
+            h = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+        elif kind == 1:
+            # clustered low values: many survivors per 128-row
+            h = rng.integers(0, 50000, n, dtype=np.uint64).astype(np.uint32)
+        else:
+            # few distinct values, mixed magnitudes
+            vals = rng.integers(0, 2**32, 60, dtype=np.uint64).astype(
+                np.uint32
+            )
+            h = vals[rng.integers(0, 60, n)]
+        got = np.asarray(sketch._bottom_s_distinct(jnp.asarray(h), s_sz))
+        assert got.tolist() == _naive_bottom_s(h.tolist(), s_sz), (
+            trial,
+            s_sz,
+        )
+
+
 def test_jaccard_matrix_matches_pairwise(rng):
     k, s_sz, D = 9, 128, 4
     seqs = [
