@@ -70,7 +70,11 @@ def _jit_shard_encode(codec: str, mesh: Mesh, gather: bool):
     axis = mesh_lib.SEQ_AXIS
     from . import data_parallel
 
-    fn = data_parallel._encode_fn(codec, "mul", "auto")
+    from ..models import default_encode_variant
+
+    # per-tier benched champion (r05 review: hardcoded "mul" ran the XLA
+    # tier ~4x below its own "dot" champion)
+    fn = data_parallel._encode_fn(codec, default_encode_variant("auto"), "auto")
 
     def per_shard(x):  # x: u8[1, Lmax] on each device
         out = fn(x)
@@ -142,7 +146,9 @@ def _jit_shard_decode(codec: str, mesh: Mesh):
     axis = mesh_lib.SEQ_AXIS
     from . import data_parallel
 
-    fn = data_parallel._decode_fn(codec, "swar", "auto")
+    from ..models import default_decode_variant
+
+    fn = data_parallel._decode_fn(codec, default_decode_variant("auto"), "auto")
 
     return jax.jit(
         shard_map(
@@ -328,8 +334,17 @@ def match_long_b5(
     if mesh is None:
         mesh = mesh_lib.make_mesh(data=1, seq=len(jax.devices()))
     S = mesh.shape[mesh_lib.SEQ_AXIS]
-    qc = search_ops._qc_host(query)
     m = len(query)
+    if m > search_ops._B5_SEARCH_MAX_QUERY:
+        # the kernel row's fixed overlap bounds the max tap offset; going
+        # through _match_bits_b5_impl directly would SILENTLY miss hits
+        # crossing kernel-row boundaries (r05 review) — refuse instead
+        raise ValueError(
+            f"kernel scan caps queries at "
+            f"{search_ops._B5_SEARCH_MAX_QUERY} nt (got {m}); use "
+            "match_mask_b5 on gathered words for longer queries"
+        )
+    qc = search_ops._qc_host(query)
     n = length - m + 1
     if n <= 0:
         raise ValueError(f"stream length {length} shorter than query ({m})")

@@ -48,7 +48,13 @@ def initialize(
     On a real pod, call with the coordinator address (or rely on the TPU
     environment's auto-detection) before any JAX computation.
     """
-    if num_processes is not None and num_processes > 1:
+    if coordinator_address is not None or (
+        num_processes is not None and num_processes > 1
+    ):
+        # a coordinator address alone must NOT silently no-op (r05
+        # review: every host would then believe it is a 1-host pod and
+        # consume the full record stream); jax.distributed auto-detects
+        # whatever arguments are omitted
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
@@ -80,27 +86,44 @@ def _prefetch(
     q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
     sentinel = object()
     failure: list[BaseException] = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that gives up when the consumer abandoned the
+        # generator (r05 review: an unconditional q.put pinned the
+        # thread + the open input stream forever after a pipeline abort)
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterable:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # re-raised on the consumer side
             failure.append(e)
         finally:
-            q.put(sentinel)
+            _put(sentinel)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        t0 = time.perf_counter()
-        item = q.get()
-        if stages is not None:
-            stages["prep_wait_s"] += time.perf_counter() - t0
-        if item is sentinel:
-            if failure:
-                raise failure[0]
-            return
-        yield item
+    try:
+        while True:
+            t0 = time.perf_counter()
+            item = q.get()
+            if stages is not None:
+                stages["prep_wait_s"] += time.perf_counter() - t0
+            if item is sentinel:
+                if failure:
+                    raise failure[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 def _pipelined(
@@ -158,6 +181,12 @@ def _pipelined(
     finally:
         fq.put(sentinel)
         t.join()
+        # explicitly close the (usually _prefetch) generator: an abort's
+        # exception traceback can keep it referenced, so relying on GC
+        # would leave its producer thread running (r05 review)
+        close = getattr(items, "close", None)
+        if close is not None:
+            close()
     if failure:
         raise failure[0]
 
@@ -387,10 +416,13 @@ class StreamingDecoder:
         self.host_id = jax.process_index()
         self.num_hosts = jax.process_count()
         self.mesh = mesh_lib.make_mesh(devices=jax.local_devices())
+        # the decoder's variant knob selects a DECODE kernel (r05 review:
+        # it previously landed in ShardedCodec's encode-variant slot,
+        # where a decode-variant name could never apply)
         self.sharded = data_parallel.ShardedCodec(
             config.codec,
             mesh=self.mesh,
-            variant=config.variant,
+            decode_variant=config.variant,
             tier=config.tier,
         )
         self.per_word = 32 if config.codec == "2bit" else 27

@@ -41,9 +41,26 @@ class Manifest:
         }
 
     def save(self) -> None:
+        # read-merge-write: on a SHARED manifest path, other hosts'
+        # entries must survive this host's save (r05 review: a blind
+        # rewrite dropped them, re-delivering their entire streams on
+        # resume).  This host's own entries always win; merge conflicts
+        # across hosts cannot occur because entries are keyed by host_id
+        # and each host only ever advances its own.
+        merged: dict[int, StreamPosition] = {}
+        try:
+            with open(self.path) as f:
+                data = json.load(f)
+            merged = {
+                int(k): StreamPosition(**v)
+                for k, v in data.get("hosts", {}).items()
+            }
+        except (OSError, ValueError, TypeError):
+            pass  # absent or torn file: nothing to merge
+        merged.update(self.positions)
         data = {
             "hosts": {
-                str(k): dataclasses.asdict(v) for k, v in self.positions.items()
+                str(k): dataclasses.asdict(v) for k, v in merged.items()
             }
         }
         d = os.path.dirname(self.path) or "."

@@ -289,6 +289,31 @@ def fastq_batches(
         emitted += 1
         return Batch(reads, lengths, indices, take)
 
+    def discard():
+        # manifest-resume skip: advance the pending bookkeeping without
+        # the fill_rows copies (r05 review: deep resumes paid a full
+        # batch assembly per skipped batch).  Length validation still
+        # runs so a skipped overlong read fails the same way.
+        nonlocal pending, next_index, emitted
+        take = min(pending, batch_size)
+        row = 0
+        while row < take:
+            s, l = pend_start[0], pend_len[0]
+            n = min(take - row, s.size)
+            if not truncate and l[:n].size and l[:n].max(initial=0) > max_len:
+                raise ValueError(
+                    f"read of length {int(l[:n].max())} exceeds max_len "
+                    f"{max_len}"
+                )
+            next_index += n
+            row += n
+            if n == s.size:
+                pend_buf.pop(0), pend_start.pop(0), pend_len.pop(0)
+            else:
+                pend_start[0], pend_len[0] = s[n:], l[n:]
+        pending -= take
+        emitted += 1
+
     def push(arr: np.ndarray, starts: np.ndarray, lens: np.ndarray):
         nonlocal pending
         pend_buf.append(arr)
@@ -335,9 +360,10 @@ def fastq_batches(
                     raise ValueError("malformed FASTQ record")
                 push_ends(buf, starts[1::4], nl4[1::4])
             while pending >= batch_size:
-                b = assemble()
-                if emitted > skip:
-                    yield b
+                if emitted >= skip:
+                    yield assemble()
+                else:
+                    discard()
     if carry.strip():
         tail = list(_read_fastq_lines(io.BytesIO(carry)))
         if tail:
@@ -347,9 +373,10 @@ def fastq_batches(
             starts = np.concatenate([[0], ends[:-1] + 1])
             push_ends(seqs, starts, ends)
     while pending:
-        b = assemble()
-        if emitted > skip:
-            yield b
+        if emitted >= skip:
+            yield assemble()
+        else:
+            discard()
 
 
 def pack_words_batch(

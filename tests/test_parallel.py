@@ -269,6 +269,12 @@ def test_match_long_b5_sharded(rng):
     m = parallel.make_mesh(data=1, seq=8)
     got2 = longseq.match_long_b5(bits2, 1000, b"ANA", mesh=m)
     assert np.array_equal(got2, [997])
+    # over-long queries must be REFUSED, not silently mis-scanned: the
+    # kernel row's fixed overlap bounds the max tap offset (r05 review)
+    with pytest.raises(ValueError, match="caps queries"):
+        longseq.match_long_b5(
+            bits, L, bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 1025))
+        )
 
 
 def test_best_match_long_sharded(rng):

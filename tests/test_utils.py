@@ -105,6 +105,27 @@ def test_manifest_roundtrip(tmp_path):
     assert m2.batches_done(9) == 0
 
 
+def test_manifest_shared_path_merges_hosts(tmp_path):
+    """Two host processes saving to the SAME manifest path must not
+    clobber each other's positions (r05 review: a blind rewrite dropped
+    the other host's entry, re-delivering its whole stream on resume)."""
+    p = tmp_path / "manifest.json"
+    host_a = checkpoint.Manifest(p)  # opened before host_b ever saved
+    host_b = checkpoint.Manifest(p)
+    host_a.advance(0, batches=5, records=500)
+    host_a.save()
+    host_b.advance(1, batches=7, records=700)
+    host_b.save()  # must merge, not drop, host 0's entry
+    merged = checkpoint.Manifest(p)
+    assert merged.batches_done(0) == 5
+    assert merged.batches_done(1) == 7
+    # a host's own later save still wins over its stale on-disk entry
+    host_a.advance(0, batches=1)
+    host_a.save()
+    assert checkpoint.Manifest(p).batches_done(0) == 6
+    assert checkpoint.Manifest(p).batches_done(1) == 7
+
+
 # --- metrics ----------------------------------------------------------------
 
 def test_throughput_logger():
