@@ -538,7 +538,17 @@ def match_ends_packed(
         peq, qlens, twords, tlens, semiglobal=True, unroll=unroll,
         emit_scores=True,
     )
-    return (scores <= max_errors.astype(jnp.int32)[None, :]).T
+    return _ends_mask(scores, max_errors, tlens)
+
+
+def _ends_mask(scores, max_errors, tlens):
+    """Thresholded end mask with the past-``tlens`` columns cleared
+    EXPLICITLY: frozen-state columns carry an INT32_MAX score sentinel,
+    which ``max_errors == INT32_MAX`` (a natural 'no limit') would
+    otherwise admit, violating the documented contract (r05 review)."""
+    ok = (scores <= max_errors.astype(jnp.int32)[None, :]).T
+    pos = jax.lax.broadcasted_iota(jnp.int32, ok.shape, 1)
+    return ok & (pos < tlens.astype(jnp.int32)[:, None])
 
 
 @functools.partial(jax.jit, static_argnames=("unroll",))
@@ -557,7 +567,7 @@ def match_ends_peq(
         peq, qlens, twords, tlens, semiglobal=True, unroll=unroll,
         emit_scores=True,
     )
-    return (scores <= max_errors.astype(jnp.int32)[None, :]).T
+    return _ends_mask(scores, max_errors, tlens)
 
 
 def _unpack_digits_b5_t(twords: jax.Array) -> jax.Array:
@@ -709,9 +719,14 @@ def _overlap_rows(flat: jax.Array, R: int, wrb: int, H: int) -> jax.Array:
     h, k = H, 1
     while h > 0:  # halo wider than a row spans successive successors
         take = min(wrb, h)
+        # the k-th successor may not exist at all (halo spanning more
+        # rows than the panel has, e.g. a long query on a short stream):
+        # the zero block must then carry ALL R rows, not k (r05 review,
+        # reproduced as a trace-time concatenate error)
         parts.append(
             jnp.concatenate(
-                [b[k:, :take], jnp.zeros((k, take), flat.dtype)], axis=0
+                [b[k:, :take], jnp.zeros((min(k, R), take), flat.dtype)],
+                axis=0,
             )
         )
         h -= take

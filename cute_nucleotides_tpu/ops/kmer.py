@@ -134,14 +134,10 @@ def _rev32_fields(c: jax.Array) -> jax.Array:
 
 
 def revcomp_code(codes: jax.Array, k: int) -> jax.Array:
-    """Reverse-complement of 2-bit k-mer codes (elementwise, SWAR)."""
+    """Reverse-complement of 2-bit k-mer codes (elementwise, SWAR):
+    complement-XOR, :func:`_rev32_fields`, then shift down to k fields."""
     c = codes.astype(jnp.uint32) ^ jnp.uint32(0xAAAAAAAA >> (32 - 2 * k) if k < 16 else 0xAAAAAAAA)
-    # reverse the sixteen 2-bit fields of the u32, then shift down to k fields
-    c = ((c & jnp.uint32(0x33333333)) << 2) | ((c >> 2) & jnp.uint32(0x33333333))
-    c = ((c & jnp.uint32(0x0F0F0F0F)) << 4) | ((c >> 4) & jnp.uint32(0x0F0F0F0F))
-    c = ((c & jnp.uint32(0x00FF00FF)) << 8) | ((c >> 8) & jnp.uint32(0x00FF00FF))
-    c = (c << 16) | (c >> 16)
-    return (c >> (32 - 2 * k)).astype(jnp.int32)
+    return (_rev32_fields(c) >> (32 - 2 * k)).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -394,10 +390,15 @@ def kmer_hashes_planar(
     Same multiset of hashes as :func:`kmer_hashes` but in the planar
     kernel layout (NOT position order), with invalid entries — positions
     past ``length - k`` and reshape padding — set to ``0xFFFFFFFF`` (the
-    sketch SENTINEL, sorting past every real hash).  For order-free
-    consumers (bottom-k / FracMinHash sketches, counting) this replaces
-    three full-stream gathers with one funnel kernel pass; position-aware
-    consumers keep :func:`kmer_hashes`.
+    sketch SENTINEL).  One deliberate conflation: fmix32 is a bijection,
+    so exactly one k-mer code per plane genuinely hashes to 0xFFFFFFFF
+    and is then indistinguishable from padding — sketch consumers drop
+    it (the maximal hash no bottom-s estimator would select; the bias is
+    documented in :mod:`.sketch`'s module docstring), while the
+    position-ordered :func:`kmer_hashes` reports it as a real hash.  For
+    order-free consumers (bottom-k / FracMinHash sketches, counting)
+    this replaces three full-stream gathers with one funnel kernel pass;
+    position-aware consumers keep :func:`kmer_hashes`.
     """
     if not 1 <= k <= 31:
         raise ValueError("k must be in [1, 31]")

@@ -384,14 +384,20 @@ def revcomp_packed_b5(words: jax.Array, length: int) -> jax.Array:
     """
     if words.ndim != 1 or words.shape[0] % 2:
         raise TypeError("revcomp_packed_b5 takes a flat interleaved u32[2W] stream")
-    W = words.shape[0] // 2
-    if length > W * spec.NT_PER_WORD_B5:
-        raise ValueError(f"length {length} exceeds capacity {W * 27}")
-    if W == 0 or length == 0:
+    W_cap = words.shape[0] // 2
+    if length > W_cap * spec.NT_PER_WORD_B5:
+        raise ValueError(f"length {length} exceeds capacity {W_cap * 27}")
+    if W_cap == 0 or length == 0:
         return jnp.zeros_like(words)
+    # operate on the EFFECTIVE word count only: with slack capacity
+    # (trailing all-zero u64 words) delta below would go negative and
+    # src_triplet's q in {-1, 0} routing would read the wrong word (r05
+    # review, reproduced) — the reverse complement packs from position 0
+    # anyway, so trailing slack words are zeros on both sides
+    W = -(-length // spec.NT_PER_WORD_B5)
     M, u = divmod(length - 1, 3)  # last digit lives at digit u of triplet M
-    delta = M - 9 * (W - 1)       # in [0, 8]
-    x = words
+    delta = M - 9 * (W - 1)       # in [0, 8] by construction of W
+    x = words[: 2 * W]
 
     def tap(off: int) -> jax.Array:
         """Lane-shifted view: lane k reads ``words[k + off]`` (0 outside)."""
@@ -460,7 +466,12 @@ def revcomp_packed_b5(words: jax.Array, length: int) -> jax.Array:
     # lane pair (2w, 2w+1) computed output word W-1-w; after the lane
     # reversal the even lane must land the lo half, so pre-reverse the even
     # lane carries the ODD half and vice versa
-    return jnp.where(even, o_val, e_val)[::-1]
+    out = jnp.where(even, o_val, e_val)[::-1]
+    if W < W_cap:
+        out = jnp.concatenate(
+            [out, jnp.zeros(2 * (W_cap - W), jnp.uint32)]
+        )
+    return out
 
 
 def revcomp_b5_xla_lane_ops(length: int) -> int:

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 from cute_nucleotides_tpu.ops import align, oracle, spec
 
 ALPHA = b"ACGT"
@@ -392,6 +394,39 @@ class TestModes:
                 prev = cur
                 assert bool(got[b, j]) == (prev[m] <= errs[b]), (b, j)
             assert not got[b, len(t):].any()  # past tlen: always False
+
+    def test_match_ends_no_limit_respects_tlens(self, rng):
+        """max_errors == INT32_MAX (a natural 'no limit') must still keep
+        positions at and past tlens False — the frozen-state score
+        sentinel is INT32_MAX too (r05 review)."""
+        qs = [b"GATTACA"] * 3
+        ts = [_rand_seq(rng, n) for n in (40, 13, 1)]
+        qw, ql = _pack_batch(qs)
+        tw, tl = _pack_batch(ts)
+        got = np.asarray(
+            align.match_ends_packed(
+                qw, ql, tw, tl, jnp.full(3, 2**31 - 1, jnp.int32)
+            )
+        )
+        for b, t in enumerate(ts):
+            assert got[b, : len(t)].all()  # no limit: every real end
+            assert not got[b, len(t):].any()
+
+    def test_best_match_stream_query_longer_than_panel(self, rng):
+        """Halos spanning more successor rows than exist (long query on a
+        short stream) must scan, not crash (r05 review reproducer)."""
+        from cute_nucleotides_tpu.ops import oracle as _oracle, spec as _spec
+
+        for L, m in ((160, 120), (32, 30)):
+            t = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=L)
+            q = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=m))
+            t[L - m - 1 : L - 1] = np.frombuffer(q, np.uint8)
+            w = jnp.asarray(
+                _spec.u64_to_u32_pairs(_oracle.n_to_bits_lut(t)).reshape(-1)
+            )
+            d, e = align.best_match_stream(w, L, q)
+            dw, _ = align.best_match_reference(q, bytes(t))
+            assert int(d) == dw, (L, m)
 
 
 class TestStreamB5:

@@ -156,6 +156,23 @@ def test_revcomp_packed_b5_rejects_bad_shapes():
         seqops.revcomp_packed_b5(jnp.zeros(2, jnp.uint32), 28)
 
 
+@pytest.mark.parametrize("n", [1, 26, 53, 54, 100, 541])
+@pytest.mark.parametrize("slack", [1, 2, 5])
+def test_revcomp_packed_b5_slack_capacity(rng, n, slack):
+    """Streams with spare trailing u64 words (legal buffers) must revcomp
+    exactly — the r05 review reproduced silent corruption here (delta
+    went negative and src_triplet read the wrong word)."""
+    s = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=n)
+    w64 = np.concatenate(
+        [oracle.n_to_bits2_lut(s), np.zeros(slack, np.uint64)]
+    )
+    w32 = jnp.asarray(spec.u64_to_u32_pairs(w64).reshape(-1))
+    got = spec.u32_pairs_to_u64(np.asarray(seqops.revcomp_packed_b5(w32, n)))
+    want = oracle.n_to_bits2_lut(np.frombuffer(_revcomp_n(bytes(s)), np.uint8))
+    want = np.concatenate([want, np.zeros(len(w64) - len(want), np.uint64)])
+    assert np.array_equal(got, want), (n, slack)
+
+
 # ---------------------------------------------------------------------------
 # Packed-domain region extraction / concatenation
 # ---------------------------------------------------------------------------
