@@ -110,7 +110,16 @@ class NupReader:
     def words(self, i: int) -> np.ndarray:
         """Packed u64 words of record ``i`` (one seek + one read)."""
         self._f.seek(self._offsets[i])
-        return np.frombuffer(self._f.read(8 * self._nwords[i]), dtype="<u8")
+        raw = self._f.read(8 * self._nwords[i])
+        if len(raw) != 8 * self._nwords[i]:
+            # a truncated container must ERROR, not decode fabricated
+            # 'A' runs from zero padding (r05 review, reproduced)
+            raise ValueError(
+                f"truncated container: record {i} "
+                f"({self.names[i].decode(errors='replace')!s}) needs "
+                f"{8 * self._nwords[i]} bytes, file holds {len(raw)}"
+            )
+        return np.frombuffer(raw, dtype="<u8")
 
     def get(self, name: bytes) -> tuple[int, np.ndarray]:
         """``(length, words)`` for the first record named ``name``."""
@@ -157,6 +166,16 @@ def cmd_encode(args) -> int:
 
     if args.batch:
         # production path: device batches through the codec models
+        if args.tier == "oracle":
+            # the codec models are device-tier only (r05 review: 2-bit
+            # crashed with KeyError 'lut', base-5 silently ran XLA while
+            # labeled oracle); the per-record path IS the oracle tier
+            print(
+                "error: --tier oracle has no batch device path; drop "
+                "--batch (the per-record path runs the host oracle)",
+                file=sys.stderr,
+            )
+            return 2
         import jax.numpy as jnp
 
         from .models import Base5Codec, TwoBitCodec
@@ -260,6 +279,16 @@ def cmd_decode(args) -> int:
                     file=sys.stderr,
                 )
                 return 1
+    if args.batch and args.tier == "oracle":
+        # the codec models are device-tier only (r05 review: 2-bit
+        # crashed with KeyError 'lut', base-5 silently ran XLA while
+        # labeled oracle); the per-record path IS the oracle tier
+        print(
+            "error: --tier oracle has no batch device path; drop "
+            "--batch (the per-record path runs the host oracle)",
+            file=sys.stderr,
+        )
+        return 2
     # file output is written to a temp path and renamed only on success, so
     # a corruption abort (or any mid-run failure) can neither leave a
     # truncated FASTA behind nor clobber a pre-existing file (stdout output
@@ -486,7 +515,12 @@ def cmd_region(args) -> int:
     reader = NupReader(args.input)
     codec = reader.codec
     packed_out: list[tuple[bytes, int, np.ndarray]] = []
-    out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+    # temp + rename-on-success: a failed region lookup must not truncate
+    # a pre-existing output file (r05 review; the cmd_decode convention)
+    to_file = args.output != "-"
+    tmp_path = args.output + ".tmp" if to_file else None
+    out = open(tmp_path, "wb") if to_file else sys.stdout.buffer
+    ok = False
     try:
         for reg in args.regions:
             name, start, end = _parse_region(reg)
@@ -537,10 +571,16 @@ def cmd_region(args) -> int:
                 [n for _, n, _ in packed_out],
                 codec,
             )
+        ok = True
     finally:
         reader.close()
-        if out is not sys.stdout.buffer and not out.closed:
-            out.close()
+        if to_file:
+            if not out.closed:
+                out.close()
+            if ok and not args.packed:
+                os.replace(tmp_path, args.output)
+            elif os.path.exists(tmp_path):
+                os.unlink(tmp_path)
     return 0
 
 
@@ -557,7 +597,6 @@ def _grep_batched(args, entries, queries, is_b5: bool) -> int:
 
     mask_fn = search.match_mask_b5_batch if is_b5 else search.match_mask_batch
     total = 0
-    emit = []
     for start in range(0, len(entries), args.batch):
         chunk = entries[start : start + args.batch]
         w32 = io_lib.pack_words_batch(chunk, args.batch)
@@ -596,14 +635,15 @@ def _grep_batched(args, entries, queries, is_b5: bool) -> int:
                     for p in np.flatnonzero(m[i])
                 )
                 total += len(hits)
+                # stream per record (batches run in record order): a
+                # buffered list grew unboundedly on hit-dense containers
+                # and starved pipe consumers until scan end (r05 review)
                 for p, strand in hits:
-                    emit.append(
+                    print(
                         json.dumps(
                             {"record": rec, "pos": p, "strand": strand}
                         )
                     )
-    for line in emit:
-        print(line)
     return 0 if total or args.count else 1
 
 
@@ -648,7 +688,12 @@ def cmd_translate(args) -> int:
         seqops.revcomp_packed if codec == "2bit"
         else seqops.revcomp_packed_b5
     )
-    out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+    # temp + rename-on-success (the cmd_decode convention): a mid-run
+    # failure must not leave a truncated or clobbered output (r05 review)
+    to_file = args.output != "-"
+    tmp_path = args.output + ".tmp" if to_file else None
+    out = open(tmp_path, "wb") if to_file else sys.stdout.buffer
+    ok = False
     try:
         for name, length, words in entries:
             w32 = jnp.asarray(
@@ -667,9 +712,15 @@ def cmd_translate(args) -> int:
                     src = rc
                 aa = bytes(np.asarray(fwd(src, length, off)))
                 _write_fasta(out, name + b"|frame=%+d" % f, aa)
+        ok = True
     finally:
-        if out is not sys.stdout.buffer:
-            out.close()
+        if to_file:
+            if not out.closed:
+                out.close()
+            if ok:
+                os.replace(tmp_path, args.output)
+            elif os.path.exists(tmp_path):
+                os.unlink(tmp_path)
     return 0
 
 
@@ -791,7 +842,7 @@ def cmd_sketch(args) -> int:
             "path": path,
             "records": records,
             "nt": nt,
-            "hashes": int((np.asarray(sk) != 0xFFFFFFFF).sum()),
+            "hashes": int((np.asarray(sk) != sketch_lib.SENTINEL).sum()),
         }
         if args.scale:
             # a full buffer means the retained sample was TRUNCATED and
@@ -881,13 +932,16 @@ def cmd_grep(args) -> int:
     for name, length, words in entries:
         counts = {}
         hits = []
+        # one conversion + transfer per record, shared by both strands
+        # (r05 review: rebuilding inside the strand loop doubled the
+        # ~30-40 ms relayed round trip with --both)
+        w32 = jnp.asarray(
+            spec.u64_to_u32_pairs(np.ascontiguousarray(words)).reshape(-1)
+        )
         for q, strand in queries:
             if length < len(q):
                 counts[strand] = 0
                 continue
-            w32 = jnp.asarray(
-                spec.u64_to_u32_pairs(np.ascontiguousarray(words)).reshape(-1)
-            )
             pos = positions(w32, length, q)
             counts[strand] = len(pos)
             hits.extend((int(p), strand) for p in pos)
@@ -1080,9 +1134,12 @@ def cmd_dedup(args) -> int:
         return 0
     wmax = max(1, max(len(w) for _, _, w in entries))
     if wmax > 256:  # 2*wmax + 1 sort keys; compiles superlinearly beyond
+        per_word = (
+            spec.NT_PER_WORD_2BIT if codec == "2bit" else spec.NT_PER_WORD_B5
+        )
         print(
             f"error: dedup is read-batch-scoped (records up to "
-            f"{32 * 256} nt); longest record here is "
+            f"{per_word * 256} nt for this codec); longest record here is "
             f"{max(length for _, length, _ in entries)} nt",
             file=sys.stderr,
         )
@@ -1311,6 +1368,12 @@ def main(argv=None) -> int:
         devnull = os.open(os.devnull, os.O_WRONLY)
         os.dup2(devnull, sys.stdout.fileno())
         return 141
+    except (ValueError, KeyError, OSError) as e:
+        # malformed/truncated containers, missing files: a one-line
+        # error + nonzero exit, not a traceback (NupReader raises lazily
+        # at record access, so per-command wrapping can't cover it)
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

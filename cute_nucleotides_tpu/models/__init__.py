@@ -29,11 +29,17 @@ __all__ = ["CodecConfig", "TwoBitCodec", "Base5Codec", "pad_batch"]
 
 
 def _default_tier() -> str:
+    # Mosaic kernels compile for TPU only (interpret mode covers CPU
+    # tests); GPU backends must resolve to the portable XLA tier or
+    # 'auto' would crash at first kernel lowering (r05 review).  TPU
+    # plugins are NOT whitelisted by name — relayed/vendored plugins
+    # report their own platform strings (this environment's reports
+    # 'axon'), so known-GPU names are excluded instead.
     try:
         platform = jax.default_backend()
     except Exception:  # pragma: no cover
         platform = "cpu"
-    return "pallas" if platform not in ("cpu",) else "xla"
+    return "xla" if platform in ("cpu", "gpu", "cuda", "rocm") else "pallas"
 
 
 #: benched champion variant per tier (BENCH_r02/r03: pallas mul 545 GiB/s;
@@ -252,7 +258,10 @@ class TwoBitCodec(_CodecBase):
             from ..ops import pallas_kernels as pk
 
             return pk.jit_encode_2bit_checked(self.encode_variant)(reads)
-        return self.encode(reads), _jit_any_invalid_rows()(reads)
+        # the validity pass must read the input BEFORE the (possibly
+        # donating) encode consumes its buffer (r05 review)
+        bad = _jit_any_invalid_rows()(reads)
+        return self.encode(reads), bad
 
     def decode(self, words: jax.Array) -> jax.Array:
         """u32[..., W] -> u8[..., 16*W] (full blocks; caller truncates)."""
@@ -331,7 +340,9 @@ class Base5Codec(_CodecBase):
             from ..ops import pallas_kernels as pk
 
             return pk.jit_encode_b5_checked()(reads)
-        return self.encode(reads), _jit_any_invalid_scalar_n()(reads)
+        # check BEFORE the (possibly donating) encode consumes the buffer
+        bad = _jit_any_invalid_scalar_n()(reads)
+        return self.encode(reads), bad
 
     def decode(self, words: jax.Array) -> jax.Array:
         """u32[..., 2*W] -> u8[..., 27*W] (full blocks; caller truncates)."""
@@ -353,7 +364,9 @@ class Base5Codec(_CodecBase):
             from ..ops import pallas_kernels as pk
 
             return pk.jit_decode_b5_checked()(words)
-        return self.decode(words), _jit_any_corrupt_scalar_b5()(words)
+        # check BEFORE the (possibly donating) decode consumes the buffer
+        bad = _jit_any_corrupt_scalar_b5()(words)
+        return self.decode(words), bad
 
     def words_per_read(self, length: int) -> int:
         return 2 * spec.num_words_b5(length)

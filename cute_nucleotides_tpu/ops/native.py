@@ -220,8 +220,13 @@ def fill_rows(
         return
     starts64 = np.ascontiguousarray(starts, dtype=np.int64)
     lens64 = np.ascontiguousarray(lens, dtype=np.int64)
+    # lens must be checked non-negative BEFORE the span bound: the C side
+    # casts to size_t, so a negative len becomes a huge clamped-to-width
+    # copy that the min(lens, width) model here would wave through — an
+    # out-of-bounds heap read (r05 review)
     if cnt and (
-        int(starts64.min()) < 0
+        int(lens64.min()) < 0
+        or int(starts64.min()) < 0
         or int((starts64 + np.minimum(lens64, width)).max()) > buf.size
     ):
         raise ValueError("read span out of buffer bounds")

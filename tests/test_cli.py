@@ -1,6 +1,7 @@
 """CLI: encode -> .nup container -> decode roundtrip, parity gate."""
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -646,3 +647,59 @@ def test_cli_approx_all(tmp_path, capsys):
     assert cli.main(
         ["approx", nup5, "ACG", "--all", "--max-errors", "0"]
     ) == 1
+
+
+def test_cli_truncated_container_errors(tmp_path, capsys):
+    """A truncated .nup must ERROR, not decode fabricated 'A' runs from
+    zero padding (r05 review, reproduced pre-fix)."""
+    fa = tmp_path / "in.fa"
+    fa.write_bytes(b">a\n" + b"ACGT" * 20 + b"\n>b\n" + b"GATTACA" * 10 + b"\n")
+    nup = str(tmp_path / "t.nup")
+    assert cli.main(["encode", str(fa), nup, "--codec", "2bit"]) == 0
+    raw = open(nup, "rb").read()
+    open(nup, "wb").write(raw[:-8])  # drop one packed word
+    out_fa = str(tmp_path / "out.fa")
+    rc = cli.main(["decode", nup, out_fa, "--batch", "4"])
+    capsys.readouterr()
+    assert rc != 0
+    assert not os.path.exists(out_fa)  # tmp+rename: nothing half-written
+
+
+def test_cli_batch_tier_oracle_rejected(tmp_path, capsys):
+    """--batch has no oracle device path: clear error, not a KeyError
+    crash (2-bit) or a silently-mislabeled XLA run (base-5)."""
+    fa = tmp_path / "in.fa"
+    fa.write_bytes(b">a\nACGTACGT\n")
+    nup = str(tmp_path / "o.nup")
+    rc = cli.main(
+        ["encode", str(fa), nup, "--batch", "4", "--tier", "oracle"]
+    )
+    assert rc == 2
+    assert "oracle" in capsys.readouterr().err
+    assert cli.main(["encode", str(fa), nup]) == 0
+    capsys.readouterr()
+    rc = cli.main(
+        ["decode", nup, str(tmp_path / "d.fa"), "--batch", "4",
+         "--tier", "oracle"]
+    )
+    assert rc == 2
+    assert "oracle" in capsys.readouterr().err
+
+
+def test_cli_region_failure_preserves_output(tmp_path, capsys):
+    """A failed region command must not truncate a pre-existing output
+    file (r05 review: eager open-for-write clobbered it)."""
+    fa = tmp_path / "in.fa"
+    fa.write_bytes(b">chr1\n" + b"ACGT" * 10 + b"\n")
+    nup = str(tmp_path / "r.nup")
+    assert cli.main(["encode", str(fa), nup]) == 0
+    capsys.readouterr()
+    out = tmp_path / "regions.fa"
+    out.write_bytes(b">precious\nACGT\n")
+    rc = cli.main(["region", nup, "MISSING:0-4", "-o", str(out)])
+    capsys.readouterr()
+    assert rc == 1
+    assert out.read_bytes() == b">precious\nACGT\n"
+    # and the success path still writes through the tmp rename
+    assert cli.main(["region", nup, "chr1:0-8", "-o", str(out)]) == 0
+    assert out.read_bytes().startswith(b">chr1:0-8\n")
