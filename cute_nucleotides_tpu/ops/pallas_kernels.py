@@ -417,6 +417,11 @@ def jit_encode_b5_checked():
 
 def encode_2bit(variant: str = "mul"):
     """Traceable encode fn (for shard_map composition)."""
+    if variant == "mxu":
+        # same routing as jit_encode_2bit: 'mxu' is a whole-word MXU
+        # pack, not a _PACK4 lane kernel (r05 review: the data-parallel
+        # paths crashed with KeyError on this documented variant)
+        return encode_2bit_words_mxu
     return functools.partial(encode_2bit_words, variant=variant)
 
 
@@ -596,7 +601,7 @@ def decode_b5_panels(lo: jax.Array, hi: jax.Array, *, interpret: bool = False) -
     rb = _row_block8(R)
     mats = _b5_dec_mats()
     mat_specs = [
-        pl.BlockSpec(m.shape, lambda i: (0,) * m.ndim, memory_space=pltpu.VMEM)
+        pl.BlockSpec(m.shape, lambda i, nd=m.ndim: (0,) * nd, memory_space=pltpu.VMEM)
         for m in mats
     ]
     return pl.pallas_call(
@@ -1395,7 +1400,7 @@ def _decode_b5_inter_call(
     rb = _row_block8(R, row_block)
     mats = (_b5_dec_gather_fold_bf16(), _b5_dec_scatter_quads_i8())
     mat_specs = [
-        pl.BlockSpec(m.shape, lambda i: (0,) * m.ndim, memory_space=pltpu.VMEM)
+        pl.BlockSpec(m.shape, lambda i, nd=m.ndim: (0,) * nd, memory_space=pltpu.VMEM)
         for m in mats
     ]
     panels_spec = pl.BlockSpec(
@@ -1922,7 +1927,7 @@ def _b5_anchor_taps(qc: tuple) -> tuple | None:
 
 
 def match_b5_bits_panels(
-    x: jax.Array, qc: tuple, *, interpret: bool = False, row_block: int = 128
+    x: jax.Array, qc: tuple, *, interpret: bool = False, row_block: int = 32
 ) -> jax.Array:
     """Interleaved base-5 panels u32[R, 2*(512+128)] -> packed match bits
     u32[R, 512] for the compiled query ``qc`` (see :func:`_match_b5_kernel`
@@ -2076,7 +2081,7 @@ def decode_b5_nt4_panels(
     out_w = B5_NT4_PAD_LANES if padded else B5_ROW_NT // 4
     mats = (*_b5_dec_mats()[:2], _b5_dec_scatter_pairs_i8())
     mat_specs = [
-        pl.BlockSpec(m.shape, lambda i: (0,) * m.ndim, memory_space=pltpu.VMEM)
+        pl.BlockSpec(m.shape, lambda i, nd=m.ndim: (0,) * nd, memory_space=pltpu.VMEM)
         for m in mats
     ]
     return pl.pallas_call(

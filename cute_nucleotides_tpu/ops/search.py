@@ -345,7 +345,8 @@ def match_bits(
     """Packed occurrence bitmask of ``query``: -> u32[rows, 512] where bit
     ``s`` of lane ``(r, w)`` flags a match at nucleotide
     ``16*(512 r + w) + s``.  Pallas scan tier: one memory pass over the
-    stream, output 1/4 the size of the input words."""
+    stream; the packed bitmask is the same word count as the input (1/4
+    of the ASCII byte stream)."""
     if words.ndim != 1:
         raise TypeError("match_bits takes a flat u32 word stream")
     q, care, m = compile_query(query)
@@ -444,16 +445,11 @@ def match_mask_b5_batch(words: jax.Array, lengths, query: bytes) -> jax.Array:
         raise TypeError(
             "match_mask_b5_batch takes an interleaved u32[B, 2W] batch"
         )
-    qc = compile_query_b5(query)
     m = len(query)
     if (words.shape[1] // 2) * spec.NT_PER_WORD_B5 - m + 1 <= 0:
         raise ValueError(f"row capacity shorter than query ({m})")
-    qc_h = tuple(
-        (tuple(int(v) for v in q8), tuple(int(v) for v in c8))
-        for q8, c8 in qc
-    )
     return _match_mask_b5_batch_impl(
-        words, _norm_lengths(lengths, words.shape[0]), qc_h, m
+        words, _norm_lengths(lengths, words.shape[0]), _qc_host(query), m
     )
 
 
@@ -581,17 +577,12 @@ def match_mask_b5(words: jax.Array, length: int, query: bytes) -> jax.Array:
         raise TypeError(
             "match_mask_b5 takes a flat interleaved u32[2W] stream"
         )
-    qc = compile_query_b5(query)
     m = len(query)
     if length - m + 1 <= 0:
         raise ValueError(f"stream length {length} shorter than query ({m})")
     if length > (words.shape[0] // 2) * spec.NT_PER_WORD_B5:
         raise ValueError("length exceeds stream capacity")
-    qc_h = tuple(
-        (tuple(int(v) for v in q8), tuple(int(v) for v in c8))
-        for q8, c8 in qc
-    )
-    return _match_mask_b5_impl(words, length, qc_h, m)
+    return _match_mask_b5_impl(words, length, _qc_host(query), m)
 
 
 # --- base-5 Pallas scan tier -------------------------------------------

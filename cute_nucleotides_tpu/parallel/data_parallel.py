@@ -28,6 +28,7 @@ from jax import shard_map
 
 from ..models import _default_tier, default_decode_variant, default_encode_variant
 from ..ops import xla
+from ..ops.search import _norm_lengths
 from . import mesh as mesh_lib
 
 
@@ -273,9 +274,7 @@ def kmer_spectrum(
     """
     if mesh is None:
         mesh = mesh_lib.default_mesh()
-    lengths = jnp.broadcast_to(
-        jnp.asarray(lengths, jnp.int32).reshape(-1), (words.shape[0],)
-    )
+    lengths = _norm_lengths(lengths, words.shape[0])
     return _jit_spectrum(k, canonical, mesh)(words, lengths)
 
 
@@ -316,9 +315,7 @@ def match_counts(
         mesh = mesh_lib.default_mesh()
     if isinstance(query, str):
         query = query.encode()
-    lengths = jnp.broadcast_to(
-        jnp.asarray(lengths, jnp.int32).reshape(-1), (words.shape[0],)
-    )
+    lengths = _norm_lengths(lengths, words.shape[0])
     return _jit_match_counts(bytes(query), codec, mesh)(words, lengths)
 
 
@@ -368,9 +365,7 @@ def sketch_sharded(
     """
     if mesh is None:
         mesh = mesh_lib.default_mesh()
-    lengths = jnp.broadcast_to(
-        jnp.asarray(lengths, jnp.int32).reshape(-1), (words.shape[0],)
-    )
+    lengths = _norm_lengths(lengths, words.shape[0])
     return _jit_sketch(k, s, canonical, mesh)(words, lengths)
 
 
@@ -497,6 +492,6 @@ def edit_distances(
     if mesh is None:
         mesh = mesh_lib.default_mesh()
     B = qwords.shape[0]
-    qlens = jnp.broadcast_to(jnp.asarray(qlens, jnp.int32).reshape(-1), (B,))
-    tlens = jnp.broadcast_to(jnp.asarray(tlens, jnp.int32).reshape(-1), (B,))
+    qlens = _norm_lengths(qlens, B)
+    tlens = _norm_lengths(tlens, B)
     return _jit_edit_distances(codec, mesh)(qwords, qlens, twords, tlens)

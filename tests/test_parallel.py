@@ -41,6 +41,25 @@ def test_data_parallel_encode_matches_oracle(rng, gather):
         )
 
 
+def test_data_parallel_encode_mxu_variant(rng):
+    """The documented pallas 'mxu' variant must route through the
+    whole-word MXU pack in the data-parallel paths too (r05 review: the
+    encode_2bit factory lacked jit_encode_2bit's routing and crashed
+    with KeyError at trace time)."""
+    B, L = 16, 512  # mxu pack needs C % 512 == 0 nt4 lanes -> L % 2048? use wide L
+    batch = rng.choice(ALPHABET, size=(B, 2048))
+    out = np.asarray(
+        parallel.data_parallel_encode(
+            jnp.asarray(batch), tier="pallas", variant="mxu"
+        )
+    )
+    assert out.shape == (B, 2048 // 16)
+    for b in range(B):
+        assert np.array_equal(
+            spec.u32_pairs_to_u64(out[b]), oracle.n_to_bits_lut(batch[b])
+        )
+
+
 def test_kmer_spectrum_sharded_matches_single_device(rng):
     """psum-merged spectrum over the 8-device mesh == the batched histogram
     on one device, with ragged per-read lengths."""
