@@ -1,6 +1,6 @@
 """User-facing codec API, mirroring the reference's function menu.
 
-The reference exposes 12 free functions (5 + 4 two-bit, 2 + 2 base-5;
+The reference exposes 13 free functions (5 + 4 two-bit, 2 + 2 base-5;
 reference src/lib.rs:1-2).  This framework exposes the same four logical
 operations, each with a *tier* (``oracle`` scalar spec / ``xla`` whole-array /
 ``pallas`` hand-tiled kernel) and, for the 2-bit codec, a *variant* selecting
@@ -46,13 +46,9 @@ def _check_tier(tier: str) -> str:
     return tier
 
 
-def _as_u8(seq) -> np.ndarray:
-    if isinstance(seq, (bytes, bytearray, memoryview)):
-        return np.frombuffer(bytes(seq), dtype=np.uint8)
-    a = np.asarray(seq)
-    if a.dtype != np.uint8 or a.ndim != 1:
-        raise TypeError("expected bytes or 1-D uint8 array")
-    return a
+#: one bytes->uint8 coercer for the whole package (r05 review: three
+#: near-identical copies drifted across api/oracle/native)
+_as_u8 = oracle._as_u8
 
 
 def _pad_to(a: np.ndarray, block: int, fill: int = ord("A")) -> np.ndarray:
@@ -69,6 +65,15 @@ def _pad_to(a: np.ndarray, block: int, fill: int = ord("A")) -> np.ndarray:
     if target == a.size:
         return a
     return np.concatenate([a, np.full(target - a.size, fill, dtype=np.uint8)])
+
+
+def _bucket_words(bits: np.ndarray) -> np.ndarray:
+    """Zero-pad a u64 word stream to the next power-of-two count (the
+    decode-side mirror of _pad_to's shape bucketing)."""
+    bucket = 1 << (bits.size - 1).bit_length()
+    if bucket != bits.size:
+        bits = np.concatenate([bits, np.zeros(bucket - bits.size, np.uint64)])
+    return bits
 
 
 def _as_rows(flat: np.ndarray, max_lanes: int = 8192) -> np.ndarray:
@@ -147,25 +152,44 @@ def n_to_bits(
     ``(byte >> 1) & 3`` contract).
     """
     tier = _check_tier(tier)
+    n = _as_u8(seq)
     if validate:
-        _validate_input(_as_u8(seq), allow_n=False)
+        _validate_input(n, allow_n=False)
     if variant is None:
         from .models import default_encode_variant
 
         variant = default_encode_variant(tier)
-    n = _as_u8(seq)
     if tier == "oracle":
         return oracle.n_to_bits_lut(n)
-    x = _pad_to(n, spec.NT_PER_WORD_2BIT)
-    if x.size == 0:
+    if n.size == 0:
         return np.zeros(0, dtype=np.uint64)
-    if tier == "pallas" and variant != "mxu":
+    x = _pad_to(n, spec.NT_PER_WORD_2BIT)
+    if tier == "pallas":
         # fast path: the host byte stream IS the nt4 u32 stream (free view),
         # and the kernel's u8 output IS the packed word stream — both device
-        # bitcast/relayout passes of the words form vanish
+        # bitcast/relayout passes of the words form vanish.  The mxu pack
+        # tiles through the same _as_rows so VMEM blocks stay bounded for
+        # long sequences (r05 review: the untiled words route grew one
+        # row without limit)
         from .ops import pallas_kernels as pk
 
         nt4 = _as_rows(np.ascontiguousarray(x).view("<u4"))
+        if variant == "mxu":
+            C = nt4.shape[1]
+            padc = (-C) % 512
+            if padc:
+                nt4 = np.concatenate(
+                    [nt4, np.full((nt4.shape[0], padc), 0x41414141, np.uint32)],
+                    axis=1,
+                )
+            words = np.asarray(
+                pk.jit_encode_2bit_nt4_mxu()(jnp.asarray(nt4))
+            )
+            if padc:
+                words = np.ascontiguousarray(words[:, : C // 4])
+            return spec.u32_pairs_to_u64(words.reshape(-1))[
+                : spec.num_words_2bit(n.size)
+            ]
         packed = np.asarray(pk.jit_encode_2bit_nt4(variant)(jnp.asarray(nt4)))
         return np.ascontiguousarray(packed.reshape(-1)).view("<u8")[
             : spec.num_words_2bit(n.size)
@@ -188,17 +212,15 @@ def bits_to_n(bits, length: int, *, tier: str = "xla", variant: str | None = Non
 
         variant = default_decode_variant(tier)
     bits = np.ascontiguousarray(bits, dtype=np.uint64)
-    if length > bits.size * spec.NT_PER_WORD_2BIT:
+    if not 0 <= length <= bits.size * spec.NT_PER_WORD_2BIT:
         raise ValueError(
-            f"length {length} exceeds capacity {bits.size * spec.NT_PER_WORD_2BIT}"
+            f"length {length} outside [0, {bits.size * spec.NT_PER_WORD_2BIT}]"
         )
     if tier == "oracle":
         return oracle.bits_to_n_lut(bits, length)
     if bits.size == 0:
         return np.zeros(0, dtype=np.uint8)
-    bucket = 1 << (bits.size - 1).bit_length()
-    if bucket != bits.size:
-        bits = np.concatenate([bits, np.zeros(bucket - bits.size, np.uint64)])
+    bits = _bucket_words(bits)
     if tier == "pallas":
         # fast path: the packed word stream IS the kernel's u8 input (free
         # view) and the nt4 u32 output IS the byte stream (free view)
@@ -224,9 +246,9 @@ def n_to_bits2(seq, *, tier: str = "xla", validate: bool = False) -> np.ndarray:
         _validate_input(n, allow_n=True)
     if tier == "oracle":
         return oracle.n_to_bits2_lut(n)
-    x = _pad_to(n, spec.NT_PER_WORD_B5)
-    if x.size == 0:
+    if n.size == 0:
         return np.zeros(0, dtype=np.uint64)
+    x = _pad_to(n, spec.NT_PER_WORD_B5)
     if tier == "pallas":
         # fast path: pad to whole kernel panels host-side; the interleaved
         # u32 output IS the u64 stream (free view) — no device reshapes
@@ -256,17 +278,15 @@ def bits_to_n2(bits, length: int, *, tier: str = "xla") -> np.ndarray:
     """
     tier = _check_tier(tier)
     bits = np.ascontiguousarray(bits, dtype=np.uint64)
-    if length > bits.size * spec.NT_PER_WORD_B5:
+    if not 0 <= length <= bits.size * spec.NT_PER_WORD_B5:
         raise ValueError(
-            f"length {length} exceeds capacity {bits.size * spec.NT_PER_WORD_B5}"
+            f"length {length} outside [0, {bits.size * spec.NT_PER_WORD_B5}]"
         )
     if tier == "oracle":
         return oracle.bits_to_n2_lut(bits, length)
     if bits.size == 0:
         return np.zeros(0, dtype=np.uint8)
-    bucket = 1 << (bits.size - 1).bit_length()
-    if bucket != bits.size:
-        bits = np.concatenate([bits, np.zeros(bucket - bits.size, np.uint64)])
+    bits = _bucket_words(bits)
     if tier == "pallas":
         # fast path: the interleaved-panel kernel reads the u64 stream's u32
         # pairs directly (no device planarize pass) and emits tile-padded

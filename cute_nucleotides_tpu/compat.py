@@ -1,4 +1,4 @@
-"""Drop-in compatibility surface: the reference's 12 function names.
+"""Drop-in compatibility surface: the reference's 13 function names.
 
 A user of the reference crate (``cute_nucleotides::n_to_bits::*``,
 ``::n_to_bits2::*``; reference src/lib.rs:1-2) can import these and get the

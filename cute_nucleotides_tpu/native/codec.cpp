@@ -36,9 +36,7 @@ extern "C" {
 // Encode len nucleotides into ceil(len/32) LSB-first u64 words
 // (layout contract of reference src/n_to_bits.rs:34-47).
 void cutenuc_n_to_bits(const uint8_t* n, size_t len, uint64_t* out) {
-  size_t nwords = (len + 31) / 32;
-  if (nwords) std::memset(out, 0, nwords * sizeof(uint64_t));
-  size_t full = len / 32;
+  size_t full = len / 32;  // every output word is written below (r05)
   for (size_t w = 0; w < full; ++w) {
     uint64_t acc = 0;
     const uint8_t* p = n + w * 32;
@@ -77,9 +75,7 @@ void cutenuc_bits_to_n(const uint64_t* bits, size_t len, uint8_t* out) {
 // c*25 + b*5 + a in 7 bits, 9 triplets LSB-first per word, trailing partial
 // triplet with missing digits 0 (contract of reference src/n_to_bits2.rs:37-74).
 void cutenuc_n_to_bits2(const uint8_t* n, size_t len, uint64_t* out) {
-  size_t nwords = (len + 26) / 27;
-  if (nwords) std::memset(out, 0, nwords * sizeof(uint64_t));
-  size_t full = len / 27;
+  size_t full = len / 27;  // every output word is written below (r05)
   for (size_t w = 0; w < full; ++w) {
     uint64_t acc = 0;
     const uint8_t* p = n + w * 27;
@@ -114,9 +110,11 @@ void cutenuc_bits_to_n2(const uint64_t* bits, size_t len, uint8_t* out) {
     uint8_t* p = out + w * 27;
     for (int t = 0; t < 9; ++t) {
       uint32_t val = (v >> (7 * t)) & 0x7F;
+      uint32_t d2 = val / 25;  // 5..: corrupt word (val >= 125); clamp,
+      if (d2 > 4) d2 = 4;      // no OOB read — checked decode flags these
       p[3 * t] = kDigToChar[val % 5];
       p[3 * t + 1] = kDigToChar[(val / 5) % 5];
-      p[3 * t + 2] = kDigToChar[val / 25];
+      p[3 * t + 2] = kDigToChar[d2];
     }
   }
   for (size_t i = full * 27; i < len; ++i) {
@@ -125,6 +123,7 @@ void cutenuc_bits_to_n2(const uint64_t* bits, size_t len, uint8_t* out) {
     uint32_t val = (v >> (7 * t)) & 0x7F;
     uint32_t k = i % 3;
     uint32_t d = k == 0 ? val % 5 : (k == 1 ? (val / 5) % 5 : val / 25);
+    if (d > 4) d = 4;  // corrupt word (val >= 125): clamp, no OOB read
     out[i] = kDigToChar[d];
   }
 }
@@ -213,9 +212,8 @@ long long cutenuc_fastq_scan(const uint8_t* buf, size_t n, int64_t* starts,
 }
 
 // Validation pass: returns the index of the first byte outside the accepted
-// alphabet, or (size_t)-1 if all bytes are valid.  alphabet_mask bit i set
-// means ASCII-ish class i is allowed; we accept {A,C,G,T,U} upper/lower and,
-// when allow_n != 0, {N,n}.
+// alphabet, or -1 if all bytes are valid.  Accepts {A,C,G,T,U} upper/lower
+// and, when allow_n != 0, {N,n}.
 long long cutenuc_find_invalid(const uint8_t* n, size_t len, int allow_n) {
   for (size_t i = 0; i < len; ++i) {
     uint8_t c = n[i] & 0xDF;  // fold case (clears bit 5 for letters)
