@@ -151,7 +151,12 @@ def _shrink_chunked(h: jax.Array, s: int) -> jax.Array:
     position ``s`` of its chunk.
     """
     h = h.reshape(-1)
-    m = max(_CHUNK, s)
+    # chunk width >= 4s guarantees each pass keeps at most ~n/4 entries
+    # (C * s of C * m); with the old max(_CHUNK, s) a sketch size near or
+    # above _CHUNK made ceil(n/m)*min(s, m) >= n — the loop never shrank
+    # and the host hung at trace time (r05 review, reachable through
+    # bottom_k_sketch/merge_many/CLI at s >= ~6600)
+    m = max(_CHUNK, 4 * s)
     while h.size > 4 * m:
         C = -(-h.size // m)
         if C * m > h.size:

@@ -388,6 +388,17 @@ def test_frac_prefilter_overflow_falls_back(rng):
     assert int(n_kept) == len(kept)
 
 
+def test_large_sketch_size_terminates_and_exact(rng):
+    """Sketch sizes at/above the chunk width must terminate (r05 review:
+    the shrink loop had a fixed point for s >= ~0.8*_CHUNK and hung at
+    trace time) and stay exact vs the set oracle."""
+    n = 600_000
+    for s_sz in (sketch._CHUNK, sketch._CHUNK + 500, 10_000):
+        h = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+        got = np.asarray(sketch._bottom_s_distinct(jnp.asarray(h), s_sz))
+        assert got.tolist() == _naive_bottom_s(h.tolist(), s_sz), s_sz
+
+
 def test_prefilter_density_sweep_fuzz(rng):
     """Randomized density sweep of the r05 prefilter: hash distributions
     from uniform (fast path) through clustered-low (overflow-ish) to

@@ -150,7 +150,10 @@ def main(argv=None) -> int:
             failures += 1
         # --- pair planar extraction (u32-pair codes) vs the XLA gather ------
         # rotate k over a fixed set (each distinct k compiles its own kernel)
-        kp = (16, 21, 27, 31)[rnd % 4]
+        # k=31 first: the documented gate runs --rounds 3, which with the
+        # old (16, 21, 27, 31) order never compiled the production k=31
+        # pair kernel on hardware (r05 review)
+        kp = (31, 21, 16, 27)[rnd % 4]
         lo_p, hi_p = kmer.kmer_codes_pair(kw, kl, kp)
         want_c = np.sort(
             (np.asarray(hi_p).astype(np.uint64) << 32)
@@ -195,7 +198,18 @@ def main(argv=None) -> int:
             failures += 1
         # --- minimizer Pallas scan vs the XLA windowed form, fresh stream ---
         mzw = (5, 10, 31)[rnd % 3]
-        h_mz = kmer.kmer_hashes(kw, kl, 15)
+        # dedicated stream ALWAYS past the Pallas routing threshold: with
+        # the random kl the check was XLA-vs-XLA (vacuous) whenever
+        # kl < 16384 nt (r05 review) — the kernel got no coverage
+        kl_mz = kl + 16384
+        s_mz = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=kl_mz)
+        kw_mz = jnp.asarray(
+            spec.u64_to_u32_pairs(oracle.n_to_bits_lut(s_mz)).reshape(-1)
+        )
+        assert kmer._route_minimizer_kernel(
+            kw_mz.shape[0], kl_mz - 14, 15, mzw
+        ), "minimizer check must exercise the kernel route"
+        h_mz = kmer.kmer_hashes(kw_mz, kl_mz, 15)
         wm = kmer._windowed(
             h_mz, mzw - 1, jnp.minimum, jnp.uint32(0xFFFFFFFF), left=False
         )
@@ -205,7 +219,7 @@ def main(argv=None) -> int:
             h_mz
             == kmer._windowed(wm, mzw - 1, jnp.maximum, jnp.uint32(0), left=True)
         )
-        got_mz, _ = kmer.minimizers(kw, kl, 15, mzw)
+        got_mz, _ = kmer.minimizers(kw_mz, kl_mz, 15, mzw)
         if not np.array_equal(np.asarray(got_mz), want_mz):
             print(f"FAIL minimizers L={kl} w={mzw} round {rnd}", file=sys.stderr)
             failures += 1
